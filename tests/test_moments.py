@@ -1,0 +1,152 @@
+"""Moment reduction / conversion / bootstrap kernels vs numpy references."""
+
+import numpy as np
+import pytest
+
+from thermoextrap_tpu.ops import convert as C
+from thermoextrap_tpu.ops import moments as M
+from thermoextrap_tpu.ops import resample as R
+
+
+def np_raw(u, x, w, order):
+    wsum = w.sum()
+    un = np.stack([(w * u**n).sum() / wsum for n in range(order + 1)])
+    xun = np.stack(
+        [(w[:, None] * x * u[:, None] ** n).sum(0) / wsum for n in range(order + 1)]
+    )
+    return un, xun
+
+
+def np_central(u, x, w, order):
+    wsum = w.sum()
+    ubar = (w * u).sum() / wsum
+    xbar = (w[:, None] * x).sum(0) / wsum
+    du = np.stack([(w * (u - ubar) ** n).sum() / wsum for n in range(order + 1)])
+    dxdu = np.stack(
+        [
+            (w[:, None] * (x - xbar) * (u - ubar)[:, None] ** n).sum(0) / wsum
+            for n in range(order + 1)
+        ]
+    )
+    du[0], du[1] = 1.0, 0.0
+    dxdu[0] = 0.0
+    return xbar, ubar, du, dxdu
+
+
+@pytest.fixture
+def uvxv(rng_np):
+    n, v = 200, 3
+    u = rng_np.normal(loc=5.0, scale=1.0, size=n)
+    x = rng_np.normal(loc=2.0, scale=0.5, size=(n, v))
+    w = rng_np.uniform(0.5, 1.5, size=n)
+    return u, x, w
+
+
+def test_reduce_raw(uvxv):
+    u, x, w, order = (*uvxv, 6)
+    got_u, got_xu = M.reduce_raw_comoments(u, x, order, weight=w)
+    ref_u, ref_xu = np_raw(u, x, w, order)
+    np.testing.assert_allclose(np.asarray(got_u), ref_u, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_xu), ref_xu, rtol=1e-12)
+
+
+def test_reduce_raw_unweighted_batch(rng_np):
+    order = 4
+    u = rng_np.normal(size=(2, 5, 100))
+    x = rng_np.normal(size=(2, 5, 100, 3))
+    got_u, got_xu = M.reduce_raw_comoments(u, x, order)
+    for i in range(2):
+        for j in range(5):
+            ru, rxu = np_raw(u[i, j], x[i, j], np.ones(100), order)
+            np.testing.assert_allclose(np.asarray(got_u[:, i, j]), ru, rtol=1e-12)
+            np.testing.assert_allclose(np.asarray(got_xu[:, i, j]), rxu, rtol=1e-12)
+
+
+def test_reduce_central(uvxv):
+    u, x, w, order = (*uvxv, 6)
+    xave, uave, du, dxdu = M.reduce_central_comoments(u, x, order, weight=w)
+    rx, ru, rdu, rdxdu = np_central(u, x, w, order)
+    np.testing.assert_allclose(np.asarray(xave), rx, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(uave), ru, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(du), rdu, rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(dxdu), rdxdu, rtol=1e-11, atol=1e-13)
+
+
+def test_raw_central_conversion_consistency(uvxv):
+    """raw -> central closed form must match the direct two-pass central."""
+    u, x, w, order = (*uvxv, 6)
+    raw_u, raw_xu = M.reduce_raw_comoments(u, x, order, weight=w)
+    xave, du, dxdu = C.central_comoments_from_raw(raw_u[:, None], raw_xu)
+    rx, _, rdu, rdxdu = np_central(u, x, w, order)
+    np.testing.assert_allclose(np.asarray(xave), rx, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(du[:, 0]), rdu, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dxdu), rdxdu, rtol=1e-7, atol=1e-10)
+
+
+def test_raw_from_central_roundtrip(uvxv):
+    u, x, w, order = (*uvxv, 6)
+    raw_u, _ = M.reduce_raw_comoments(u, x, order, weight=w)
+    du = C.central_from_raw(raw_u)
+    back = C.raw_from_central(du, raw_u[1])
+    np.testing.assert_allclose(np.asarray(back), np.asarray(raw_u), rtol=1e-9)
+
+
+def test_x_is_u_shift():
+    xu = np.arange(1, 8, dtype=float)[:, None] * np.ones((7, 2))
+    u = C.u_from_xu_when_x_is_u(xu)
+    assert u.shape == (8, 2)
+    np.testing.assert_allclose(np.asarray(u[0]), 1.0)
+    np.testing.assert_allclose(np.asarray(u[1:]), xu)
+
+
+class TestResample:
+    order = 5
+    nrep = 16
+
+    @pytest.fixture
+    def setup(self, rng_np):
+        n, v = 150, 2
+        u = rng_np.normal(loc=3.0, size=n)
+        x = rng_np.normal(loc=1.0, size=(n, v))
+        w = rng_np.uniform(0.5, 1.5, size=n)
+        idx = rng_np.integers(0, n, size=(self.nrep, n))
+        return u, x, w, idx
+
+    def test_freq_from_indices(self, setup):
+        u, x, w, idx = setup
+        freq = np.asarray(R.freq_from_indices(idx, u.shape[0]))
+        assert freq.shape == (self.nrep, u.shape[0])
+        np.testing.assert_array_equal(freq.sum(1), u.shape[0])
+        ref = np.stack([np.bincount(row, minlength=u.shape[0]) for row in idx])
+        np.testing.assert_array_equal(freq, ref)
+
+    def test_resample_raw_matches_gather(self, setup):
+        u, x, w, idx = setup
+        freq = R.freq_from_indices(idx, u.shape[0])
+        got_u, got_xu = R.resample_raw_comoments(u, x, freq, self.order, weight=w)
+        for r in range(self.nrep):
+            ru, rxu = np_raw(u[idx[r]], x[idx[r]], w[idx[r]], self.order)
+            np.testing.assert_allclose(np.asarray(got_u[:, r]), ru, rtol=1e-10)
+            np.testing.assert_allclose(np.asarray(got_xu[:, r]), rxu, rtol=1e-10)
+
+    def test_resample_central_matches_gather(self, setup):
+        u, x, w, idx = setup
+        freq = R.freq_from_indices(idx, u.shape[0])
+        xave, uave, du, dxdu = R.resample_central_comoments(
+            u, x, freq, self.order, weight=w
+        )
+        for r in range(self.nrep):
+            rx, ru, rdu, rdxdu = np_central(u[idx[r]], x[idx[r]], w[idx[r]], self.order)
+            np.testing.assert_allclose(np.asarray(xave[r]), rx, rtol=1e-11)
+            np.testing.assert_allclose(np.asarray(uave[r]), ru, rtol=1e-11)
+            np.testing.assert_allclose(np.asarray(du[:, r]), rdu, rtol=1e-9)
+            np.testing.assert_allclose(
+                np.asarray(dxdu[:, r]), rdxdu, rtol=1e-8, atol=1e-12
+            )
+
+    def test_poisson_freq(self):
+        import jax
+
+        freq = R.random_freq(jax.random.key(0), 8, 100, method="poisson")
+        assert freq.shape == (8, 100)
+        assert int(np.asarray(freq).min()) >= 0

@@ -1,0 +1,63 @@
+"""thermoextrap_tpu: TPU-native thermodynamic extrapolation / interpolation.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+``usnistgov/thermoextrap`` (reference mounted at /root/reference):
+
+- central/raw (co)moment reduction and bootstrap resampling as MXU-friendly
+  matmul kernels (:mod:`.ops.moments`, :mod:`.ops.resample`, with fused
+  Pallas variants) replacing cmomy/numba;
+- closed-form truncated-series derivative engine
+  (:mod:`.models.derivatives`) replacing runtime sympy;
+- Taylor extrapolation / polynomial interpolation / reweighting models
+  (:mod:`.models.extrap`) including a native jax MBAR;
+- β, volume, and lnΠ ensembles (:mod:`.beta`, :mod:`.volume`, :mod:`.lnpi`);
+- derivative-informed heteroscedastic GPR + active learning
+  (:mod:`.gpr_active`) replacing GPflow/TensorFlow;
+- multi-device sharding over a jax Mesh (:mod:`.parallel`).
+
+Top-level API mirrors the reference ``__init__.py:40-111``.
+"""
+
+from . import beta, data, idealgas
+from .data import (
+    DataCallback,
+    DataCallbackABC,
+    DataCentralMoments,
+    DataCentralMomentsVals,
+    DataValues,
+    DataValuesCentral,
+    factory_data_values,
+)
+from .models.derivatives import Derivatives
+from .models.extrap import (
+    ExtrapModel,
+    ExtrapWeightedModel,
+    InterpModel,
+    InterpModelPiecewise,
+    MBARModel,
+    PerturbModel,
+    StateCollection,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DataCallback",
+    "DataCallbackABC",
+    "DataCentralMoments",
+    "DataCentralMomentsVals",
+    "DataValues",
+    "DataValuesCentral",
+    "Derivatives",
+    "ExtrapModel",
+    "ExtrapWeightedModel",
+    "InterpModel",
+    "InterpModelPiecewise",
+    "MBARModel",
+    "PerturbModel",
+    "StateCollection",
+    "beta",
+    "data",
+    "factory_data_values",
+    "idealgas",
+]

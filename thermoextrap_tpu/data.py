@@ -1,0 +1,616 @@
+r"""Data layer: sample values and (co)moment containers.
+
+TPU-native redesign of /root/reference/src/thermoextrap/data.py (1813 LoC).
+The reference's four xarray/attrs classes collapse to two pytree dataclasses:
+
+- :class:`DataValues` — backed by raw timeseries ``uv, xv``; computes raw or
+  central comoments lazily (covers reference ``DataValues``,
+  ``DataValuesCentral``, ``DataCentralMomentsVals``).
+- :class:`DataCentralMoments` — backed by a pre-reduced central comoment
+  tensor (covers reference ``DataCentralMoments`` and all of its
+  ``from_*`` constructors).
+
+Named-dims contract of the reference (data.py:1-12) becomes a positional
+layout convention:
+
+- ``uv``: ``(*batch, rec)`` — energy-like samples; ``batch`` usually empty
+  or ``(rep,)`` after bootstrap.
+- ``xv``: ``(*batch, rec, [deriv+1,] *val)`` — observable samples; the
+  optional ``deriv`` axis holds explicit-beta-dependence derivatives
+  ``x^{(d)}`` (reference ``deriv_dim``).
+
+``derivs_args`` produces engine-ready arrays for
+:mod:`thermoextrap_tpu.models.derivatives`:
+
+- raw:      ``(u, xu)`` with ``u: (order+1, *batch, 1...)`` broadcast-padded,
+  ``xu: (order+1, [deriv+1,] *batch, *val)``
+- central:  ``(xave, du, dxdu)`` analogously; ``x_is_u`` drops the x entry
+  (reference data.py:944-962).
+
+A ``meta`` callback (reference ``DataCallbackABC``, data.py:165-250) may
+append ensemble-specific extra args (volume, lnPi).
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .ops.convert import (
+    central_comoments_from_raw,
+    raw_from_central,
+    u_from_xu_when_x_is_u,
+)
+from .ops.moments import reduce_central_comoments, reduce_raw_comoments
+from .ops.resample import (
+    freq_from_indices,
+    random_indices,
+    resample_central_comoments,
+    resample_values,
+)
+from .utils.random import validate_rng
+from .utils.trees import pytree_dataclass, replace
+
+__all__ = [
+    "DataCallback",
+    "DataCallbackABC",
+    "DataCentralMoments",
+    "DataCentralMomentsVals",
+    "DataValues",
+    "DataValuesCentral",
+    "factory_data_values",
+]
+
+
+# ---------------------------------------------------------------------------
+# meta callbacks (reference data.py:165-250)
+# ---------------------------------------------------------------------------
+
+
+class DataCallbackABC:
+    """Metadata hook: validate, extend ``derivs_args``, follow resampling."""
+
+    def check(self, data) -> None:  # pragma: no cover - interface
+        pass
+
+    def derivs_args(self, data, derivs_args: tuple) -> tuple:
+        return tuple(derivs_args)
+
+    def resample(self, data, *, indices=None, freq=None, **kws):
+        return self
+
+    def reduce(self, data, **kws):
+        return self
+
+
+class DataCallback(DataCallbackABC):
+    """Pass-through default callback."""
+
+
+def _pad_val(a, val_ndim: int):
+    """Append singleton axes so u-moments broadcast against x-moments."""
+    return a.reshape(a.shape + (1,) * val_ndim) if val_ndim else a
+
+
+def _normalize_sampler(sampler, nrec: int, rng=None):
+    """Accept ``{"nrep": R}`` mappings, ``{"indices": ...}``, ``{"freq": ...}``,
+    or a bare index array (reference ``cmomy.factory_sampler`` seam,
+    data.py:420-426).  Returns ``(indices_or_None, freq)``.
+    """
+    if isinstance(sampler, dict):
+        if "freq" in sampler:
+            return sampler.get("indices"), jnp.asarray(sampler["freq"])
+        if "indices" in sampler:
+            indices = jnp.asarray(sampler["indices"])
+        else:
+            key = validate_rng(sampler.get("rng", rng))
+            indices = random_indices(key, sampler["nrep"], nrec)
+        return indices, freq_from_indices(indices, nrec)
+    indices = jnp.asarray(sampler)
+    if indices.ndim != 2:
+        msg = "sampler array must be 2d bootstrap indices (nrep, nsamp)"
+        raise ValueError(msg)
+    return indices, freq_from_indices(indices, nrec)
+
+
+# ---------------------------------------------------------------------------
+# values-backed data
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(
+    meta_fields=("order", "central", "x_is_u", "xalpha", "val_ndim")
+)
+class DataValues:
+    """Raw timeseries container with lazy (co)moment accessors."""
+
+    uv: jax.Array
+    xv: jax.Array
+    weight: jax.Array | None
+    meta: Any
+    order: int
+    central: bool
+    x_is_u: bool
+    xalpha: bool
+    val_ndim: int
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def from_vals(
+        cls,
+        xv,
+        uv,
+        order: int,
+        *,
+        weight=None,
+        central: bool = False,
+        xalpha: bool = False,
+        x_is_u: bool = False,
+        val_ndim: int | None = None,
+        meta: DataCallbackABC | None = None,
+    ):
+        uv = jnp.asarray(uv)
+        if xv is None:
+            x_is_u = True
+        xv = uv if x_is_u else jnp.asarray(xv)
+        nb = uv.ndim - 1  # batch dims
+        if val_ndim is None:
+            val_ndim = xv.ndim - nb - 1 - (1 if xalpha else 0)
+        if val_ndim < 0:
+            msg = f"bad shapes: uv {uv.shape}, xv {xv.shape}, {xalpha=}"
+            raise ValueError(msg)
+        obj = cls(
+            uv=uv,
+            xv=xv,
+            weight=None if weight is None else jnp.asarray(weight),
+            meta=meta if meta is not None else DataCallback(),
+            order=int(order),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=bool(xalpha),
+            val_ndim=int(val_ndim),
+        )
+        obj.meta.check(obj)
+        return obj
+
+    # -- basic properties ---------------------------------------------------
+
+    def __len__(self) -> int:
+        return self.uv.shape[-1]
+
+    @property
+    def nbatch(self) -> int:
+        return self.uv.ndim - 1
+
+    @property
+    def _xval_ndim(self) -> int:
+        """val axes of xv including the deriv axis."""
+        return self.val_ndim + (1 if self.xalpha else 0)
+
+    # -- moment accessors ----------------------------------------------------
+
+    @cached_property
+    def _raw(self):
+        return reduce_raw_comoments(
+            self.uv, self.xv, self.order, weight=self.weight,
+            val_ndim=self._xval_ndim,
+        )
+
+    @cached_property
+    def _central(self):
+        return reduce_central_comoments(
+            self.uv, self.xv, self.order, weight=self.weight,
+            val_ndim=self._xval_ndim,
+        )
+
+    def _move_deriv(self, a, has_mom_axis: bool = True):
+        """Move the deriv axis (stored after batch) to just behind the moment axis."""
+        if not self.xalpha:
+            return a
+        src = (1 if has_mom_axis else 0) + self.nbatch
+        return jnp.moveaxis(a, src, 1 if has_mom_axis else 0)
+
+    @cached_property
+    def xu(self):
+        """Raw comoments ``<x^{(d)} u^n>``: ``(order+1, [deriv+1,] *batch, *val)``."""
+        return self._move_deriv(self._raw[1])
+
+    @cached_property
+    def u(self):
+        """Raw u-moments, broadcast-padded: ``(order+1|+2, *batch, 1...)``."""
+        if self.x_is_u:
+            return u_from_xu_when_x_is_u(self._raw[1])
+        return _pad_val(self._raw[0], self.val_ndim)
+
+    @cached_property
+    def xave(self):
+        """``<x^{(d)}>``: ``([deriv+1,] *batch, *val)``."""
+        return self._move_deriv(self._central[0], has_mom_axis=False)
+
+    @cached_property
+    def uave(self):
+        return self._central[1]
+
+    @cached_property
+    def dxdu(self):
+        """Central comoments ``<dx^{(d)} du^n>``: ``(order+1, [deriv+1,] *batch, *val)``."""
+        return self._move_deriv(self._central[3])
+
+    @cached_property
+    def du(self):
+        """Central u-moments, padded: ``du[0]=1, du[1]=0``."""
+        if self.x_is_u:
+            return u_from_xu_when_x_is_u(self._central[3], fill0=1.0)
+        return _pad_val(self._central[2], self.val_ndim)
+
+    @property
+    def derivs_args(self) -> tuple:
+        if self.central:
+            if self.x_is_u:
+                out = (self.uave, self.du)
+            else:
+                out = (self.xave, self.du, self.dxdu)
+        elif self.x_is_u:
+            out = (self.u,)
+        else:
+            out = (self.u, self.xu)
+        return self.meta.derivs_args(self, out)
+
+    # -- resampling (reference data.py:403-449, 1750-1813) -------------------
+
+    def resample(self, sampler, *, rng=None, **kws):
+        """Bootstrap: returns a new object whose values have a leading rep axis."""
+        if self.nbatch:
+            msg = "resample of already-replicated data is not supported"
+            raise NotImplementedError(msg)
+        indices, _freq = _normalize_sampler(sampler, len(self), rng=rng)
+        if indices is None:
+            msg = "DataValues.resample needs index-style sampler"
+            raise ValueError(msg)
+        uv = resample_values(self.uv, indices, rec_axis=0)
+        xv = uv if self.x_is_u else resample_values(self.xv, indices, rec_axis=0)
+        weight = (
+            None
+            if self.weight is None
+            else resample_values(
+                jnp.broadcast_to(self.weight, self.uv.shape), indices, rec_axis=0
+            )
+        )
+        meta = self.meta.resample(self, indices=indices, freq=_freq, **kws)
+        return replace(self, uv=uv, xv=xv, weight=weight, meta=meta)
+
+
+class DataValuesCentral(DataValues):
+    """Alias constructor: values-backed data using central moments
+    (reference ``DataValuesCentral``)."""
+
+    @classmethod
+    def from_vals(cls, xv, uv, order, **kws):
+        kws.setdefault("central", True)
+        return super().from_vals(xv, uv, order, **kws)
+
+
+# ---------------------------------------------------------------------------
+# moment-backed data (reference DataCentralMoments, data.py:791-1618)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("order", "central", "x_is_u", "xalpha", "val_ndim"))
+class DataCentralMoments:
+    """Pre-reduced central comoment container.
+
+    Fields hold the canonical central representation (means + central
+    comoments + weight); raw views are derived by binomial transforms.
+    Shapes: ``xave ([deriv+1,] *batch, *val)``, ``du (order+1, *batch, 1...)``,
+    ``dxdu (order+1, [deriv+1,] *batch, *val)``, ``uave (*batch,)``,
+    ``wsum (*batch,)``.
+    """
+
+    xave: jax.Array
+    uave: jax.Array
+    du: jax.Array
+    dxdu: jax.Array
+    wsum: jax.Array
+    meta: Any
+    order: int
+    central: bool
+    x_is_u: bool
+    xalpha: bool
+    val_ndim: int
+
+    # -- constructors (reference data.py:1062-1618) ---------------------------
+
+    @classmethod
+    def from_vals(
+        cls,
+        xv,
+        uv,
+        order: int,
+        *,
+        weight=None,
+        central: bool = True,
+        xalpha: bool = False,
+        x_is_u: bool = False,
+        meta: DataCallbackABC | None = None,
+    ):
+        dv = DataValues.from_vals(
+            xv, uv, order, weight=weight, central=True, xalpha=xalpha,
+            x_is_u=x_is_u, meta=meta,
+        )
+        xave, uave, du, dxdu = dv._central
+        w = dv.weight
+        wsum = (
+            jnp.full(dv.uv.shape[:-1], float(len(dv)), dtype=dv.uv.dtype)
+            if w is None
+            else jnp.broadcast_to(w, dv.uv.shape).sum(-1)
+        )
+        return cls(
+            xave=dv._move_deriv(xave, has_mom_axis=False),
+            uave=uave,
+            du=_pad_val(du, dv.val_ndim),
+            dxdu=dv._move_deriv(dxdu),
+            wsum=jnp.asarray(wsum, dtype=dv.uv.dtype),
+            meta=dv.meta,
+            order=int(order),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=bool(xalpha),
+            val_ndim=dv.val_ndim,
+        )
+
+    @classmethod
+    def from_ave_central(
+        cls,
+        xave,
+        uave,
+        du,
+        dxdu,
+        *,
+        wsum=None,
+        central: bool = True,
+        xalpha: bool = False,
+        x_is_u: bool = False,
+        val_ndim: int | None = None,
+        meta: DataCallbackABC | None = None,
+    ):
+        du = jnp.asarray(du)
+        dxdu = jnp.asarray(dxdu)
+        xave = jnp.asarray(xave)
+        uave = jnp.asarray(uave)
+        order = dxdu.shape[0] - 1
+        if val_ndim is None:
+            val_ndim = dxdu.ndim - 1 - (1 if xalpha else 0) - uave.ndim
+        pad = val_ndim + (1 if xalpha else 0)
+        if du.ndim < dxdu.ndim:
+            du = _pad_val(du, dxdu.ndim - du.ndim)
+        return cls(
+            xave=xave,
+            uave=uave,
+            du=du.at[0].set(1.0).at[1].set(0.0) if du.shape[0] > 1 else du,
+            dxdu=dxdu.at[0].set(0.0),
+            wsum=jnp.ones_like(uave) if wsum is None else jnp.asarray(wsum),
+            meta=meta if meta is not None else DataCallback(),
+            order=int(order),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=bool(xalpha),
+            val_ndim=int(val_ndim),
+        )
+
+    @classmethod
+    def from_raw(
+        cls,
+        u,
+        xu,
+        *,
+        wsum=None,
+        central: bool = False,
+        xalpha: bool = False,
+        x_is_u: bool = False,
+        val_ndim: int | None = None,
+        meta: DataCallbackABC | None = None,
+    ):
+        """From raw moments ``u[n]=<u^n>`` (n=0..order), ``xu[n]=<x u^n>``.
+
+        (reference ``from_raw`` / ``from_ave_raw``, data.py:1062-1126,1394-1473)
+        """
+        u = jnp.asarray(u)
+        xu = jnp.asarray(xu)
+        if val_ndim is None:
+            val_ndim = xu.ndim - u.ndim - (1 if xalpha else 0)
+        u_b = _pad_val(u, xu.ndim - u.ndim)
+        if xalpha:
+            # central transform treats deriv as val axes; u broadcasts over them
+            pass
+        xave_f, du, dxdu = central_comoments_from_raw(u_b, xu)
+        uave = u[1]
+        return cls(
+            xave=xave_f,
+            uave=uave,
+            du=du,
+            dxdu=dxdu,
+            wsum=jnp.ones_like(uave) if wsum is None else jnp.asarray(wsum),
+            meta=meta if meta is not None else DataCallback(),
+            order=int(u.shape[0] - 1),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=bool(xalpha),
+            val_ndim=int(val_ndim),
+        )
+
+    @classmethod
+    def from_resample_vals(
+        cls,
+        xv,
+        uv,
+        order: int,
+        sampler,
+        *,
+        weight=None,
+        central: bool = True,
+        x_is_u: bool = False,
+        rng=None,
+        meta: DataCallbackABC | None = None,
+    ):
+        """Bootstrap directly into a replicated moment container
+        (reference data.py:1285-1392)."""
+        uv = jnp.asarray(uv)
+        xv = uv if (x_is_u or xv is None) else jnp.asarray(xv)
+        _indices, freq = _normalize_sampler(sampler, uv.shape[-1], rng=rng)
+        val_shape = xv.shape[1:]
+        xflat = xv.reshape(uv.shape[-1], -1)
+        xave, uave, du, dxdu = resample_central_comoments(
+            uv, xflat, freq, order, weight=weight
+        )
+        nrep = freq.shape[0]
+        xave = xave.reshape((nrep, *val_shape))
+        dxdu = dxdu.reshape((order + 1, nrep, *val_shape))
+        w = jnp.ones_like(uv) if weight is None else jnp.broadcast_to(weight, uv.shape)
+        wsum = freq.astype(uv.dtype) @ w
+        obj = cls(
+            xave=xave,
+            uave=uave,
+            du=_pad_val(du, len(val_shape)),
+            dxdu=dxdu,
+            wsum=wsum,
+            meta=meta if meta is not None else DataCallback(),
+            order=int(order),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=False,
+            val_ndim=len(val_shape),
+        )
+        if meta is not None:
+            obj = replace(obj, meta=meta.resample(obj, indices=_indices, freq=freq))
+        return obj
+
+    # -- views ----------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.wsum if self.wsum.ndim == 0 else self.wsum.reshape(-1)[0])
+
+    @cached_property
+    def u(self):
+        """Raw u-moments from the central representation (padded)."""
+        u = raw_from_central(self.du, _pad_val(self.uave, self.du.ndim - 1 - self.uave.ndim))
+        if self.x_is_u:
+            # reference shift trick: u from xu = central->raw on x=u comoments
+            xu = self.xu
+            return u_from_xu_when_x_is_u(xu)
+        return u
+
+    @cached_property
+    def xu(self):
+        """Raw comoments ``<x u^n>`` = ``xave * u + shift(dxdu)``."""
+        du_b = self.du
+        uave_b = _pad_val(self.uave, du_b.ndim - 1 - self.uave.ndim)
+        u_b = raw_from_central(du_b, uave_b)
+        # <x u^n> = <(xave + dx)(uave + du)^n>
+        #         = xave <u^n> + sum_k C(n,k) uave^{n-k} <dx du^k>
+        from math import comb as _comb  # local to keep namespace tidy
+
+        order = self.order
+        dxdu = self.dxdu
+        if self.xalpha:
+            u_b = u_b[:, None]
+            uave_p = uave_b[None]
+            xave = self.xave
+        else:
+            uave_p = uave_b
+            xave = self.xave
+        pw = [jnp.ones_like(uave_p)]
+        for _ in range(order):
+            pw.append(pw[-1] * uave_p)
+        rows = []
+        for n in range(order + 1):
+            s = xave * u_b[n]
+            for k in range(1, n + 1):
+                s = s + _comb(n, k) * pw[n - k] * dxdu[k]
+            rows.append(s)
+        return jnp.stack(jnp.broadcast_arrays(*rows), axis=0)
+
+    @property
+    def du_x(self):
+        """du with the x_is_u shift applied when needed."""
+        if self.x_is_u:
+            return u_from_xu_when_x_is_u(self.dxdu, fill0=1.0)
+        return self.du
+
+    @property
+    def derivs_args(self) -> tuple:
+        if self.central:
+            if self.x_is_u:
+                out = (self.uave, self.du_x)
+            else:
+                out = (self.xave, self.du, self.dxdu)
+        elif self.x_is_u:
+            out = (self.u,)
+        else:
+            out = (self.u, self.xu)
+        return self.meta.derivs_args(self, out)
+
+    def resample(self, sampler, *, rng=None, **kws):
+        msg = (
+            "moment-backed data cannot be value-resampled; build with "
+            "DataCentralMoments.from_resample_vals or resample a DataValues."
+        )
+        raise NotImplementedError(msg)
+
+
+class DataCentralMomentsVals(DataValues):
+    """Values-backed central-moment data (reference data.py:1643-1813).
+
+    Same storage as :class:`DataValues` with ``central=True``; kept as a
+    distinct name for API parity.  ``resample`` reduces via the freq-matmul
+    kernel instead of materializing resampled values.
+    """
+
+    @classmethod
+    def from_vals(cls, xv, uv, order, **kws):
+        kws.setdefault("central", True)
+        return super().from_vals(xv, uv, order, **kws)
+
+    def resample(self, sampler, *, rng=None, **kws):
+        if self.nbatch or self.xalpha:
+            return super().resample(sampler, rng=rng, **kws)
+        indices, freq = _normalize_sampler(sampler, len(self), rng=rng)
+        return DataCentralMoments.from_resample_vals(
+            None if self.x_is_u else self.xv,
+            self.uv,
+            self.order,
+            {"indices": indices, "freq": freq},
+            weight=self.weight,
+            central=self.central,
+            x_is_u=self.x_is_u,
+            meta=self.meta,
+        )
+
+
+def factory_data_values(
+    uv,
+    xv,
+    order: int,
+    *,
+    central: bool = False,
+    xalpha: bool = False,
+    x_is_u: bool = False,
+    weight=None,
+    meta=None,
+    **_kws,
+):
+    """Dispatch DataValues vs DataValuesCentral (reference data.py:659-730)."""
+    cls = DataValuesCentral if central else DataValues
+    return cls.from_vals(
+        xv,
+        uv,
+        order,
+        weight=weight,
+        central=central,
+        xalpha=xalpha,
+        x_is_u=x_is_u,
+        meta=meta,
+    )

@@ -1,0 +1,119 @@
+r"""Moment-type conversions (raw ↔ central, shifted raw) as closed-form
+binomial transforms.
+
+TPU-native replacement for the ``cmomy.convert`` / ``select_moment`` /
+``assign_moment`` usage in the reference data layer
+(/root/reference/src/thermoextrap/data.py:485-534, 844-909, 1062-1126).
+All loops run over the static moment order at trace time.
+
+Layout convention: moment arrays carry the moment order on the *leading*
+axis, ``m[n] = n``-th moment, with arbitrary broadcastable batch axes behind.
+"""
+
+from __future__ import annotations
+
+from math import comb
+
+import jax.numpy as jnp
+
+__all__ = [
+    "central_comoments_from_raw",
+    "central_from_raw",
+    "raw_from_central",
+    "shift_raw_moments",
+    "shift_raw_comoments",
+    "u_from_xu_when_x_is_u",
+]
+
+
+def _powers(base, order: int):
+    """[base**0, ..., base**order] stacked on a new leading axis."""
+    out = [jnp.ones_like(base)]
+    for _ in range(order):
+        out.append(out[-1] * base)
+    return out
+
+
+def shift_raw_moments(u, delta):
+    r"""Shift raw moments: given ``u[k] = <(y)^k>`` return ``<(y - delta)^n>``.
+
+    ``out[n] = sum_k C(n,k) u[k] (-delta)^{n-k}``.
+    """
+    order = u.shape[0] - 1
+    d = _powers(-delta, order)
+    return jnp.stack(
+        [
+            sum(comb(n, k) * u[k] * d[n - k] for k in range(n + 1))
+            for n in range(order + 1)
+        ],
+        axis=0,
+    )
+
+
+def shift_raw_comoments(xu, delta):
+    r"""Shift the u-argument of raw comoments ``xu[k] = <x y^k>`` by ``delta``:
+    ``out[n] = <x (y - delta)^n> = sum_k C(n,k) xu[k] (-delta)^{n-k}``.
+    """
+    order = xu.shape[0] - 1
+    d = _powers(-delta, order)
+    return jnp.stack(
+        [
+            sum(comb(n, k) * xu[k] * d[n - k] for k in range(n + 1))
+            for n in range(order + 1)
+        ],
+        axis=0,
+    )
+
+
+def central_from_raw(u):
+    r"""Raw → central moments of ``u``.
+
+    ``u[k] = <u^k>`` (``u[0]=1``) → ``du[n] = <(u - <u>)^n>``; output has
+    ``du[0]=1`` and ``du[1]=0`` exactly (reference convention, see
+    du_func.eval in /root/reference/src/thermoextrap/beta.py:56-66).
+    """
+    du = shift_raw_moments(u, u[1])
+    return du.at[0].set(1.0).at[1].set(0.0)
+
+
+def raw_from_central(du, mean):
+    r"""Central → raw: ``u[n] = sum_k C(n,k) du[k] mean^{n-k}``.
+
+    ``du`` uses the ``du[0]=1, du[1]=0`` convention.
+    """
+    order = du.shape[0] - 1
+    m = _powers(mean, order)
+    return jnp.stack(
+        [
+            sum(comb(n, k) * du[k] * m[n - k] for k in range(n + 1))
+            for n in range(order + 1)
+        ],
+        axis=0,
+    )
+
+
+def central_comoments_from_raw(u, xu):
+    r"""Raw comoments → central comoments.
+
+    Inputs ``u[k] = <u^k>``, ``xu[k] = <x u^k>``; returns
+    ``(xave, du, dxdu)`` with ``dxdu[n] = <(x - <x>)(u - <u>)^n>``,
+    ``dxdu[0] = 0`` exactly.
+    """
+    xave = xu[0]
+    du = central_from_raw(u)
+    # <x (u - m)^n> then subtract xave * <(u - m)^n>
+    x_du = shift_raw_comoments(xu, u[1])
+    du_full = shift_raw_moments(u, u[1])  # keep true values at n=0,1
+    dxdu = x_du - xave * du_full
+    return xave, du, dxdu.at[0].set(0.0)
+
+
+def u_from_xu_when_x_is_u(xu, fill0=1.0):
+    r"""The ``x_is_u`` shift trick (/root/reference/src/thermoextrap/data.py:539-546):
+    when ``x == u``, ``xu[n] = u[n+1]``, so build ``u`` from ``xu`` by shifting
+    the moment axis up one and setting ``u[0] = fill0`` (1 for raw moments; for
+    central moments ``du[0]=1`` and the shifted value at index 1 is already 0).
+    Output has one more moment entry than the input (order+2).
+    """
+    pad = jnp.full_like(xu[:1], fill0)
+    return jnp.concatenate([pad, xu], axis=0)

@@ -1,0 +1,150 @@
+r"""Bootstrap resampling of (co)moments.
+
+TPU-native replacement for ``cmomy``'s ``wrap_resample_vals`` /
+``resample_and_reduce`` / ``factory_sampler`` / ``IndexSampler`` usage
+(/root/reference/src/thermoextrap/data.py:403-449, 1000-1055, 1285-1392,
+1750-1813).
+
+Key kernel-design decision (SURVEY.md §7 "hard parts"): instead of the
+gather-heavy index formulation, resampled moments are computed as a
+**frequency-matrix product**,
+
+    ``moments[rep] = freq[rep, :] @ per-sample-contributions[:, ...]``
+
+which is a single ``(nrep, R) @ (R, C)`` matmul on the MXU.  The frequency
+table is exactly equivalent to index resampling (``freq[r, i]`` = number of
+times sample ``i`` appears in replicate ``r``).
+
+Numerical stability: samples are pre-centered at the *global* means before
+the per-replicate raw accumulation; per-replicate central moments are then
+recovered by an exact binomial shift (central moments are shift-invariant).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .convert import central_from_raw, shift_raw_comoments, shift_raw_moments
+from .moments import u_power_stack
+
+__all__ = [
+    "freq_from_indices",
+    "random_freq",
+    "random_indices",
+    "resample_central_comoments",
+    "resample_raw_comoments",
+    "resample_values",
+]
+
+
+def random_indices(rng, nrep: int, nrec: int, nsamp: int | None = None):
+    """Uniform bootstrap index table ``(nrep, nsamp)`` (reference
+    ``cmomy.factory_sampler`` semantics: sample with replacement)."""
+    nsamp = nrec if nsamp is None else nsamp
+    return jax.random.randint(rng, (nrep, nsamp), 0, nrec)
+
+
+def freq_from_indices(indices, nrec: int):
+    """Count table ``freq[r, i] = #{j : indices[r, j] == i}`` via scatter-add."""
+    nrep = indices.shape[0]
+    freq = jnp.zeros((nrep, nrec), dtype=jnp.int32)
+    rep_ids = jnp.broadcast_to(jnp.arange(nrep)[:, None], indices.shape)
+    return freq.at[rep_ids, indices].add(1)
+
+
+def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial"):
+    """Random frequency table.
+
+    ``multinomial``: exact bootstrap distribution (each row sums to nrec).
+    ``poisson``: Poisson(1) bootstrap — iid entries, embarrassingly parallel,
+    asymptotically equivalent; row sums vary (weights normalize per replicate).
+    """
+    if method == "multinomial":
+        return freq_from_indices(random_indices(rng, nrep, nrec), nrec)
+    if method == "poisson":
+        return jax.random.poisson(rng, 1.0, (nrep, nrec)).astype(jnp.int32)
+    msg = f"unknown method {method!r}"
+    raise ValueError(msg)
+
+
+def resample_values(values, indices, rec_axis: int = 0):
+    """Index-resample raw values: new array with leading ``rep`` axis
+    (reference ``DataValuesBase.resample``, data.py:403-449)."""
+    return jnp.take(values, indices, axis=rec_axis)
+
+
+def _freq_weights(freq, weight, dtype):
+    f = freq.astype(dtype)
+    if weight is not None:
+        f = f * jnp.asarray(weight, dtype=dtype)[None, :]
+    return f
+
+
+def resample_raw_comoments(uv, xv, freq, order: int, weight=None):
+    r"""Per-replicate raw comoments via the freq-matmul.
+
+    ``uv``: ``(R,)``; ``xv``: ``(R, *val)``; ``freq``: ``(nrep, R)``.
+    Returns ``(u, xu)`` with shapes ``(order+1, nrep)`` and
+    ``(order+1, nrep, *val)``.
+    """
+    uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    val_shape = xv.shape[1:]
+    fw = _freq_weights(freq, weight, uv.dtype)  # (nrep, R)
+    wsum = fw.sum(axis=-1)  # (nrep,)
+
+    powers = u_power_stack(uv, order)  # (R, order+1)
+    u = (fw @ powers) / wsum[:, None]  # (nrep, order+1)
+
+    xflat = xv.reshape(uv.shape[0], -1)  # (R, V)
+    contrib = powers[:, :, None] * xflat[:, None, :]  # (R, order+1, V)
+    xu = jnp.einsum(
+        "pr,rnv->pnv", fw, contrib, preferred_element_type=fw.dtype
+    ) / wsum[:, None, None]
+
+    u = jnp.moveaxis(u, 1, 0)
+    xu = jnp.moveaxis(xu, 1, 0).reshape((order + 1, freq.shape[0], *val_shape))
+    return u, xu
+
+
+def resample_central_comoments(uv, xv, freq, order: int, weight=None):
+    r"""Per-replicate central comoments, numerically stabilized.
+
+    Returns ``(xave, uave, du, dxdu)`` with replicate axis behind the moment
+    axis: ``xave (nrep, *val)``, ``uave (nrep,)``, ``du (order+1, nrep)``,
+    ``dxdu (order+1, nrep, *val)``.
+    """
+    uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    val_shape = xv.shape[1:]
+    w_full = jnp.ones_like(uv) if weight is None else jnp.broadcast_to(
+        jnp.asarray(weight, dtype=uv.dtype), uv.shape
+    )
+
+    # global (full-sample) means as the common shift
+    wtot = w_full.sum()
+    ubar = (w_full * uv).sum() / wtot
+    xflat = xv.reshape(uv.shape[0], -1)
+    xbar = (w_full[:, None] * xflat).sum(axis=0) / wtot
+
+    us = uv - ubar
+    xs = xflat - xbar[None, :]
+
+    u_s, xu_s = resample_raw_comoments(
+        us, xs, freq, order, weight=weight
+    )  # shifted-raw per rep
+
+    uave = u_s[1] + ubar  # (nrep,)
+    xave_flat = xu_s[0] + xbar[None, :]  # (nrep, V)
+
+    # exact recentering: shifted-raw (about global mean) -> central (about per-rep mean)
+    du = shift_raw_moments(u_s, u_s[1])  # (order+1, nrep); du[0]=1, du[1]=0 exactly
+    x_du = shift_raw_comoments(xu_s, u_s[1][:, None])  # (order+1, nrep, V)
+    dxdu = x_du - xu_s[0][None] * du[:, :, None]
+    du = du.at[0].set(1.0).at[1].set(0.0)
+    dxdu = dxdu.at[0].set(0.0)
+
+    xave = xave_flat.reshape((freq.shape[0], *val_shape))
+    dxdu = dxdu.reshape((order + 1, freq.shape[0], *val_shape))
+    return xave, uave, du, dxdu
