@@ -7,16 +7,20 @@ require double precision, as does the reference (numpy/numba f64).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pre-sets JAX_PLATFORMS=axon (one real TPU chip) and
+# a sitecustomize imports jax at interpreter startup, so env vars are too late
+# here; steer via jax.config before the first computation instead.  Unit tests
+# run on CPU with x64 for the 1e-10 accuracy gates, with 8 virtual devices for
+# sharding tests.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

@@ -1,0 +1,132 @@
+"""Data-layer consistency matrix (reference tests/test_data.py role):
+every construction path must yield identical moments and derivatives."""
+
+import jax
+import numpy as np
+import pytest
+
+import thermoextrap_tpu as xtpu
+from thermoextrap_tpu import beta as beta_xpan
+
+ORDER = 4
+BETA0 = 1.0
+
+
+@pytest.fixture(scope="module")
+def vals():
+    rng = np.random.default_rng(0)
+    n, v = 64, 2
+    u = rng.normal(loc=2.0, size=n)
+    x = rng.normal(loc=1.0, size=(n, v))
+    return u, x
+
+
+def test_raw_vs_central_derivs(vals):
+    u, x = vals
+    d_raw = xtpu.DataValues.from_vals(x, u, ORDER, central=False)
+    d_cen = xtpu.DataValuesCentral.from_vals(x, u, ORDER)
+    m_raw = beta_xpan.factory_extrapmodel(BETA0, d_raw)
+    m_cen = beta_xpan.factory_extrapmodel(BETA0, d_cen)
+    np.testing.assert_allclose(
+        np.asarray(m_raw.derivs()), np.asarray(m_cen.derivs()), rtol=1e-8
+    )
+
+
+def test_values_vs_moment_backed(vals):
+    u, x = vals
+    d_val = xtpu.DataCentralMomentsVals.from_vals(x, u, ORDER)
+    d_mom = xtpu.DataCentralMoments.from_vals(x, u, ORDER)
+    for a, b in zip(d_val.derivs_args, d_mom.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_from_raw_matches_from_vals(vals):
+    u, x = vals
+    d_val = xtpu.DataValues.from_vals(x, u, ORDER, central=False)
+    d_raw = xtpu.DataCentralMoments.from_raw(
+        d_val.u[:, 0], d_val.xu, central=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_raw.u), np.asarray(d_val.u), rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_raw.xu), np.asarray(d_val.xu), rtol=1e-7
+    )
+    # and central views agree with the two-pass direct computation
+    d_cen = xtpu.DataCentralMoments.from_vals(x, u, ORDER)
+    np.testing.assert_allclose(
+        np.asarray(d_raw.dxdu), np.asarray(d_cen.dxdu), rtol=1e-6, atol=1e-10
+    )
+
+
+def test_x_is_u_consistency(vals):
+    """u-observable via x_is_u shift == direct reduction of u as x."""
+    u, _ = vals
+    d = xtpu.DataValues.from_vals(None, u, ORDER + 1, central=False, x_is_u=True)
+    m = beta_xpan.factory_extrapmodel(BETA0, d, name="u_ave", order=ORDER)
+    # compare against x_ave with x = u (explicit copy)
+    d2 = xtpu.DataValues.from_vals(u.copy(), u, ORDER, central=False)
+    m2 = beta_xpan.factory_extrapmodel(BETA0, d2, name="x_ave")
+    np.testing.assert_allclose(
+        np.asarray(m.derivs(order=ORDER)),
+        np.asarray(m2.derivs(order=ORDER)),
+        rtol=1e-8,
+    )
+
+
+class TestResample:
+    nrep = 8
+
+    def test_values_resample_consistency(self, vals):
+        """Value-resampled and moment-resampled paths share indices -> equal."""
+        u, x = vals
+        indices = np.asarray(
+            jax.random.randint(jax.random.key(5), (self.nrep, u.shape[0]), 0, u.shape[0])
+        )
+
+        d_val = xtpu.DataValuesCentral.from_vals(x, u, ORDER)
+        r_val = d_val.resample({"indices": indices})
+
+        d_cmv = xtpu.DataCentralMomentsVals.from_vals(x, u, ORDER)
+        r_cmv = d_cmv.resample({"indices": indices})
+
+        m1 = beta_xpan.factory_extrapmodel(BETA0, r_val)
+        m2 = beta_xpan.factory_extrapmodel(BETA0, r_cmv)
+        np.testing.assert_allclose(
+            np.asarray(m1.derivs()), np.asarray(m2.derivs()), rtol=1e-7, atol=1e-10
+        )
+
+    def test_model_resample(self, vals):
+        u, x = vals
+        d = xtpu.DataValues.from_vals(x, u, ORDER, central=False)
+        m = beta_xpan.factory_extrapmodel(BETA0, d)
+        mr = m.resample({"nrep": self.nrep})
+        pred = np.asarray(mr.predict(1.2))
+        assert pred.shape == (self.nrep, x.shape[1])
+        # replicate spread brackets the point estimate
+        p0 = np.asarray(m.predict(1.2))
+        assert np.all(np.abs(pred.mean(0) - p0) < 10 * pred.std(0) + 1e-8)
+
+
+def test_weighted_reduction_equals_repeats():
+    """Integer weights == literally repeated samples."""
+    rng = np.random.default_rng(2)
+    u = rng.normal(size=10)
+    x = rng.normal(size=(10, 1))
+    w = rng.integers(1, 4, size=10)
+    u_rep = np.repeat(u, w)
+    x_rep = np.repeat(x, w, axis=0)
+
+    d_w = xtpu.DataValuesCentral.from_vals(x, u, ORDER, weight=w.astype(float))
+    d_r = xtpu.DataValuesCentral.from_vals(x_rep, u_rep, ORDER)
+    for a, b in zip(d_w.derivs_args, d_r.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_pytree_roundtrip(vals):
+    u, x = vals
+    d = xtpu.DataValues.from_vals(x, u, ORDER, central=False)
+    leaves, treedef = jax.tree_util.tree_flatten(d)
+    d2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert d2.order == d.order
+    np.testing.assert_array_equal(np.asarray(d2.uv), np.asarray(d.uv))
