@@ -1,0 +1,103 @@
+"""Benchmark: order-6 beta-derivative moment-reduction throughput.
+
+BASELINE.json headline metric: samples/sec for the fused central comoment
+reduction (order 6) that feeds the beta-derivative engine — the workload the
+reference delegates to cmomy/numba on a multicore CPU node.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against a vectorized numpy two-pass implementation
+measured on this host's CPU (stand-in for the cmomy/numba reference stack,
+which is not installed in this image; numpy vectorized is within ~2x of
+cmomy single-thread on this op and we scale by the host core count would be
+unfair in our favor — we leave it unscaled, i.e. conservative only w.r.t.
+numba's threading).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+ORDER = 6
+R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md)
+V = 1
+WARMUP = 2
+ITERS = 10
+BASELINE_R = 20_000_000  # numpy baseline measured on a slice, scaled linearly
+
+
+def numpy_two_pass(u, x, order):
+    ubar = u.mean()
+    xbar = x.mean(axis=0)
+    du = u - ubar
+    dx = x - xbar
+    p = np.ones_like(u)
+    out_u = [np.float64(1.0)]
+    out_xu = [dx.mean(axis=0)]
+    for _ in range(order):
+        p = p * du
+        out_u.append(p.mean())
+        out_xu.append((p[:, None] * dx).mean(axis=0))
+    return np.stack(out_u), np.stack(out_xu)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import reduce_central_comoments_fused
+
+    on_accel = jax.default_backend() != "cpu"
+    r = R if on_accel else 2_000_000
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    uv = 5.0 + jax.random.normal(k1, (r,), dtype=jnp.float32)
+    xv = 2.0 + 0.5 * jax.random.normal(k2, (r, V), dtype=jnp.float32)
+    xv = xv.reshape(r) if V == 1 else xv
+    jax.block_until_ready((uv, xv))
+
+    if on_accel:
+        run = lambda: reduce_central_comoments_fused(uv, xv, ORDER)
+    else:
+        from thermoextrap_tpu.ops.moments import reduce_central_comoments
+
+        run = lambda: reduce_central_comoments(uv, xv, ORDER)
+
+    # NOTE: on the axon remote backend block_until_ready does not reliably
+    # wait for completion; force a scalar fetch to synchronize.
+    for _ in range(WARMUP):
+        float(run()[2][2])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = run()
+    float(out[2][2])
+    dt = (time.perf_counter() - t0) / ITERS
+    samples_per_sec = r / dt
+
+    # CPU numpy baseline (two-pass, vectorized), measured then scaled to rate
+    rng = np.random.default_rng(0)
+    ub = rng.normal(5.0, 1.0, BASELINE_R).astype(np.float32)
+    xb = rng.normal(2.0, 0.5, (BASELINE_R, V)).astype(np.float32)
+    t0 = time.perf_counter()
+    numpy_two_pass(ub, xb, ORDER)
+    base_dt = time.perf_counter() - t0
+    baseline_rate = BASELINE_R / base_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "order6_central_comoment_reduction_throughput",
+                "value": round(samples_per_sec / 1e9, 4),
+                "unit": "Gsamples/s",
+                "vs_baseline": round(samples_per_sec / baseline_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Sharded reduction over an 8-device virtual CPU mesh must equal the
+single-device two-pass reference exactly."""
+
+import jax
+import numpy as np
+import pytest
+
+from thermoextrap_tpu.ops.moments import reduce_central_comoments
+from thermoextrap_tpu.ops.resample import (
+    freq_from_indices,
+    resample_central_comoments,
+)
+from thermoextrap_tpu.parallel import (
+    make_mesh,
+    reduce_central_comoments_sharded,
+    resample_central_comoments_sharded,
+    shard_rec,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, axis_names=("rec",))
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8, axis_names=("rep", "rec"))
+
+
+def test_reduce_sharded(mesh, rng_np):
+    order, R, V = 6, 4096, 3
+    u = rng_np.normal(5.0, 1.0, R)
+    x = rng_np.normal(2.0, 0.5, (R, V))
+    w = rng_np.uniform(0.5, 1.5, R)
+
+    ref = reduce_central_comoments(u, x, order, weight=w)
+    got = reduce_central_comoments_sharded(
+        shard_rec(jax.numpy.asarray(u), mesh),
+        shard_rec(jax.numpy.asarray(x), mesh),
+        order,
+        mesh,
+        weight=w,
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-12, atol=1e-14
+        )
+
+
+def test_resample_sharded(mesh2d, rng_np):
+    order, R, V, nrep = 4, 1024, 2, 8
+    u = rng_np.normal(3.0, 1.0, R)
+    x = rng_np.normal(1.0, 0.5, (R, V))
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = freq_from_indices(idx, R)
+
+    ref = resample_central_comoments(u, x, freq, order)
+    got = resample_central_comoments_sharded(
+        jax.numpy.asarray(u), jax.numpy.asarray(x), freq, order, mesh2d
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_pallas_interpret_matches_xla(rng_np):
+    """Fused kernels (interpret mode) match the XLA reference."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused,
+        resample_central_comoments_fused,
+    )
+
+    order, R, V = 6, 1000, 2
+    u = rng_np.normal(5.0, 1.0, R).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (R, V)).astype(np.float32)
+
+    ref = reduce_central_comoments(np.float64(u), np.float64(x), order)
+    got = reduce_central_comoments_fused(u, x, order, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+    nrep = 5
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = np.asarray(freq_from_indices(idx, R))
+    ref = resample_central_comoments(np.float64(u), np.float64(x), freq, order)
+    got = resample_central_comoments_fused(u, x, freq, order, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+        )

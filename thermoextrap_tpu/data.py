@@ -44,11 +44,10 @@ from .ops.convert import (
     raw_from_central,
     u_from_xu_when_x_is_u,
 )
-from .ops.moments import reduce_central_comoments, reduce_raw_comoments
+from .ops import dispatch
 from .ops.resample import (
     freq_from_indices,
     random_indices,
-    resample_central_comoments,
     resample_values,
 )
 from .utils.random import validate_rng
@@ -195,14 +194,14 @@ class DataValues:
 
     @cached_property
     def _raw(self):
-        return reduce_raw_comoments(
+        return dispatch.reduce_raw(
             self.uv, self.xv, self.order, weight=self.weight,
             val_ndim=self._xval_ndim,
         )
 
     @cached_property
     def _central(self):
-        return reduce_central_comoments(
+        return dispatch.reduce_central(
             self.uv, self.xv, self.order, weight=self.weight,
             val_ndim=self._xval_ndim,
         )
@@ -463,7 +462,7 @@ class DataCentralMoments:
         _indices, freq = _normalize_sampler(sampler, uv.shape[-1], rng=rng)
         val_shape = xv.shape[1:]
         xflat = xv.reshape(uv.shape[-1], -1)
-        xave, uave, du, dxdu = resample_central_comoments(
+        xave, uave, du, dxdu = dispatch.resample_central(
             uv, xflat, freq, order, weight=weight
         )
         nrep = freq.shape[0]

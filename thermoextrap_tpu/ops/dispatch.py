@@ -1,0 +1,59 @@
+"""Backend dispatch: fused Pallas kernels on TPU, XLA reference elsewhere.
+
+The data layer calls these wrappers; they route the flat hot path
+(``batch == ()``) to the fused single-pass Pallas kernels when running on an
+accelerator, and fall back to the two-pass XLA implementation on CPU (where
+f64 accuracy is available and Pallas TPU kernels cannot compile).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from . import moments, moments_pallas, resample
+
+_FORCE: str | None = None  # None = auto; "xla" | "pallas" for tests
+
+
+def set_impl(impl: str | None) -> None:
+    """Force an implementation globally (``None`` restores auto)."""
+    global _FORCE
+    if impl not in (None, "xla", "pallas"):
+        msg = f"impl must be None, 'xla' or 'pallas'; got {impl!r}"
+        raise ValueError(msg)
+    _FORCE = impl
+
+
+def _use_pallas() -> bool:
+    if _FORCE == "pallas":
+        return True
+    if _FORCE == "xla":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def reduce_central(uv, xv, order, weight=None, val_ndim=1):
+    flat = getattr(uv, "ndim", 1) == 1
+    if flat and _use_pallas():
+        return moments_pallas.reduce_central_comoments_fused(
+            uv, xv, order, weight=weight
+        )
+    return moments.reduce_central_comoments(
+        uv, xv, order, weight=weight, val_ndim=val_ndim
+    )
+
+
+def reduce_raw(uv, xv, order, weight=None, val_ndim=1):
+    # raw moments are only numerically sensible in f64 / for parity paths;
+    # keep the XLA implementation everywhere.
+    return moments.reduce_raw_comoments(
+        uv, xv, order, weight=weight, val_ndim=val_ndim
+    )
+
+
+def resample_central(uv, xv, freq, order, weight=None):
+    if _use_pallas():
+        return moments_pallas.resample_central_comoments_fused(
+            uv, xv, freq, order, weight=weight
+        )
+    return resample.resample_central_comoments(uv, xv, freq, order, weight=weight)

@@ -1,0 +1,360 @@
+r"""Fused Pallas TPU kernels for (co)moment reduction and bootstrap.
+
+These are the TPU-native replacements for cmomy's numba hot loops
+(SURVEY.md §2a; reference usage /root/reference/src/thermoextrap/data.py:
+485-536, 1285-1392, 1750-1813).  Design notes:
+
+**Layout.** On this TPU backend a 2D f32 array is tiled ``T(8,128)`` in HBM,
+so an ``(R, 1)`` column is physically padded 128x.  All kernel operands are
+therefore laid out dense: samples packed into rows of ``B`` lanes
+(``u -> (R/B, B)``) and the observable transposed to ``(V, R/B, B)``.  No
+padded HBM traffic anywhere.
+
+**Single-pass shifted reduction** (:func:`reduce_central_comoments_fused`):
+the XLA implementation (ops/moments.py) streams the data twice (means pass +
+central pass).  Here one pass accumulates *shifted* raw moments about a
+cheap pre-estimated shift (mean of the first chunk), and an exact
+O(order^2) binomial recentering recovers central moments.  Central moments
+are shift-invariant, so the result is exact up to f32 accumulation roundoff
+while halving HBM traffic.  Per-lane partial sums accumulate in VMEM and the
+lane axis is reduced in a tiny XLA epilogue.
+
+**Bootstrap** (:func:`resample_central_comoments_fused`): per-replicate
+moments as ``freq @ per-sample-contributions`` with the contribution rows
+(powers of shifted u times x) built on the fly in VMEM — a real
+``(nrep, R) @ (R, (order+1)(V+1))`` MXU matmul without materializing the
+contribution matrix in HBM.
+
+Both kernels accumulate in float32 (inputs upcast) and mask the padded tail
+with a global-index iota.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .convert import shift_raw_comoments, shift_raw_moments
+
+__all__ = [
+    "reduce_central_comoments_fused",
+    "resample_central_comoments_fused",
+]
+
+_LANES = 1024  # lane width of the packed sample rows
+
+
+def _pad_flat(a, n):
+    """Pad a 1d array to length n with zeros."""
+    return jnp.pad(a, (0, n - a.shape[0])) if a.shape[0] != n else a
+
+
+def _pack(a, rows_total):
+    """(R,) -> (rows_total, LANES) dense row layout."""
+    return _pad_flat(a, rows_total * _LANES).reshape(rows_total, _LANES)
+
+
+# ---------------------------------------------------------------------------
+# single-pass shifted (co)moment reduction
+# ---------------------------------------------------------------------------
+
+
+def _reduce_kernel(
+    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v
+):
+    """Inputs per grid step: u ``(rows, B)``, x ``(v, rows, B)``; per-lane
+    partial sums accumulate into ``(order+1, B)`` / ``(v*(order+1), B)``."""
+    if use_w:
+        w_ref, out_u_ref, out_xu_ref = rest
+    else:
+        out_u_ref, out_xu_ref = rest
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_u_ref[:] = jnp.zeros_like(out_u_ref)
+        out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
+
+    du = u_ref[:] - su_ref[0, 0]  # (rows, B)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+    flat = (i * rows + row_ids) * _LANES + lane_ids
+    mask = (flat < n_real).astype(du.dtype)
+    p = w_ref[:] * mask if use_w else mask
+
+    xs = [x_ref[k] - sx_ref[0, k] for k in range(v)]  # each (rows, B)
+    for n in range(order + 1):
+        out_u_ref[n, :] += jnp.sum(p, axis=0)
+        for k in range(v):
+            out_xu_ref[k * (order + 1) + n, :] += jnp.sum(p * xs[k], axis=0)
+        if n < order:
+            p = p * du
+
+
+@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
+def reduce_central_comoments_fused(
+    uv,
+    xv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 524288,
+    interpret: bool = False,
+):
+    r"""Fused single-pass central comoment reduction for the flat hot path.
+
+    ``uv``: ``(R,)``; ``xv``: ``(R, *val)``; returns ``(xave, uave, du, dxdu)``
+    with the contract of :func:`ops.moments.reduce_central_comoments`
+    (``batch=()``).  ``block`` = samples per grid step.
+    """
+    uv = jnp.asarray(uv, dtype=jnp.float32)
+    val_shape = xv.shape[1:]
+    xv = jnp.asarray(xv, dtype=jnp.float32).reshape(uv.shape[0], -1)
+    r, v = xv.shape
+
+    w_flat = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
+    )
+
+    # shift estimate from the first chunk (cheap XLA slice)
+    head = min(8192, r)
+    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
+    s_u = (w_head * uv[:head]).sum() / w_head.sum()
+    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+
+    rows = max(block // _LANES, 8)
+    chunk = rows * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    rows_total = rp // _LANES
+
+    u_p = _pack(uv, rows_total)
+    x_p = jnp.stack([_pack(xv[:, k], rows_total) for k in range(v)], axis=0)
+
+    operands = [
+        jnp.reshape(s_u, (1, 1)),
+        jnp.reshape(s_x, (1, v)),
+        u_p,
+        x_p,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, v), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((rows, _LANES), lambda i: (i, 0)),
+        pl.BlockSpec((v, rows, _LANES), lambda i: (0, i, 0)),
+    ]
+    use_w = w_flat is not None
+    if use_w:
+        operands.append(_pack(w_flat, rows_total))
+        in_specs.append(pl.BlockSpec((rows, _LANES), lambda i: (i, 0)))
+
+    out_u, out_xu = pl.pallas_call(
+        functools.partial(
+            _reduce_kernel, order=order, use_w=use_w, rows=rows, n_real=r, v=v
+        ),
+        grid=(rows_total // rows,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((order + 1, _LANES), lambda i: (0, 0)),
+            pl.BlockSpec((v * (order + 1), _LANES), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((order + 1, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((v * (order + 1), _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    sum_u = out_u.sum(axis=1)  # (order+1,)
+    sum_xu = out_xu.sum(axis=1).reshape(v, order + 1).T  # (order+1, v)
+    return _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape)
+
+
+def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
+    """Shifted raw sums -> exact central comoments (tiny XLA epilogue)."""
+    wsum = sum_u[0]
+    m = sum_u / wsum  # shifted raw u-moments; m[0] = 1
+    c = sum_xu / wsum  # shifted raw comoments of shifted x
+
+    uave = m[1] + s_u
+    xave = c[0] + s_x
+
+    du = shift_raw_moments(m, m[1])
+    x_du = shift_raw_comoments(c, m[1])
+    dxdu = x_du - c[0][None, :] * du[:, None]
+    du = du.at[0].set(1.0).at[1].set(0.0)
+    dxdu = dxdu.at[0].set(0.0)
+    order = sum_u.shape[0] - 1
+    return (
+        xave.reshape(val_shape),
+        uave,
+        du,
+        dxdu.reshape((order + 1, *val_shape)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bootstrap: freq @ on-the-fly contributions
+# ---------------------------------------------------------------------------
+
+
+_SUBROWS = 8  # sample rows handled per resample grid step
+
+
+def _resample_kernel(
+    su_ref, sx_ref, f_ref, u_ref, x_ref, *rest, order, use_w, n_real, v
+):
+    if use_w:
+        w_ref, out_u_ref, out_xu_ref = rest
+    else:
+        out_u_ref, out_xu_ref = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_u_ref[:] = jnp.zeros_like(out_u_ref)
+        out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    acc_u = jnp.zeros_like(out_u_ref)
+    acc_xu = jnp.zeros_like(out_xu_ref)
+    for s in range(_SUBROWS):
+        du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
+        base = (j * _SUBROWS + s) * _LANES
+        mask = (base + lane_ids < n_real).astype(du.dtype)
+        p0 = w_ref[s : s + 1, :] * mask if use_w else mask
+
+        prows = [p0]
+        for _ in range(order):
+            prows.append(prows[-1] * du)
+        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+
+        f = f_ref[:, s, :]  # (RB, B)
+        acc_u += jax.lax.dot_general(
+            f,
+            p,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        crows = [p * (x_ref[k, s : s + 1, :] - sx_ref[0, k]) for k in range(v)]
+        contrib = jnp.concatenate(crows, axis=0)  # ((order+1)*V, B)
+        acc_xu += jax.lax.dot_general(
+            f,
+            contrib,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_u_ref[:] += acc_u
+    out_xu_ref[:] += acc_xu
+
+
+@functools.partial(
+    jax.jit, static_argnames=("order", "rep_block", "interpret")
+)
+def resample_central_comoments_fused(
+    uv,
+    xv,
+    freq,
+    order: int,
+    weight=None,
+    *,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    r"""Per-replicate central comoments via the fused freq-matmul kernel.
+
+    Same contract as :func:`ops.resample.resample_central_comoments`:
+    returns ``(xave (nrep, *val), uave (nrep,), du (order+1, nrep),
+    dxdu (order+1, nrep, *val))``.
+    """
+    uv = jnp.asarray(uv, jnp.float32)
+    val_shape = xv.shape[1:]
+    xv = jnp.asarray(xv, jnp.float32).reshape(uv.shape[0], -1)
+    r, v = xv.shape
+    nrep = freq.shape[0]
+
+    w_flat = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
+    )
+
+    head = min(8192, r)
+    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
+    s_u = (w_head * uv[:head]).sum() / w_head.sum()
+    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+
+    chunk = _SUBROWS * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb = rp // _LANES
+    pp = ((nrep + rep_block - 1) // rep_block) * rep_block
+
+    u_p = _pack(uv, nb)
+    x_p = jnp.stack([_pack(xv[:, k], nb) for k in range(v)], axis=0)
+    f_p = jnp.pad(
+        jnp.asarray(freq, jnp.float32),
+        ((0, pp - nrep), (0, rp - r)),
+    ).reshape(pp, nb, _LANES)
+
+    operands = [
+        jnp.reshape(s_u, (1, 1)),
+        jnp.reshape(s_x, (1, v)),
+        f_p,
+        u_p,
+        x_p,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((rep_block, _SUBROWS, _LANES), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, _SUBROWS, _LANES), lambda i, j: (0, j, 0)),
+    ]
+    use_w = w_flat is not None
+    if use_w:
+        operands.append(_pack(w_flat, nb))
+        in_specs.append(pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)))
+
+    out_u, out_xu = pl.pallas_call(
+        functools.partial(
+            _resample_kernel, order=order, use_w=use_w, n_real=r, v=v
+        ),
+        grid=(pp // rep_block, nb // _SUBROWS),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rep_block, order + 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((rep_block, (order + 1) * v), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pp, order + 1), jnp.float32),
+            jax.ShapeDtypeStruct((pp, (order + 1) * v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    sum_u = out_u[:nrep]  # (nrep, order+1)
+    # contribution rows are v-major: row k*(order+1)+n
+    sum_xu = jnp.moveaxis(
+        out_xu[:nrep].reshape(nrep, v, order + 1), 2, 1
+    )  # (nrep, order+1, v)
+
+    wsum = sum_u[:, 0:1]
+    m = jnp.moveaxis(sum_u / wsum, 1, 0)  # (order+1, nrep)
+    c = jnp.moveaxis(sum_xu / wsum[:, :, None], 1, 0)  # (order+1, nrep, V)
+
+    uave = m[1] + s_u
+    xave = (c[0] + s_x).reshape((nrep, *val_shape))
+
+    du = shift_raw_moments(m, m[1])
+    x_du = shift_raw_comoments(c, m[1][:, None])
+    dxdu = x_du - c[0][None] * du[:, :, None]
+    du = du.at[0].set(1.0).at[1].set(0.0)
+    dxdu = dxdu.at[0].set(0.0).reshape((order + 1, nrep, *val_shape))
+    return xave, uave, du, dxdu
