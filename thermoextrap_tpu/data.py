@@ -41,6 +41,7 @@ import jax.numpy as jnp
 
 from .ops.convert import (
     central_comoments_from_raw,
+    central_from_raw,
     raw_from_central,
     u_from_xu_when_x_is_u,
 )
@@ -404,7 +405,7 @@ class DataCentralMoments:
     def from_raw(
         cls,
         u,
-        xu,
+        xu=None,
         *,
         wsum=None,
         central: bool = False,
@@ -413,18 +414,36 @@ class DataCentralMoments:
         val_ndim: int | None = None,
         meta: DataCallbackABC | None = None,
     ):
-        """From raw moments ``u[n]=<u^n>`` (n=0..order), ``xu[n]=<x u^n>``.
+        """From raw moments ``u[n]=<u^n>`` (n=0..K, moment axis leading; must
+        include ``u[0]=1``), ``xu[n]=<x u^n>``.
 
-        (reference ``from_raw`` / ``from_ave_raw``, data.py:1062-1126,1394-1473)
+        With ``x_is_u=True`` pass ``xu=None``: ``xu[n] = u[n+1]`` by the shift
+        trick and ``order = K-1`` (reference ``from_raw`` / ``from_ave_raw``,
+        data.py:1062-1126, 1394-1473).
         """
         u = jnp.asarray(u)
+        if x_is_u or xu is None:
+            x_is_u = True
+            du_full = central_from_raw(u)  # K+1 entries
+            uave = u[1]
+            order = int(u.shape[0] - 2)
+            return cls(
+                xave=uave,
+                uave=uave,
+                du=du_full[: order + 1],
+                dxdu=du_full[1:],  # <du du^n> = du[n+1], n = 0..order
+                wsum=jnp.ones_like(uave) if wsum is None else jnp.asarray(wsum),
+                meta=meta if meta is not None else DataCallback(),
+                order=order,
+                central=bool(central),
+                x_is_u=True,
+                xalpha=False,
+                val_ndim=0 if val_ndim is None else int(val_ndim),
+            )
         xu = jnp.asarray(xu)
         if val_ndim is None:
             val_ndim = xu.ndim - u.ndim - (1 if xalpha else 0)
         u_b = _pad_val(u, xu.ndim - u.ndim)
-        if xalpha:
-            # central transform treats deriv as val axes; u broadcasts over them
-            pass
         xave_f, du, dxdu = central_comoments_from_raw(u_b, xu)
         uave = u[1]
         return cls(
@@ -440,6 +459,9 @@ class DataCentralMoments:
             xalpha=bool(xalpha),
             val_ndim=int(val_ndim),
         )
+
+    # reference alias (data.py:1394-1473): same contract with moment axis leading
+    from_ave_raw = from_raw
 
     @classmethod
     def from_resample_vals(
