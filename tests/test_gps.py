@@ -1,0 +1,270 @@
+"""Derivative-kernel and heteroscedastic GPR tests
+(reference tests/test_gps.py role: kernel derivative covariances checked
+against independent numerics, likelihood vs scipy, full fit on noisy data)."""
+
+import numpy as np
+import pytest
+import sympy as sp
+from scipy import stats
+
+from thermoextrap_tpu.gpr_active.gp_models import (
+    ConstantMeanWithDerivs,
+    DerivativeKernel,
+    HeteroscedasticGPR,
+    LinearWithDerivs,
+    SympyMeanFunc,
+    multioutput_multivariate_normal,
+)
+from thermoextrap_tpu.gpr_active.kernels import (
+    RBFDerivKernel,
+    make_matern_expr,
+    make_poly_expr,
+    make_rbf_expr,
+)
+
+
+def fd_mixed_partial(f, x1, x2, d1, d2, h=1e-4):
+    """Finite-difference mixed partial d^{d1}_{x1} d^{d2}_{x2} f."""
+    if d1 == 0 and d2 == 0:
+        return f(x1, x2)
+    if d1 > 0:
+        return (
+            fd_mixed_partial(f, x1 + h, x2, d1 - 1, d2, h)
+            - fd_mixed_partial(f, x1 - h, x2, d1 - 1, d2, h)
+        ) / (2 * h)
+    return (
+        fd_mixed_partial(f, x1, x2 + h, d1, d2 - 1, h)
+        - fd_mixed_partial(f, x1, x2 - h, d1, d2 - 1, h)
+    ) / (2 * h)
+
+
+class TestDerivativeKernel:
+    @pytest.fixture(scope="class")
+    def rbf(self):
+        return RBFDerivKernel()
+
+    def test_k_vs_finite_difference(self, rbf):
+        var, ell = 1.7, 0.9
+        f = lambda a, b: var * np.exp(-0.5 * ((a - b) / ell) ** 2)
+        xs = np.array([0.1, 0.5, 1.2])
+        for d1 in range(3):
+            for d2 in range(3):
+                # optimal FD step grows with total derivative order
+                t = d1 + d2
+                h = (1e-16) ** (1.0 / (t + 2))
+                X1 = np.stack([xs, np.full_like(xs, d1)], axis=1)
+                X2 = np.stack([xs, np.full_like(xs, d2)], axis=1)
+                got = np.asarray(
+                    rbf.K(X1, X2, params={"var": var, "l": ell})
+                )
+                for i, a in enumerate(xs):
+                    for j, b in enumerate(xs):
+                        expected = fd_mixed_partial(f, a, b, d1, d2, h=h)
+                        np.testing.assert_allclose(
+                            got[i, j], expected, rtol=5e-2, atol=1e-4
+                        )
+
+    def test_mixed_orders_one_matrix(self, rbf):
+        """Rows with heterogeneous derivative orders assemble correctly."""
+        X = np.array([[0.0, 0.0], [0.0, 1.0], [0.5, 2.0], [1.0, 0.0]])
+        K = np.asarray(rbf.K(X))
+        assert K.shape == (4, 4)
+        # symmetric under swapping rows (by kernel symmetry of mixed partials)
+        np.testing.assert_allclose(K, K.T, rtol=1e-10)
+
+    def test_k_diag_matches_k(self, rbf):
+        X = np.array([[0.0, 0.0], [0.3, 1.0], [0.7, 2.0], [0.9, 1.0]])
+        K = np.asarray(rbf.K(X))
+        Kd = np.asarray(rbf.K_diag(X))
+        np.testing.assert_allclose(np.diag(K), Kd, rtol=1e-12)
+
+    @pytest.mark.parametrize("factory", [make_matern_expr, make_poly_expr])
+    def test_other_kernels_fd(self, factory):
+        expr, params = factory(3)
+        kern = DerivativeKernel(expr, 1, kernel_params=params)
+        x1s, x2s = sp.symbols("x1 x2", real=True)
+        ell, var = sp.symbols("l var", real=True)
+        base = sp.lambdify((x1s, x2s, ell, var), expr, modules="numpy")
+        f = lambda a, b: base(a, b, 1.3, 0.8)
+        # distinct locations: |x1-x2| kernels (Matern) are non-differentiable
+        # at coincident points (same in the reference implementation)
+        xs1 = np.array([0.4, 0.9])
+        xs2 = np.array([0.15, 0.7])
+        for d1, d2 in [(0, 0), (1, 0), (1, 1), (2, 1)]:
+            h = (1e-16) ** (1.0 / (d1 + d2 + 2))
+            X1 = np.stack([xs1, np.full_like(xs1, d1)], axis=1)
+            X2 = np.stack([xs2, np.full_like(xs2, d2)], axis=1)
+            got = np.asarray(kern.K(X1, X2, params={"l": 1.3, "var": 0.8}))
+            for i, a in enumerate(xs1):
+                for j, b in enumerate(xs2):
+                    expected = fd_mixed_partial(f, a, b, d1, d2, h=h)
+                    np.testing.assert_allclose(
+                        got[i, j], expected, rtol=5e-2, atol=1e-4
+                    )
+
+    def test_multidim_rbf(self):
+        expr, params = make_rbf_expr(2)
+        kern = DerivativeKernel(expr, 2, kernel_params=params)
+        X = np.array(
+            [[0.0, 0.0, 0.0, 0.0], [0.5, 0.2, 1.0, 0.0], [0.1, 0.9, 0.0, 1.0]]
+        )
+        K = np.asarray(kern.K(X))
+        assert K.shape == (3, 3)
+        np.testing.assert_allclose(K, K.T, rtol=1e-10)
+        np.testing.assert_allclose(np.diag(K), np.asarray(kern.K_diag(X)), rtol=1e-12)
+
+
+class TestLikelihood:
+    def test_multioutput_mvn_vs_scipy(self, rng_np):
+        n, d = 6, 3
+        x = rng_np.normal(size=(n, d))
+        mu = rng_np.normal(size=(n, d))
+        covs = []
+        for _ in range(d):
+            a = rng_np.normal(size=(n, n))
+            covs.append(a @ a.T + n * np.eye(n))
+        covs = np.stack(covs)
+        chol = np.linalg.cholesky(covs)
+        got = np.asarray(multioutput_multivariate_normal(x, mu, chol))
+        for k in range(d):
+            expected = stats.multivariate_normal.logpdf(x[:, k], mu[:, k], covs[k])
+            np.testing.assert_allclose(got[k], expected, rtol=1e-9)
+
+    def test_scaled_cov(self):
+        from thermoextrap_tpu.gpr_active.gp_models import HetGaussianDeriv
+
+        n = 4
+        cov = np.eye(n) * 2.0
+        lik = HetGaussianDeriv(cov, obs_dims=1, p=0.5, s=0.0)
+        X = np.array([[0.0, 0.0], [0.0, 1.0], [0.0, 2.0], [1.0, 0.0]])
+        out = np.asarray(lik.build_scaled_cov_mat(X))
+        d = X[:, 1]
+        expected = np.diag(2.0 * np.exp(2 * 0.5 * (d + 1))) + 1e-12 * np.eye(n)
+        np.testing.assert_allclose(out[0], expected, rtol=1e-10)
+
+
+class TestMeanFunctions:
+    def test_constant(self):
+        y = np.array([[1.0], [3.0]])
+        mf = ConstantMeanWithDerivs(y)
+        X = np.array([[0.0, 0.0], [0.5, 1.0], [1.0, 0.0]])
+        np.testing.assert_allclose(
+            np.asarray(mf(X))[:, 0], [2.0, 0.0, 2.0], rtol=1e-12
+        )
+
+    def test_linear(self, rng_np):
+        x = rng_np.uniform(size=(10, 1))
+        slope, b = 2.5, -1.0
+        y = slope * x + b
+        mf = LinearWithDerivs(x, y)
+        X = np.array([[0.2, 0.0], [0.4, 1.0], [0.6, 2.0]])
+        out = np.asarray(mf(X))[:, 0]
+        np.testing.assert_allclose(out[0], slope * 0.2 + b, rtol=1e-8)
+        np.testing.assert_allclose(out[1], slope, rtol=1e-8)
+        np.testing.assert_allclose(out[2], 0.0, atol=1e-10)
+
+    def test_sympy_mean(self, rng_np):
+        a_sym, x_sym = sp.symbols("a x", real=True)
+        expr = a_sym * x_sym**2
+        x = rng_np.uniform(0.5, 1.5, size=(20, 1))
+        y = 3.0 * x**2
+        mf = SympyMeanFunc(expr, x, y)
+        np.testing.assert_allclose(mf.param_values["a"], 3.0, rtol=1e-5)
+        X = np.array([[1.0, 0.0], [1.0, 1.0], [1.0, 2.0], [1.0, 3.0]])
+        out = np.asarray(mf(X))[:, 0]
+        np.testing.assert_allclose(out, [3.0, 6.0, 6.0, 0.0], rtol=1e-5, atol=1e-8)
+
+
+class TestHeteroscedasticGPR:
+    @pytest.fixture(scope="class")
+    def sine_fit(self):
+        """Train on noisy sine + derivative data; predictions should track
+        the true function within the noise level."""
+        rng = np.random.default_rng(0)
+        xs = np.linspace(0.0, 2.0 * np.pi, 8)
+        noise0, noise1 = 0.02, 0.05
+        y0 = np.sin(xs) + rng.normal(0, noise0, xs.shape)
+        y1 = np.cos(xs) + rng.normal(0, noise1, xs.shape)
+
+        X = np.concatenate(
+            [
+                np.stack([xs, np.zeros_like(xs)], axis=1),
+                np.stack([xs, np.ones_like(xs)], axis=1),
+            ]
+        )
+        Y = np.concatenate([y0, y1])[:, None]
+        cov = np.diag(
+            np.concatenate(
+                [np.full_like(xs, noise0**2), np.full_like(xs, noise1**2)]
+            )
+        )
+        model = HeteroscedasticGPR(
+            (X, Y, cov),
+            kernel=RBFDerivKernel(),
+            likelihood_kwargs={"p": 1.0},
+        )
+        res = model.train()
+        return model, res
+
+    def test_trains(self, sine_fit):
+        model, res = sine_fit
+        assert np.isfinite(res.fun)
+        params = model.parameters()
+        assert params["kernel/l"] > 0
+        assert params["kernel/var"] > 0
+
+    def test_prediction_accuracy(self, sine_fit):
+        model, _ = sine_fit
+        xt = np.linspace(0.5, 5.5, 11)
+        Xt = np.stack([xt, np.zeros_like(xt)], axis=1)
+        mean, var = model.predict_f(Xt)
+        mean = np.asarray(mean)[:, 0]
+        std = np.sqrt(np.asarray(var)[:, 0])
+        err = np.abs(mean - np.sin(xt))
+        assert np.all(err < np.maximum(4 * std, 0.1))
+
+    def test_derivative_prediction(self, sine_fit):
+        model, _ = sine_fit
+        xt = np.linspace(1.0, 5.0, 5)
+        Xt = np.stack([xt, np.ones_like(xt)], axis=1)
+        mean, _var = model.predict_f(Xt)
+        err = np.abs(np.asarray(mean)[:, 0] - np.cos(xt))
+        assert np.max(err) < 0.25
+
+    def test_full_cov_consistent(self, sine_fit):
+        model, _ = sine_fit
+        xt = np.linspace(1.0, 5.0, 4)
+        Xt = np.stack([xt, np.zeros_like(xt)], axis=1)
+        _m1, v_diag = model.predict_f(Xt, full_cov=False)
+        _m2, v_full = model.predict_f(Xt, full_cov=True)
+        np.testing.assert_allclose(
+            np.asarray(v_diag)[:, 0],
+            np.diag(np.asarray(v_full)[0]),
+            rtol=1e-8,
+            atol=1e-12,
+        )
+
+    def test_lml_improves_with_training(self):
+        rng = np.random.default_rng(1)
+        xs = np.linspace(0, 3, 5)
+        y = (xs**2 + rng.normal(0, 0.01, xs.shape))[:, None]
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        cov = np.eye(5) * 1e-4
+        model = HeteroscedasticGPR((X, y, cov), kernel=RBFDerivKernel())
+        before = float(model.log_marginal_likelihood())
+        model.train()
+        after = float(model.log_marginal_likelihood())
+        assert after >= before
+
+    def test_multioutput(self, rng_np):
+        xs = np.linspace(0, 1, 6)
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        Y = np.stack([np.sin(xs), 10 * np.cos(xs)], axis=1)
+        cov = np.eye(6) * 1e-4
+        model = HeteroscedasticGPR(
+            (X, Y, cov), kernel=RBFDerivKernel(), scale_fac=[1.0, 10.0]
+        )
+        model.train(max_iter=200)
+        mean, var = model.predict_f(X)
+        assert np.asarray(mean).shape == (6, 2)
+        np.testing.assert_allclose(np.asarray(mean), Y, atol=0.15)

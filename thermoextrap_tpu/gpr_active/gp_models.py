@@ -1,0 +1,572 @@
+r"""Derivative-informed heteroscedastic Gaussian-process regression in JAX.
+
+TPU-native rebuild of /root/reference/src/thermoextrap/gpr_active/gp_models.py
+(GPflow/TensorFlow there).  Key design changes:
+
+- **No runtime TF/GPflow.**  Kernels are sympy expressions differentiated
+  *once per derivative-order pair at build time* and lambdified to
+  ``jax.numpy`` (reference does the same per K evaluation with
+  ``modules="tensorflow"``, gp_models.py:148-218).  The ``tf.dynamic_stitch``
+  assembly becomes a static mask-sum — derivative orders are concrete data,
+  so every jitted computation has static shapes.
+- **Parameters** are plain (value, transform, trainable) records; the
+  positive constraint is a shifted softplus (gpflow ``positive()``
+  equivalent).  The training loss is a jitted function of the unconstrained
+  trainable vector, optimized by scipy L-BFGS-B (the reference uses
+  ``gpflow.optimizers.Scipy`` — also scipy L-BFGS-B — active_utils.py:802-869).
+- **Multioutput**: the model is independent across output dims with a shared
+  kernel; the per-dim Cholesky log-density is a ``vmap`` over output dims
+  (reference ``multioutput_multivariate_normal``, gp_models.py:570-619).
+
+Float64 is required for the derivative-kernel Cholesky (enabled process-wide
+on CPU; on TPU the matrices are tiny so XLA's f64 emulation is fine).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import sympy as sp
+
+__all__ = [
+    "ConstantMeanWithDerivs",
+    "DerivativeKernel",
+    "HetGaussianDeriv",
+    "HeteroscedasticGPR",
+    "LinearWithDerivs",
+    "Parameter",
+    "SympyMeanFunc",
+    "multioutput_multivariate_normal",
+]
+
+_SOFTPLUS_SHIFT = 1e-6  # gpflow positive() lower bound
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0) + _SOFTPLUS_SHIFT
+
+
+def _inv_softplus(y):
+    y = jnp.maximum(y - _SOFTPLUS_SHIFT, 1e-12)
+    # stable for large y: softplus(x) ~ x, so inverse ~ y
+    return jnp.where(y > 30.0, y, jnp.log(jnp.expm1(jnp.minimum(y, 30.0))))
+
+
+@dataclass
+class Parameter:
+    """Trainable scalar with an optional positivity transform."""
+
+    value: float
+    transform: str = "none"  # "none" | "positive"
+    trainable: bool = True
+
+    def constrain(self, raw):
+        return _softplus(raw) if self.transform == "positive" else raw
+
+    def unconstrain(self):
+        v = jnp.asarray(self.value, dtype=jnp.result_type(float))
+        return _inv_softplus(v) if self.transform == "positive" else v
+
+
+# ---------------------------------------------------------------------------
+# derivative kernel
+# ---------------------------------------------------------------------------
+
+
+class DerivativeKernel:
+    """Kernel over derivative-augmented inputs, built from a sympy expression
+    (reference gp_models.py:26-258).
+
+    Input rows are ``[locations (obs_dims), derivative orders (obs_dims)]``.
+    ``K[i, j] = d^{d_i} d^{d_j} k(x_i, x_j)`` with the mixed partial taken
+    symbolically once per unique order pair and lambdified to jax.
+
+    Parameters
+    ----------
+    kernel_expr :
+        sympy expression in symbols ``x1``/``x2`` (or ``x1_0``... for
+        multi-dim) plus named parameter symbols.
+    obs_dims :
+        Input dimensionality (inputs have ``2 * obs_dims`` columns).
+    kernel_params :
+        ``{name: value}`` or ``{name: Parameter}``; defaults to 1.0 positive
+        parameters mined from the expression.
+    """
+
+    def __init__(self, kernel_expr, obs_dims: int = 1, kernel_params=None) -> None:
+        self.kernel_expr = kernel_expr
+        self.obs_dims = int(obs_dims)
+
+        x_syms, param_syms = [], []
+        for s in kernel_expr.free_symbols:
+            if "x1" in s.name.casefold() or "x2" in s.name.casefold():
+                x_syms.append(s)
+            else:
+                param_syms.append(s)
+        x_syms.sort(key=lambda s: s.name)
+        param_syms.sort(key=lambda s: s.name)
+        if len(x_syms) != 2 * self.obs_dims:
+            msg = f"kernel expression symbols {x_syms} do not match 2*obs_dims={2 * obs_dims}"
+            raise ValueError(msg)
+        if not param_syms:
+            msg = "kernel expression has no optimizable parameters"
+            raise ValueError(msg)
+        self.x_syms = x_syms
+        self.param_syms = param_syms
+
+        self.params: dict[str, Parameter] = {}
+        kernel_params = kernel_params or {}
+        for s in param_syms:
+            spec = kernel_params.get(s.name, 1.0)
+            if isinstance(spec, Parameter):
+                self.params[s.name] = spec
+            elif isinstance(spec, (list, tuple)):
+                # reference style: (value, {kwargs}) with positive transform
+                self.params[s.name] = Parameter(float(spec[0]), "positive")
+            else:
+                self.params[s.name] = Parameter(float(spec), "positive")
+
+        self._fn_cache: dict[tuple, Callable] = {}
+
+    # -- derivative function table --------------------------------------------
+
+    def _deriv_fn(self, d1: tuple, d2: tuple) -> Callable:
+        key = (tuple(d1), tuple(d2))
+        if key not in self._fn_cache:
+            expr = sp.diff(
+                self.kernel_expr,
+                *zip(self.x_syms[: self.obs_dims], d1),
+                *zip(self.x_syms[self.obs_dims :], d2),
+            )
+            self._fn_cache[key] = sp.lambdify(
+                (*self.x_syms, *self.param_syms), expr, modules="jax"
+            )
+        return self._fn_cache[key]
+
+    def _param_values(self, params=None):
+        if params is None:
+            return [jnp.asarray(p.value) for p in self.params.values()]
+        return [params[name] for name in self.params]
+
+    @staticmethod
+    def _split(x, obs_dims):
+        x = np.asarray(x)
+        return x[:, :obs_dims], np.asarray(np.rint(x[:, obs_dims:]), dtype=int)
+
+    def K(self, X, X2=None, params=None):
+        """Full kernel matrix; derivative orders must be concrete."""
+        if X2 is None:
+            X2 = X
+        x1, d1 = self._split(X, self.obs_dims)
+        x2, d2 = self._split(X2, self.obs_dims)
+        pvals = self._param_values(params)
+
+        n1, n2 = x1.shape[0], x2.shape[0]
+        # meshgrid of location columns: lists of (n1, n2) arrays
+        g1 = [jnp.asarray(np.broadcast_to(x1[:, k : k + 1], (n1, n2))) for k in range(self.obs_dims)]
+        g2 = [jnp.asarray(np.broadcast_to(x2[:, k : k + 1].T, (n1, n2))) for k in range(self.obs_dims)]
+
+        pair_ids = {}
+        for i in range(n1):
+            for j in range(n2):
+                pair_ids.setdefault((tuple(d1[i]), tuple(d2[j])), []).append((i, j))
+
+        out = jnp.zeros((n1, n2), dtype=jnp.result_type(float))
+        for (dd1, dd2), idx in pair_ids.items():
+            fn = self._deriv_fn(dd1, dd2)
+            vals = fn(*g1, *g2, *pvals)
+            vals = jnp.broadcast_to(jnp.asarray(vals), (n1, n2))
+            mask = np.zeros((n1, n2), dtype=bool)
+            rows, cols = zip(*idx)
+            mask[list(rows), list(cols)] = True
+            out = jnp.where(jnp.asarray(mask), vals, out)
+        return out
+
+    def K_diag(self, X, params=None):
+        x1, d1 = self._split(X, self.obs_dims)
+        pvals = self._param_values(params)
+        n = x1.shape[0]
+        cols = [jnp.asarray(x1[:, k]) for k in range(self.obs_dims)]
+        out = jnp.zeros((n,), dtype=jnp.result_type(float))
+        for dd in {tuple(row) for row in d1}:
+            fn = self._deriv_fn(dd, dd)
+            vals = jnp.broadcast_to(jnp.asarray(fn(*cols, *cols, *pvals)), (n,))
+            mask = jnp.asarray(np.all(d1 == np.asarray(dd), axis=1))
+            out = jnp.where(mask, vals, out)
+        return out
+
+    def __call__(self, X, X2=None, params=None):
+        return self.K(X, X2, params=params)
+
+
+# ---------------------------------------------------------------------------
+# likelihood
+# ---------------------------------------------------------------------------
+
+
+def multioutput_multivariate_normal(x, mu, chol):
+    r"""Per-output-dim multivariate normal log density
+    (reference gp_models.py:570-619).
+
+    ``x``: (N, D); ``mu``: broadcastable to (N, D); ``chol``: (D, N, N).
+    Returns (D,) log probabilities.
+    """
+    d = jnp.moveaxis(x - mu, 1, 0)[..., None]  # (D, N, 1)
+
+    def one(ld, dd):
+        alpha = jax.scipy.linalg.solve_triangular(ld, dd, lower=True)[:, 0]
+        n = dd.shape[0]
+        return (
+            -0.5 * jnp.sum(alpha**2)
+            - 0.5 * n * jnp.log(2.0 * jnp.pi)
+            - jnp.sum(jnp.log(jnp.diagonal(ld)))
+        )
+
+    return jax.vmap(one)(chol, d)
+
+
+class HetGaussianDeriv:
+    r"""Heteroscedastic Gaussian likelihood with fixed bootstrap noise
+    covariance and trainable order-dependent scaling
+    (reference gp_models.py:622-809):
+
+    .. math:: {\rm cov}_{ij} = {\rm cov}_{ij,0}\,
+              e^{p \sum(d_i+1)} e^{p \sum(d_j+1)} e^{s}
+
+    with ``p >= 0`` (positive transform) trainable and ``s`` frozen by
+    default; jitter 1e-12 on the diagonal.
+    """
+
+    def __init__(
+        self,
+        cov,
+        obs_dims: int,
+        p: float = 10.0,
+        s: float = 0.0,
+        constrain_p: bool = False,
+        constrain_s: bool = True,
+        transform_p: str = "positive",
+        transform_s: str = "none",
+    ) -> None:
+        cov = np.asarray(cov, dtype=np.float64)
+        if cov.ndim == 1:
+            cov = np.diag(cov)
+        self.cov = jnp.asarray(cov)
+        self.obs_dims = int(obs_dims)
+        self.params = {
+            "p": Parameter(p, transform_p, trainable=not constrain_p),
+            "s": Parameter(s, transform_s, trainable=not constrain_s),
+        }
+        self.stable_var_min = 1.0e-12
+
+    def build_scaled_cov_mat(self, X, params=None):
+        p = self.params["p"].value if params is None else params["p"]
+        s = self.params["s"].value if params is None else params["s"]
+        d_orders = jnp.asarray(np.asarray(X)[:, self.obs_dims :])
+        scale = jnp.exp(p * jnp.sum(d_orders + 1.0, axis=-1) + 0.5 * s)
+        out = scale[:, None] * self.cov * scale[None, None, :]
+        diag = jnp.diagonal(out, axis1=-2, axis2=-1) + self.stable_var_min
+        n = out.shape[-1]
+        eye = jnp.eye(n, dtype=out.dtype)
+        return out * (1.0 - eye) + eye * diag[..., None, :] * eye
+
+
+# ---------------------------------------------------------------------------
+# mean functions (reference gp_models.py:1178-1402)
+# ---------------------------------------------------------------------------
+
+
+class ConstantMeanWithDerivs:
+    """Mean = data average at derivative order 0, zero elsewhere."""
+
+    def __init__(self, y_data, x_dim: int = 1) -> None:
+        y_data = np.asarray(y_data)
+        self.c = jnp.asarray(y_data.mean(axis=0))
+        self.dim = y_data.shape[1]
+        self.x_dim = int(x_dim)
+
+    def __call__(self, X):
+        X = np.asarray(X)
+        zero = np.all(X[:, self.x_dim :] == 0.0, axis=-1, keepdims=True)
+        return jnp.where(jnp.asarray(zero), self.c[None, :], 0.0)
+
+
+class LinearWithDerivs:
+    """Hyperplane fit to order-0 data; slope fills order-1 rows."""
+
+    def __init__(self, x_data, y_data) -> None:
+        x_data = np.asarray(x_data, dtype=np.float64)
+        y_data = np.asarray(y_data, dtype=np.float64)
+        mean_x = x_data.mean(axis=0, keepdims=True)
+        mean_y = y_data.mean(axis=0, keepdims=True)
+        xm = np.concatenate(
+            [np.ones((x_data.shape[0], 1)), x_data - mean_x], axis=1
+        )
+        params, *_ = np.linalg.lstsq(xm, y_data - mean_y, rcond=None)
+        self.slope = jnp.asarray(params[1:, :])
+        self.b = jnp.asarray(params[0, :] + mean_y - mean_x @ params[1:, :])
+        self.dim = y_data.shape[1]
+        self.x_dim = x_data.shape[1]
+
+    def __call__(self, X):
+        X = np.asarray(X)
+        locs = jnp.asarray(X[:, : self.x_dim])
+        dords = X[:, self.x_dim :]
+        mean0 = locs @ self.slope + self.b
+        mean1 = jnp.asarray(dords) @ self.slope
+        is0 = jnp.asarray(np.all(dords == 0.0, axis=-1, keepdims=True))
+        is1 = jnp.asarray(
+            np.any(dords == 1.0, axis=-1, keepdims=True)
+            & np.all(dords < 2.0, axis=-1, keepdims=True)
+        )
+        return jnp.where(is0, mean0, 0.0) + jnp.where(is1, mean1, 0.0)
+
+
+class SympyMeanFunc:
+    """Arbitrary sympy mean function fit to order-0 data by scipy L-BFGS;
+    derivative rows evaluated by symbolic differentiation."""
+
+    def __init__(self, expr, x_data, y_data, params=None, x_dim: int | None = None) -> None:
+        from scipy import optimize
+
+        x_data = np.asarray(x_data, dtype=np.float64)
+        y_data = np.asarray(y_data, dtype=np.float64)
+        self.dim = y_data.shape[1]
+        self.x_dim = x_data.shape[1] if x_dim is None else int(x_dim)
+        self.expr = expr
+
+        x_syms, param_syms = [], []
+        for s in expr.free_symbols:
+            (x_syms if s.name.casefold().startswith("x") else param_syms).append(s)
+        x_syms.sort(key=lambda s: s.name)
+        param_syms.sort(key=lambda s: s.name)
+        self.x_syms, self.param_syms = x_syms, param_syms
+
+        p0 = np.array(
+            [float((params or {}).get(s.name, 1.0)) for s in param_syms]
+        )
+        f0 = sp.lambdify((*x_syms, *param_syms), expr, modules="numpy")
+        jacs = [
+            sp.lambdify((*x_syms, *param_syms), sp.diff(expr, p, 1), modules="numpy")
+            for p in param_syms
+        ]
+        xcols = np.split(x_data, self.x_dim, axis=-1)
+
+        def loss(p):
+            return float(np.sum((f0(*xcols, *p) - y_data) ** 2))
+
+        def jac(p):
+            pre = 2.0 * (f0(*xcols, *p) - y_data)
+            return np.array([np.sum(pre * j(*xcols, *p)) for j in jacs])
+
+        opt = optimize.minimize(loss, p0, method="L-BFGS-B", jac=jac)
+        self.param_values = {s.name: float(v) for s, v in zip(param_syms, opt.x)}
+        self._fn_cache: dict[tuple, Callable] = {}
+
+    def _fn(self, dd: tuple) -> Callable:
+        if dd not in self._fn_cache:
+            expr = sp.diff(self.expr, *zip(self.x_syms, dd))
+            self._fn_cache[dd] = sp.lambdify(
+                (*self.x_syms, *self.param_syms), expr, modules="jax"
+            )
+        return self._fn_cache[dd]
+
+    def __call__(self, X):
+        X = np.asarray(X)
+        locs, dords = X[:, : self.x_dim], np.asarray(
+            np.rint(X[:, self.x_dim :]), dtype=int
+        )
+        pvals = [self.param_values[s.name] for s in self.param_syms]
+        cols = [jnp.asarray(locs[:, k]) for k in range(self.x_dim)]
+        n = X.shape[0]
+        out = jnp.zeros((n,), dtype=jnp.result_type(float))
+        for dd in {tuple(r) for r in dords}:
+            vals = jnp.broadcast_to(
+                jnp.asarray(self._fn(dd)(*cols, *pvals)), (n,)
+            )
+            mask = jnp.asarray(np.all(dords == np.asarray(dd), axis=1))
+            out = jnp.where(mask, vals, out)
+        return jnp.broadcast_to(out[:, None], (n, self.dim))
+
+
+# ---------------------------------------------------------------------------
+# the GPR model
+# ---------------------------------------------------------------------------
+
+
+class HeteroscedasticGPR:
+    """GPR with full heteroscedastic noise covariance over
+    derivative-augmented inputs (reference gp_models.py:958-1175).
+
+    ``data = (X (N, 2*Dx), Y (N, Dy), noise_cov (Dy, N, N) | (N, N) | (N,))``.
+    Output dims are independent with a shared kernel; ``scale_fac`` equalizes
+    per-dim output variance.
+    """
+
+    def __init__(
+        self,
+        data,
+        kernel: DerivativeKernel,
+        mean_function=None,
+        scale_fac=1.0,
+        likelihood_kwargs=None,
+    ) -> None:
+        X, Y, noise_cov = data
+        X = np.asarray(X, dtype=np.float64)
+        Y = np.asarray(Y, dtype=np.float64)
+        noise_cov = np.asarray(noise_cov, dtype=np.float64)
+        self.out_dim = Y.shape[-1]
+
+        scale_fac = np.asarray(scale_fac, dtype=np.float64)
+        if scale_fac.ndim == 0:
+            scale_fac = scale_fac * np.ones(self.out_dim)
+        self.scale_fac = jnp.asarray(scale_fac)
+
+        if noise_cov.ndim == 1:
+            noise_cov = np.diag(noise_cov)
+        if noise_cov.ndim == 2:
+            noise_cov = np.tile(noise_cov[None], (self.out_dim, 1, 1))
+        noise_cov = noise_cov / (scale_fac.reshape(-1, 1, 1) ** 2)
+
+        self.kernel = kernel
+        self.likelihood = HetGaussianDeriv(
+            noise_cov, kernel.obs_dims, **(likelihood_kwargs or {})
+        )
+        self.mean_function = mean_function
+        self.X = X
+        self.Y = jnp.asarray(Y) / self.scale_fac
+
+    # -- parameter plumbing ----------------------------------------------------
+
+    def _param_specs(self):
+        specs = {f"kernel/{k}": p for k, p in self.kernel.params.items()}
+        specs.update({f"likelihood/{k}": p for k, p in self.likelihood.params.items()})
+        return specs
+
+    def trainable_names(self):
+        return [k for k, p in self._param_specs().items() if p.trainable]
+
+    def get_unconstrained(self):
+        return jnp.stack(
+            [self._param_specs()[k].unconstrain() for k in self.trainable_names()]
+        )
+
+    def set_unconstrained(self, vec) -> None:
+        vec = np.asarray(vec, dtype=np.float64)
+        for k, raw in zip(self.trainable_names(), vec):
+            p = self._param_specs()[k]
+            p.value = float(p.constrain(raw))
+
+    def parameters(self) -> dict:
+        """Current constrained parameter values."""
+        return {k: p.value for k, p in self._param_specs().items()}
+
+    def set_parameters(self, values: dict) -> None:
+        specs = self._param_specs()
+        for k, v in values.items():
+            if k in specs:
+                specs[k].value = float(v)
+
+    def _split_params(self, vec):
+        """Unconstrained trainable vector -> constrained value dicts."""
+        specs = self._param_specs()
+        names = self.trainable_names()
+        kernel_p = {k: jnp.asarray(p.value) for k, p in self.kernel.params.items()}
+        lik_p = {k: jnp.asarray(p.value) for k, p in self.likelihood.params.items()}
+        for i, name in enumerate(names):
+            group, key = name.split("/")
+            val = specs[name].constrain(vec[i])
+            if group == "kernel":
+                kernel_p[key] = val
+            else:
+                lik_p[key] = val
+        return kernel_p, lik_p
+
+    # -- core math --------------------------------------------------------------
+
+    def _mean(self, X):
+        if self.mean_function is None:
+            return jnp.zeros((np.asarray(X).shape[0], self.out_dim))
+        return self.mean_function(X) / self.scale_fac
+
+    def log_marginal_likelihood(self, vec=None):
+        if vec is None:
+            vec = self.get_unconstrained()
+        kernel_p, lik_p = self._split_params(vec)
+        k = self.kernel.K(self.X, params=kernel_p)
+        ks = k[None] + self.likelihood.build_scaled_cov_mat(self.X, lik_p)
+        chol = jnp.linalg.cholesky(ks)
+        m = self._mean(self.X)
+        return jnp.sum(multioutput_multivariate_normal(self.Y, m, chol))
+
+    def neg_lml(self, vec):
+        return -self.log_marginal_likelihood(vec)
+
+    def predict_f(self, Xnew, full_cov: bool = False):
+        """Posterior mean/variance at new derivative-augmented inputs."""
+        Xnew = np.asarray(Xnew, dtype=np.float64)
+        kmm = self.kernel.K(self.X)
+        kmn = self.kernel.K(self.X, Xnew)
+        ks = kmm[None] + self.likelihood.build_scaled_cov_mat(self.X)
+        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
+
+        err = self.Y - self._mean(self.X)  # (N, D)
+
+        a = jax.scipy.linalg.solve_triangular(
+            chol, jnp.broadcast_to(kmn[None], (self.out_dim, *kmn.shape)), lower=True
+        )  # (D, N, M)
+        b = jax.scipy.linalg.solve_triangular(
+            chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
+        )  # (D, N, 1)
+        f_mean_zero = jnp.einsum("dnm,dn->md", a, b[..., 0])
+        f_mean = (f_mean_zero + self._mean(Xnew)) * self.scale_fac
+
+        if full_cov:
+            knn = self.kernel.K(Xnew)
+            f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
+            f_var = f_var * (self.scale_fac**2).reshape(-1, 1, 1)
+        else:
+            knn = self.kernel.K_diag(Xnew)
+            f_var = knn[None, :] - jnp.sum(a**2, axis=1)
+            f_var = (f_var * (self.scale_fac**2)[:, None]).T  # (M, D)
+        return f_mean, f_var
+
+    # -- training ----------------------------------------------------------------
+
+    def train(self, max_iter: int = 1000, tol: float | None = None):
+        """L-BFGS-B on the negative LML with NaN guarding and rollback
+        (reference train path: gpflow.optimizers.Scipy + the NaN-rollback
+        behavior of train_GPR, active_utils.py:802-869)."""
+        from scipy import optimize
+
+        val_and_grad = jax.jit(jax.value_and_grad(self.neg_lml))
+
+        def fun(x):
+            v, g = val_and_grad(jnp.asarray(x))
+            v = float(v)
+            g = np.asarray(g, dtype=np.float64)
+            if not np.isfinite(v) or not np.all(np.isfinite(g)):
+                # Cholesky failure region: large finite value, zero grad so
+                # the line search backtracks instead of aborting
+                return 1e12, np.zeros_like(g)
+            return v, g
+
+        x0 = np.asarray(self.get_unconstrained(), dtype=np.float64)
+        f0, _ = fun(x0)
+        res = optimize.minimize(
+            fun,
+            x0,
+            jac=True,
+            method="L-BFGS-B",
+            options={"maxiter": max_iter},
+        )
+        f_final, _ = fun(np.asarray(res.x, dtype=np.float64))
+        if np.isfinite(f_final) and f_final <= f0:
+            self.set_unconstrained(res.x)
+        # else: keep the starting parameters (rollback)
+        return res
