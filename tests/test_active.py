@@ -1,0 +1,189 @@
+"""Active-learning layer tests (reference tests/test_active.py role):
+update policies, metrics, StopCriteria, and end-to-end active_learning with
+the SimulateIG fake simulator."""
+
+import numpy as np
+import pytest
+
+from thermoextrap_tpu.gpr_active import active_utils as au
+from thermoextrap_tpu.gpr_active import ig_active, sine_active
+from thermoextrap_tpu.gpr_active.gp_models import HeteroscedasticGPR
+from thermoextrap_tpu.gpr_active.kernels import RBFDerivKernel
+
+NCONF, NPART = 2_000, 200
+
+
+@pytest.fixture(scope="module")
+def sine_gpr():
+    x_vals = np.array([1.0, 2.5, 4.0])
+    X, Y, Y_err = sine_active.make_data(x_vals, max_order=2, rng=0)
+    model = HeteroscedasticGPR(
+        (X, Y, np.diag(Y_err[:, 0])), kernel=RBFDerivKernel(),
+        likelihood_kwargs={"p": 1.0},
+    )
+    model.train(max_iter=300)
+    return model, list(x_vals)
+
+
+@pytest.fixture(scope="module")
+def ig_gpr():
+    states = [ig_active.extrap_IG(b, rng=i, nconfig=NCONF, npart=NPART)
+              for i, b in enumerate([1.0, 2.0])]
+    gpr = au.create_GPR(states)
+    return gpr, [1.0, 2.0]
+
+
+class TestInputAssembly:
+    def test_input_GP_from_state(self):
+        state = ig_active.extrap_IG(1.5, rng=3, nconfig=NCONF, npart=NPART)
+        x, y, cov = au.input_GP_from_state(state, n_rep=30)
+        assert x.shape == (4, 2)
+        assert y.shape == (4, 1)
+        assert cov.shape == (1, 4, 4)
+        np.testing.assert_array_equal(x[:, 1], np.arange(4))
+        # covariance positive on diagonal
+        assert np.all(np.diag(cov[0]) > 0)
+
+    def test_log_scale(self):
+        state = ig_active.extrap_IG(2.0, rng=4, nconfig=NCONF, npart=NPART)
+        x, y, _cov = au.input_GP_from_state(state, n_rep=20, log_scale=True)
+        np.testing.assert_allclose(x[:, 0], np.log10(2.0))
+        # 1st log-derivative = alpha0 * ln(10) * dy/dalpha
+        x2, y2, _ = au.input_GP_from_state(state, n_rep=20)
+        np.testing.assert_allclose(
+            y[1, 0], y2[1, 0] * 2.0 * np.log(10.0), rtol=1e-7
+        )
+
+    def test_get_logweights(self):
+        bias = np.array([0.0, 1.0, 2.0])
+        w = np.exp(au.get_logweights(bias))
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+        assert w[2] > w[0]
+
+
+class TestUpdates:
+    @pytest.mark.parametrize(
+        "cls", [au.UpdateALMbrute, au.UpdateRandom, au.UpdateSpaceFill]
+    )
+    def test_update_policies(self, ig_gpr, cls):
+        gpr, alphas = ig_gpr
+        upd = cls(rng=0, n_grid=100)
+        new_alpha, mu, std = upd(gpr, alphas)
+        assert np.min(alphas) <= new_alpha <= np.max(alphas)
+        assert np.all(np.isfinite(np.asarray(mu)))
+
+    def test_update_adaptive_integrate(self, ig_gpr):
+        gpr, alphas = ig_gpr
+        upd = au.UpdateAdaptiveIntegrate(tol=10.0, rng=0, n_grid=100)
+        new_alpha, _mu, _std = upd(gpr, alphas)
+        assert np.min(alphas) <= new_alpha <= np.max(alphas)
+
+    def test_update_alc(self, ig_gpr):
+        gpr, alphas = ig_gpr
+        upd = au.UpdateALCbrute(rng=0, n_grid=50)
+        new_alpha, _mu, _std = upd(gpr, alphas)
+        assert np.min(alphas) <= new_alpha <= np.max(alphas)
+
+    def test_spacefill_midpoint(self, ig_gpr):
+        gpr, alphas = ig_gpr
+        upd = au.UpdateSpaceFill(rng=0, n_grid=100)
+        new_alpha, _m, _s = upd(gpr, alphas)
+        np.testing.assert_allclose(new_alpha, 1.5, atol=0.02)
+
+
+class TestMetrics:
+    def fake_history(self):
+        mu1 = np.linspace(0.0, 1.0, 10)[:, None]
+        mu2 = mu1 + 0.01
+        std = np.full_like(mu1, 0.05)
+        return [np.stack([mu1, mu2]), np.stack([std, std * 0.5])]
+
+    @pytest.mark.parametrize(
+        ("cls", "kws"),
+        [
+            (au.MaxVar, {}),
+            (au.AvgVar, {}),
+            (au.MaxRelVar, {}),
+            (au.AvgRelVar, {}),
+            (au.MaxRelGlobalVar, {}),
+            (au.MSD, {}),
+            (au.MaxAbsRelDeviation, {}),
+            (au.AvgAbsRelDeviation, {}),
+            (au.MaxAbsRelGlobalDeviation, {}),
+        ],
+    )
+    def test_metric_values_finite(self, cls, kws):
+        m = cls(tol=0.1, **kws)
+        val = m(self.fake_history(), None, None)
+        assert np.isfinite(val)
+        assert val >= 0
+
+    def test_maxiter_never_stops(self):
+        m = au.MaxIter()
+        assert m(self.fake_history(), None, None) > m.tol
+
+    def test_max_var_value(self):
+        h = self.fake_history()
+        assert au.MaxVar(tol=1)(h, None, None) == 0.025
+
+    def test_error_stability(self, ig_gpr):
+        gpr, _ = ig_gpr
+        m = au.ErrorStability(tol=0.1)
+        val = m.calc_metric(None, None, gpr)
+        assert np.isfinite(val)
+        # two states only -> exactly two X locations at order 0... need >2
+        # (returns 1.0 when <= 2 points at d_order_pred)
+
+
+class TestStopCriteria:
+    def test_stop_criteria_history(self, ig_gpr):
+        gpr, alphas = ig_gpr
+        sc = au.StopCriteria([au.MaxRelVar(tol=1e10), au.MaxIter()], n_grid=50)
+        stop, metrics = sc(gpr, alphas)
+        assert not stop  # MaxIter never passes
+        assert "MaxRelVar" in metrics
+        assert sc.history[0].shape[0] == 1
+        sc(gpr, alphas)
+        assert sc.history[0].shape[0] == 2
+
+
+class TestActiveLearningEndToEnd:
+    def test_ig_loop(self, tmp_path):
+        sim = ig_active.SimulateIG(nconfig=NCONF, npart=NPART)
+        update = au.UpdateALMbrute(rng=1, n_grid=60)
+        stop = au.StopCriteria([au.MaxRelGlobalVar(tol=1e-6)], n_grid=60)
+        data_list, history = au.active_learning(
+            [0.5, 2.0],
+            sim,
+            update,
+            base_dir=str(tmp_path),
+            stop_criteria=stop,
+            max_iter=2,
+            max_order=3,
+            save_history=True,
+        )
+        assert len(data_list) >= 2
+        assert len(history["loss"]) >= 1
+        assert (tmp_path / "active_history.npz").exists()
+        # predictions stored each iteration
+        assert stop.history[0].shape[0] == len(history["loss"])
+
+    def test_prediction_quality_after_loop(self, tmp_path):
+        from thermoextrap_tpu import idealgas
+
+        sim = ig_active.SimulateIG(nconfig=4_000, npart=500)
+        update = au.UpdateSpaceFill(rng=2, n_grid=60)
+        data_list, _ = au.active_learning(
+            [0.5, 2.0],
+            sim,
+            update,
+            base_dir=str(tmp_path),
+            max_iter=1,
+            max_order=2,
+        )
+        states = [d.build_state(max_order=2) for d in data_list]
+        gpr = au.create_GPR(states)
+        xt = np.linspace(0.6, 1.9, 7)
+        mu, _var = gpr.predict_f(np.stack([xt, np.zeros_like(xt)], axis=1))
+        exact = np.array([float(idealgas.x_ave(b)) for b in xt])
+        np.testing.assert_allclose(np.asarray(mu)[:, 0], exact, atol=0.05)

@@ -1,0 +1,20 @@
+"""Derivative-informed GPR + active learning (JAX-native GPflow replacement)."""
+
+from . import active_utils, gp_models, ig_active, kernels, sine_active
+from .active_utils import active_learning, create_GPR, train_GPR
+from .gp_models import DerivativeKernel, HeteroscedasticGPR
+from .kernels import RBFDerivKernel
+
+__all__ = [
+    "DerivativeKernel",
+    "HeteroscedasticGPR",
+    "RBFDerivKernel",
+    "active_learning",
+    "active_utils",
+    "create_GPR",
+    "gp_models",
+    "ig_active",
+    "kernels",
+    "sine_active",
+    "train_GPR",
+]
