@@ -5,12 +5,15 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
 
 - central/raw (co)moment reduction and bootstrap resampling as MXU-friendly
   matmul kernels (:mod:`.ops.moments`, :mod:`.ops.resample`, with fused
-  Pallas variants) replacing cmomy/numba;
+  Pallas variants in :mod:`.ops.moments_pallas`) replacing cmomy/numba;
 - closed-form truncated-series derivative engine
   (:mod:`.models.derivatives`) replacing runtime sympy;
 - Taylor extrapolation / polynomial interpolation / reweighting models
-  (:mod:`.models.extrap`) including a native jax MBAR;
-- β, volume, and lnΠ ensembles (:mod:`.beta`, :mod:`.volume`, :mod:`.lnpi`);
+  (:mod:`.models.extrap`) including a native jax MBAR (:mod:`.models.mbar`);
+- β, volume, and lnΠ ensembles (:mod:`.beta`, :mod:`.volume`,
+  :mod:`.volume_idealgas`, :mod:`.lnpi`);
+- adaptive/recursive interpolation trainers (:mod:`.adaptive_interp`,
+  :mod:`.recursive_interp`);
 - derivative-informed heteroscedastic GPR + active learning
   (:mod:`.gpr_active`) replacing GPflow/TensorFlow;
 - multi-device sharding over a jax Mesh (:mod:`.parallel`).
@@ -18,7 +21,19 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
 Top-level API mirrors the reference ``__init__.py:40-111``.
 """
 
-from . import beta, data, idealgas
+from . import (
+    adaptive_interp,
+    beta,
+    data,
+    idealgas,
+    lnpi,
+    parallel,
+    random,
+    recursive_interp,
+    stack,
+    volume,
+    volume_idealgas,
+)
 from .data import (
     DataCallback,
     DataCallbackABC,
@@ -56,8 +71,28 @@ __all__ = [
     "MBARModel",
     "PerturbModel",
     "StateCollection",
+    "adaptive_interp",
     "beta",
     "data",
     "factory_data_values",
     "idealgas",
+    "lnpi",
+    "parallel",
+    "random",
+    "recursive_interp",
+    "stack",
+    "volume",
+    "volume_idealgas",
 ]
+
+
+def __getattr__(name):
+    # lazy-load the GPR stack (sympy-heavy) like the reference lazy-loader
+    if name == "gpr_active":
+        import importlib
+
+        mod = importlib.import_module(".gpr_active", __name__)
+        globals()[name] = mod
+        return mod
+    msg = f"module {__name__!r} has no attribute {name!r}"
+    raise AttributeError(msg)

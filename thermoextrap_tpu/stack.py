@@ -1,0 +1,162 @@
+r"""Data staging for GPR models
+(TPU-native rebuild of /root/reference/src/thermoextrap/stack.py).
+
+The reference stacks xarray named dimensions into gpflow's ``(xstack,
+ystack, stats)`` layout.  Here states carry plain arrays, so staging is
+array concatenation: each state's derivatives become rows of the GP input
+``X = [alpha, order]`` with outputs summarized as (mean, variance) over the
+bootstrap-replicate axis.
+
+The heavy lifting (bootstrap covariance, block-diagonal noise) lives in
+:func:`thermoextrap_tpu.gpr_active.active_utils.input_GP_from_state` /
+``create_GPR``; this module provides the reference's staging API names.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .models.extrap import StateCollection
+
+__all__ = [
+    "GPRData",
+    "StackedDerivatives",
+    "states_derivs_concat",
+    "to_mean_var",
+]
+
+
+def to_mean_var(arr, axis: int = 1):
+    """Summarize a replicate axis into a trailing (mean, var) stats axis
+    (reference stack.py:157-183)."""
+    arr = np.asarray(arr)
+    return np.stack([arr.mean(axis=axis), arr.var(axis=axis)], axis=-1)
+
+
+def states_derivs_concat(states, order=None, norm: bool = False):
+    """Concatenate derivatives of several states along a leading
+    (state, order) axis (reference stack.py:186-216).
+
+    Each state's derivs must share trailing shape; returns
+    ``(n_states * (order+1), ...)``.
+    """
+    if order is None:
+        order = min(s.order for s in states)
+    return np.concatenate(
+        [np.asarray(s.derivs(order=order, norm=norm)) for s in states], axis=0
+    )
+
+
+class StackedDerivatives:
+    """Derivative data stacked for GP consumption
+    (reference stack.py:219-516).
+
+    Attributes
+    ----------
+    x_data : (N, 2) array of [alpha, deriv order] rows
+    y_data : (N, Dy, 2) array of (mean, variance) per output dimension
+    """
+
+    def __init__(self, x_data, y_data, alpha_name: str = "alpha") -> None:
+        self.x_data = np.asarray(x_data)
+        self.y_data = np.asarray(y_data)
+        self.alpha_name = alpha_name
+
+    @property
+    def order(self) -> int:
+        return int(self.x_data[:, 1].max())
+
+    def array_data(self, order=None):
+        """``(X, [Y_k])`` ready for GP models (reference stack.py:307-314):
+        per output dim, ``Y_k = (N, 2)`` with mean and variance columns."""
+        x = self.x_data
+        ys = [self.y_data[:, k, :] for k in range(self.y_data.shape[1])]
+        if order is not None:
+            mask = x[:, 1] <= order
+            x = x[mask]
+            ys = [y[mask] for y in ys]
+        return x, ys
+
+    @classmethod
+    def from_mean_var(cls, alphas, means, variances, alpha_name: str = "alpha"):
+        """From per-state arrays of derivative means/variances, each shaped
+        ``(order+1, Dy)`` (reference stack.py:344-381)."""
+        x_rows, y_rows = [], []
+        for a, m, v in zip(alphas, means, variances):
+            m = np.atleast_2d(np.asarray(m))
+            v = np.atleast_2d(np.asarray(v))
+            order = m.shape[0] - 1
+            x_rows.append(
+                np.stack([np.full(order + 1, a), np.arange(order + 1)], axis=1)
+            )
+            y_rows.append(np.stack([m, v], axis=-1))
+        return cls(np.concatenate(x_rows), np.concatenate(y_rows), alpha_name)
+
+    @classmethod
+    def from_derivs(cls, alphas, derivs, rep_axis: int = 1, alpha_name: str = "alpha"):
+        """From per-state replicated derivative stacks ``(order+1, nrep, Dy)``
+        (reference stack.py:383-447)."""
+        means = [np.asarray(d).mean(axis=rep_axis) for d in derivs]
+        variances = [np.asarray(d).var(axis=rep_axis) for d in derivs]
+        return cls.from_mean_var(alphas, means, variances, alpha_name)
+
+    @classmethod
+    def from_states(cls, states, order=None, nrep: int = 100, alpha_name=None):
+        """From extrapolation states, bootstrapping the variances
+        (reference stack.py:449-516)."""
+        if order is None:
+            order = min(s.order for s in states)
+        alphas, derivs = [], []
+        for s in states:
+            boot = np.asarray(s.resample({"nrep": nrep}).derivs(order=order))
+            if boot.ndim == 2:
+                boot = boot[:, :, None]
+            alphas.append(s.alpha0)
+            derivs.append(boot)
+        return cls.from_derivs(
+            alphas, derivs, alpha_name=alpha_name or getattr(states[0], "alpha_name", "alpha")
+        )
+
+
+class GPRData(StateCollection):
+    """StateCollection with GP staging conveniences
+    (reference stack.py:519-665)."""
+
+    def __init__(self, states, order=None, nrep: int = 100, **kws) -> None:
+        super().__init__(states, **kws)
+        self._order = order
+        self.nrep = nrep
+
+    @property
+    def order(self):
+        return self._order if self._order is not None else super().order
+
+    def stacked(self, order=None):
+        return StackedDerivatives.from_states(
+            self.states, order=order or self.order, nrep=self.nrep
+        )
+
+    def array_data(self, order=None):
+        return self.stacked(order=order).array_data()
+
+    def to_gpr_data(self, log_scale: bool = False):
+        """Full (X, Y, block-diag noise cov) via the active-learning staging."""
+        from scipy import linalg
+
+        from .gpr_active.active_utils import input_GP_from_state
+
+        xs, ys, covs = [], [], []
+        for s in self.states:
+            x, y, c = input_GP_from_state(s, n_rep=self.nrep, log_scale=log_scale)
+            xs.append(x)
+            ys.append(y)
+            covs.append(c)
+        x_data = np.vstack(xs)
+        y_data = np.vstack(ys)
+        noise = np.array(
+            [
+                linalg.block_diag(*[c[k] for c in covs])
+                for k in range(y_data.shape[1])
+            ]
+        )
+        return x_data, y_data, noise
