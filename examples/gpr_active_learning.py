@@ -1,0 +1,48 @@
+"""Derivative-informed GPR active learning on the ideal gas.
+
+Mirrors the reference examples/gpr_active_learning/run_active_IG.py: start
+from two state points, iteratively fit a heteroscedastic derivative GPR and
+acquire new simulation points where the model is most uncertain.
+
+Run: python examples/gpr_active_learning.py
+"""
+
+import tempfile
+
+import numpy as np
+
+from thermoextrap_tpu import idealgas
+from thermoextrap_tpu.gpr_active import active_utils as au
+from thermoextrap_tpu.gpr_active import ig_active
+
+
+def main() -> None:
+    sim = ig_active.SimulateIG(nconfig=5_000, npart=500)
+    update = au.UpdateALMbrute(rng=0, n_grid=200)
+    stop = au.StopCriteria([au.MaxRelGlobalVar(tol=0.02), au.MaxIter()], n_grid=200)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        data_list, history = au.active_learning(
+            [0.5, 2.5],
+            sim,
+            update,
+            base_dir=tmp,
+            stop_criteria=stop,
+            max_iter=4,
+            max_order=3,
+        )
+
+    print("acquired state points:", sorted(d.beta for d in data_list))
+    print("losses:", [round(v, 2) for v in history["loss"]])
+
+    states = [d.build_state(max_order=3) for d in data_list]
+    gpr = au.create_GPR(states)
+    xt = np.linspace(0.6, 2.4, 7)
+    mu, var = gpr.predict_f(np.stack([xt, np.zeros_like(xt)], axis=1))
+    print(f"{'beta':>6} {'GP mean':>10} {'GP std':>9} {'exact':>10}")
+    for b, m, v in zip(xt, np.asarray(mu)[:, 0], np.asarray(var)[:, 0]):
+        print(f"{b:6.2f} {m:10.5f} {np.sqrt(v):9.1e} {float(idealgas.x_ave(b)):10.5f}")
+
+
+if __name__ == "__main__":
+    main()
