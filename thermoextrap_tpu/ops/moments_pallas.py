@@ -63,11 +63,23 @@ def _pack(a, rows_total):
 # ---------------------------------------------------------------------------
 
 
+def _tile_sum(a, rows):
+    """Sum (rows, LANES) -> (8, LANES) by elementwise tile-group adds —
+    avoids cross-sublane shuffle reductions (the sublane split reshape is a
+    free relayout; the sum lowers to rows/8 - 1 vector adds)."""
+    return jnp.sum(a.reshape(rows // 8, 8, _LANES), axis=0)
+
+
 def _reduce_kernel(
     su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v
 ):
-    """Inputs per grid step: u ``(rows, B)``, x ``(v, rows, B)``; per-lane
-    partial sums accumulate into ``(order+1, B)`` / ``(v*(order+1), B)``."""
+    """Inputs per grid step: u ``(rows, B)``, x ``(v, rows, B)``; partial
+    sums accumulate into per-(sublane, lane) tiles ``(order+1, 8, B)`` /
+    ``(v*(order+1), 8, B)`` reduced by the XLA epilogue.
+
+    Tail masking runs only in the *final* grid step (``pl.when`` branch), so
+    the bulk of the stream pays zero masking cost.
+    """
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -80,19 +92,36 @@ def _reduce_kernel(
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
     du = u_ref[:] - su_ref[0, 0]  # (rows, B)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-    flat = (i * rows + row_ids) * _LANES + lane_ids
-    mask = (flat < n_real).astype(du.dtype)
-    p = w_ref[:] * mask if use_w else mask
-
     xs = [x_ref[k] - sx_ref[0, k] for k in range(v)]  # each (rows, B)
-    for n in range(order + 1):
-        out_u_ref[n, :] += jnp.sum(p, axis=0)
-        for k in range(v):
-            out_xu_ref[k * (order + 1) + n, :] += jnp.sum(p * xs[k], axis=0)
-        if n < order:
-            p = p * du
+
+    def body(p0):
+        p = p0
+        for n in range(order + 1):
+            out_u_ref[n, :, :] += _tile_sum(p, rows)
+            for k in range(v):
+                out_xu_ref[k * (order + 1) + n, :, :] += _tile_sum(p * xs[k], rows)
+            if n < order:
+                p = p * du
+
+    last = pl.num_programs(0) - 1
+    has_tail = n_real % (rows * _LANES) != 0
+
+    if has_tail:
+
+        @pl.when(i < last)
+        def _():
+            body(w_ref[:] if use_w else jnp.ones_like(du))
+
+        @pl.when(i == last)
+        def _():
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+            flat = (i * rows + row_ids) * _LANES + lane_ids
+            mask = (flat < n_real).astype(du.dtype)
+            body(w_ref[:] * mask if use_w else mask)
+
+    else:
+        body(w_ref[:] if use_w else jnp.ones_like(du))
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -129,6 +158,9 @@ def reduce_central_comoments_fused(
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
     rows = max(block // _LANES, 8)
+    # clamp the block for small inputs so padding stays bounded
+    rows_needed = ((r + _LANES - 1) // _LANES + 7) // 8 * 8
+    rows = min(rows, rows_needed)
     chunk = rows * _LANES
     rp = ((r + chunk - 1) // chunk) * chunk
     rows_total = rp // _LANES
@@ -160,18 +192,18 @@ def reduce_central_comoments_fused(
         grid=(rows_total // rows,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((order + 1, _LANES), lambda i: (0, 0)),
-            pl.BlockSpec((v * (order + 1), _LANES), lambda i: (0, 0)),
+            pl.BlockSpec((order + 1, 8, _LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((v * (order + 1), 8, _LANES), lambda i: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((order + 1, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((v * (order + 1), _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((order + 1, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((v * (order + 1), 8, _LANES), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
 
-    sum_u = out_u.sum(axis=1)  # (order+1,)
-    sum_xu = out_xu.sum(axis=1).reshape(v, order + 1).T  # (order+1, v)
+    sum_u = out_u.sum(axis=(1, 2))  # (order+1,)
+    sum_xu = out_xu.sum(axis=(1, 2)).reshape(v, order + 1).T  # (order+1, v)
     return _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape)
 
 
