@@ -171,19 +171,31 @@ class DataWrapper:
         )
 
     def load_U_info(self):  # noqa: N802 - reference name
-        u = [np.loadtxt(f)[-self.n_frames :, self.u_col] for f in self.sim_info_files]
+        from ..native import loadtxt_fast
+
+        u = [
+            np.atleast_2d(loadtxt_fast(f))[-self.n_frames :, self.u_col]
+            for f in self.sim_info_files
+        ]
         return np.hstack(u)
 
     def load_CV_info(self):  # noqa: N802
+        from ..native import loadtxt_fast
+
         vals, bias = [], []
         for f in self.cv_bias_files:
-            info = np.loadtxt(f)[-self.n_frames :, self.cv_cols]
+            info = np.atleast_2d(loadtxt_fast(f))[-self.n_frames :, self.cv_cols]
             vals.append(info[:, 0])
             bias.append(info[:, 1])
         return np.hstack(vals), np.hstack(bias)
 
     def load_x_info(self):
-        x = [np.loadtxt(f)[-self.n_frames :, self.x_col] for f in self.x_files]
+        from ..native import loadtxt_fast
+
+        x = [
+            np.atleast_2d(loadtxt_fast(f))[-self.n_frames :, self.x_col]
+            for f in self.x_files
+        ]
         return np.vstack(x)
 
     def get_data(self):
