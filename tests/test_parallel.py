@@ -96,3 +96,29 @@ def test_pallas_interpret_matches_xla(rng_np):
         np.testing.assert_allclose(
             np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
         )
+
+
+def test_poisson_bootstrap_interpret(rng_np):
+    """In-kernel Poisson bootstrap (interpret mode): statistical sanity."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_comoments_poisson,
+    )
+
+    R, nrep, order = 4000, 64, 4
+    u = rng_np.normal(5.0, 1.0, R).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (R, 1)).astype(np.float32)
+    try:
+        xave, uave, du, dxdu = resample_central_comoments_poisson(
+            u, x, nrep, order, seed=3, interpret=True
+        )
+    except NotImplementedError:
+        pytest.skip("Pallas PRNG unsupported in interpret mode on this host")
+    assert xave.shape == (nrep, 1)
+    assert du.shape == (order + 1, nrep)
+    # replicate means scatter around truth at ~1/sqrt(R)
+    assert abs(float(np.asarray(uave).mean()) - u.mean()) < 5 * 1.0 / np.sqrt(R)
+    # bootstrap std of the mean tracks the exact standard error
+    sem = float(np.asarray(xave).std())
+    assert 0.5 * 0.5 / np.sqrt(R) < sem < 2.0 * 0.5 / np.sqrt(R)
+    np.testing.assert_allclose(np.asarray(du[0]), 1.0)
+    np.testing.assert_allclose(np.asarray(du[1]), 0.0, atol=1e-12)

@@ -43,6 +43,7 @@ from .convert import shift_raw_comoments, shift_raw_moments
 __all__ = [
     "reduce_central_comoments_fused",
     "resample_central_comoments_fused",
+    "resample_central_comoments_poisson",
 ]
 
 _LANES = 1024  # lane width of the packed sample rows
@@ -371,10 +372,16 @@ def resample_central_comoments_fused(
         interpret=interpret,
     )(*operands)
 
-    sum_u = out_u[:nrep]  # (nrep, order+1)
+    return _resample_epilogue(
+        out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
+    )
+
+
+def _resample_epilogue(sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape):
+    """Per-replicate shifted raw sums -> exact central comoments."""
     # contribution rows are v-major: row k*(order+1)+n
     sum_xu = jnp.moveaxis(
-        out_xu[:nrep].reshape(nrep, v, order + 1), 2, 1
+        sum_xu.reshape(nrep, v, order + 1), 2, 1
     )  # (nrep, order+1, v)
 
     wsum = sum_u[:, 0:1]
@@ -390,3 +397,166 @@ def resample_central_comoments_fused(
     du = du.at[0].set(1.0).at[1].set(0.0)
     dxdu = dxdu.at[0].set(0.0).reshape((order + 1, nrep, *val_shape))
     return xave, uave, du, dxdu
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap with in-kernel frequency generation
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds as uint32 cutoffs: freq = #{k : u32 > t_k}.
+# Truncated at 9 (P ~ 1e-7); mean stays 1 to ~1e-7.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974049,
+)
+
+
+def _poisson_resample_kernel(
+    su_ref, sx_ref, seed_ref, u_ref, x_ref, *rest, order, use_w, n_real, v
+):
+    """Like :func:`_resample_kernel` but the frequency tile is generated
+    on-chip from the Pallas PRNG — zero HBM traffic for the bootstrap table
+    (Poisson(1) weights; asymptotically equivalent to multinomial
+    resampling)."""
+    if use_w:
+        w_ref, out_u_ref, out_xu_ref = rest
+    else:
+        out_u_ref, out_xu_ref = rest
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_u_ref[:] = jnp.zeros_like(out_u_ref)
+        out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
+
+    # unique per-(rep-block, rec-block) stream
+    pltpu.prng_seed(seed_ref[0, 0] + i * nj + j)
+
+    rep_block = out_u_ref.shape[0]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    acc_u = jnp.zeros_like(out_u_ref)
+    acc_xu = jnp.zeros_like(out_xu_ref)
+    for s in range(_SUBROWS):
+        du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
+        base = (j * _SUBROWS + s) * _LANES
+        mask = (base + lane_ids < n_real).astype(du.dtype)
+        p0 = w_ref[s : s + 1, :] * mask if use_w else mask
+
+        prows = [p0]
+        for _ in range(order):
+            prows.append(prows[-1] * du)
+        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+
+        bits = pltpu.prng_random_bits((rep_block, _LANES))
+        bits = pltpu.bitcast(bits, jnp.uint32)
+        f = jnp.zeros((rep_block, _LANES), jnp.float32)
+        for cdf in _POISSON1_CDF:
+            thr = jnp.uint32(int(cdf * 4294967296.0))
+            f = f + (bits > thr).astype(jnp.float32)
+
+        acc_u += jax.lax.dot_general(
+            f, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        crows = [p * (x_ref[k, s : s + 1, :] - sx_ref[0, k]) for k in range(v)]
+        contrib = jnp.concatenate(crows, axis=0)
+        acc_xu += jax.lax.dot_general(
+            f, contrib, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_u_ref[:] += acc_u
+    out_xu_ref[:] += acc_xu
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
+)
+def resample_central_comoments_poisson(
+    uv,
+    xv,
+    nrep: int,
+    order: int,
+    weight=None,
+    *,
+    seed: int = 0,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    r"""Poisson bootstrap entirely on-chip: per-replicate central comoments
+    with the frequency table generated from the Pallas PRNG inside the
+    kernel.  Scales to huge ``R`` (the ``(nrep, R)`` table never exists).
+
+    Same return contract as :func:`resample_central_comoments_fused`.
+    """
+    uv = jnp.asarray(uv, jnp.float32)
+    val_shape = xv.shape[1:]
+    xv = jnp.asarray(xv, jnp.float32).reshape(uv.shape[0], -1)
+    r, v = xv.shape
+
+    w_flat = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
+    )
+
+    head = min(8192, r)
+    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
+    s_u = (w_head * uv[:head]).sum() / w_head.sum()
+    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+
+    chunk = _SUBROWS * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb = rp // _LANES
+    pp = ((nrep + rep_block - 1) // rep_block) * rep_block
+
+    u_p = _pack(uv, nb)
+    x_p = jnp.stack([_pack(xv[:, k], nb) for k in range(v)], axis=0)
+
+    operands = [
+        jnp.reshape(s_u, (1, 1)),
+        jnp.reshape(s_x, (1, v)),
+        jnp.full((1, 1), seed, dtype=jnp.int32),
+        u_p,
+        x_p,
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, _SUBROWS, _LANES), lambda i, j: (0, j, 0)),
+    ]
+    use_w = w_flat is not None
+    if use_w:
+        operands.append(_pack(w_flat, nb))
+        in_specs.append(pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)))
+
+    out_u, out_xu = pl.pallas_call(
+        functools.partial(
+            _poisson_resample_kernel, order=order, use_w=use_w, n_real=r, v=v
+        ),
+        grid=(pp // rep_block, nb // _SUBROWS),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((rep_block, order + 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((rep_block, (order + 1) * v), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((pp, order + 1), jnp.float32),
+            jax.ShapeDtypeStruct((pp, (order + 1) * v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    return _resample_epilogue(
+        out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
+    )
