@@ -536,6 +536,40 @@ class HeteroscedasticGPR:
             f_var = (f_var * (self.scale_fac**2)[:, None]).T  # (M, D)
         return f_mean, f_var
 
+    def predict_y(self, Xnew, **kws):
+        """Not possible without a noise model at new points
+        (reference gp_models.py:1158-1166)."""
+        msg = (
+            "Predicting y requires a noise model at new points, which this "
+            "likelihood does not have."
+        )
+        raise NotImplementedError(msg)
+
+    def predict_log_density(self, data, **kws):
+        """Not possible without a noise model at new points
+        (reference gp_models.py:1168-1175)."""
+        msg = (
+            "Predicting log density at new points requires a noise model "
+            "there, which this likelihood does not have."
+        )
+        raise NotImplementedError(msg)
+
+    # -- checkpointing ------------------------------------------------------------
+
+    def save_params(self, path) -> None:
+        """Save constrained parameter values as JSON (active-learning
+        restart seam; reference persists params in active_history.npz)."""
+        import json
+        from pathlib import Path
+
+        Path(path).write_text(json.dumps(self.parameters(), indent=1))
+
+    def load_params(self, path) -> None:
+        import json
+        from pathlib import Path
+
+        self.set_parameters(json.loads(Path(path).read_text()))
+
     # -- training ----------------------------------------------------------------
 
     def train(self, max_iter: int = 1000, tol: float | None = None):
