@@ -25,6 +25,7 @@ on CPU; on TPU the matrices are tiny so XLA's f64 emulation is fine).
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Callable
 
@@ -32,6 +33,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import sympy as sp
+
+
+@contextmanager
+def _compute_ctx():
+    """Run GPR linear algebra in f64 on the host CPU backend.
+
+    The derivative-kernel Gram matrices are tiny (N ~ tens) but severely
+    ill-conditioned (mixed derivative orders), so they need f64 Cholesky —
+    which TPUs do not implement natively.  Pinning this math to CPU is the
+    deliberate design (same split as the reference: GPflow/TF ran on CPU
+    while cmomy crunched samples); the heavy sample-reduction kernels stay
+    on the TPU.
+    """
+    dev_ctx = nullcontext()
+    if jax.default_backend() != "cpu":
+        try:
+            dev_ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    x64_ctx = (
+        nullcontext() if jax.config.jax_enable_x64 else jax.enable_x64(True)
+    )
+    with dev_ctx, x64_ctx:
+        yield
 
 __all__ = [
     "ConstantMeanWithDerivs",
@@ -160,6 +185,10 @@ class DerivativeKernel:
 
     def K(self, X, X2=None, params=None):
         """Full kernel matrix; derivative orders must be concrete."""
+        with _compute_ctx():
+            return self._K(X, X2, params)
+
+    def _K(self, X, X2=None, params=None):
         if X2 is None:
             X2 = X
         x1, d1 = self._split(X, self.obs_dims)
@@ -188,6 +217,10 @@ class DerivativeKernel:
         return out
 
     def K_diag(self, X, params=None):
+        with _compute_ctx():
+            return self._K_diag(X, params)
+
+    def _K_diag(self, X, params=None):
         x1, d1 = self._split(X, self.obs_dims)
         pvals = self._param_values(params)
         n = x1.shape[0]
@@ -495,23 +528,31 @@ class HeteroscedasticGPR:
         return self.mean_function(X) / self.scale_fac
 
     def log_marginal_likelihood(self, vec=None):
+        with _compute_ctx():
+            return self._lml(vec)
+
+    def _lml(self, vec=None):
         if vec is None:
             vec = self.get_unconstrained()
         kernel_p, lik_p = self._split_params(vec)
-        k = self.kernel.K(self.X, params=kernel_p)
+        k = self.kernel._K(self.X, params=kernel_p)
         ks = k[None] + self.likelihood.build_scaled_cov_mat(self.X, lik_p)
         chol = jnp.linalg.cholesky(ks)
         m = self._mean(self.X)
         return jnp.sum(multioutput_multivariate_normal(self.Y, m, chol))
 
     def neg_lml(self, vec):
-        return -self.log_marginal_likelihood(vec)
+        return -self._lml(vec)
 
     def predict_f(self, Xnew, full_cov: bool = False):
         """Posterior mean/variance at new derivative-augmented inputs."""
+        with _compute_ctx():
+            return self._predict_f(Xnew, full_cov)
+
+    def _predict_f(self, Xnew, full_cov: bool = False):
         Xnew = np.asarray(Xnew, dtype=np.float64)
-        kmm = self.kernel.K(self.X)
-        kmn = self.kernel.K(self.X, Xnew)
+        kmm = self.kernel._K(self.X)
+        kmn = self.kernel._K(self.X, Xnew)
         ks = kmm[None] + self.likelihood.build_scaled_cov_mat(self.X)
         chol = jnp.linalg.cholesky(ks)  # (D, N, N)
 
@@ -527,11 +568,11 @@ class HeteroscedasticGPR:
         f_mean = (f_mean_zero + self._mean(Xnew)) * self.scale_fac
 
         if full_cov:
-            knn = self.kernel.K(Xnew)
+            knn = self.kernel._K(Xnew)
             f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
             f_var = f_var * (self.scale_fac**2).reshape(-1, 1, 1)
         else:
-            knn = self.kernel.K_diag(Xnew)
+            knn = self.kernel._K_diag(Xnew)
             f_var = knn[None, :] - jnp.sum(a**2, axis=1)
             f_var = (f_var * (self.scale_fac**2)[:, None]).T  # (M, D)
         return f_mean, f_var
@@ -578,6 +619,14 @@ class HeteroscedasticGPR:
         behavior of train_GPR, active_utils.py:802-869)."""
         from scipy import optimize
 
+        ctx = _compute_ctx()
+        ctx.__enter__()
+        try:
+            return self._train_inner(optimize, max_iter)
+        finally:
+            ctx.__exit__(None, None, None)
+
+    def _train_inner(self, optimize, max_iter):
         val_and_grad = jax.jit(jax.value_and_grad(self.neg_lml))
 
         def fun(x):

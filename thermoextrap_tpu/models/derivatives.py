@@ -304,6 +304,22 @@ class Derivatives:
     name: str = "custom"
     post_func: Any = None
 
+    def __post_init__(self):
+        # jit the full evaluation (coefs_fn + post transform); order is
+        # static so each (order, shapes) pair compiles once.  Without this,
+        # the unrolled series recursions dispatch hundreds of tiny eager ops
+        # (painful on remote TPU backends).
+        import jax
+
+        object.__setattr__(
+            self,
+            "_jitted",
+            jax.jit(
+                lambda args, order: self._apply_post(self.coefs_fn(args, order)),
+                static_argnums=1,
+            ),
+        )
+
     def _apply_post(self, c):
         pf = self.post_func
         if pf is None:
@@ -326,7 +342,7 @@ class Derivatives:
         if args is None or order is None:
             msg = "must specify (args and order) or data"
             raise ValueError(msg)
-        c = self._apply_post(self.coefs_fn(tuple(args), int(order)))
+        c = self._jitted(tuple(args), int(order))
         if minus_log:
             c = series_neg_log(c)
         return c
