@@ -8,6 +8,11 @@ and a joint polynomial interpolation between two states.
 Run: python examples/beta_extrapolation.py   (CPU or TPU)
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import numpy as np
 
 import thermoextrap_tpu as xtpu

@@ -7,6 +7,11 @@ acquire new simulation points where the model is most uncertain.
 Run: python examples/gpr_active_learning.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import tempfile
 
 import numpy as np

@@ -8,6 +8,11 @@ temperatures and compare with the stored analytic extrapolations.
 Run: python examples/macrostate_lnpi.py
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
 import json
 from pathlib import Path
 

@@ -421,11 +421,15 @@ class DataCentralMoments:
         trick and ``order = K-1`` (reference ``from_raw`` / ``from_ave_raw``,
         data.py:1062-1126, 1394-1473).
         """
-        u = jnp.asarray(u)
+        # conversions of raw moments run in host f64 regardless of the jax
+        # x64 flag: large raw energy moments cancel catastrophically in f32
+        import numpy as _np
+
+        u = _np.asarray(u, dtype=_np.float64)
         if x_is_u or xu is None:
             x_is_u = True
-            du_full = central_from_raw(u)  # K+1 entries
-            uave = u[1]
+            du_full = jnp.asarray(central_from_raw(u, xp=_np))  # K+1 entries
+            uave = jnp.asarray(u[1])
             order = int(u.shape[0] - 2)
             return cls(
                 xave=uave,
@@ -440,12 +444,13 @@ class DataCentralMoments:
                 xalpha=False,
                 val_ndim=0 if val_ndim is None else int(val_ndim),
             )
-        xu = jnp.asarray(xu)
+        xu = _np.asarray(xu, dtype=_np.float64)
         if val_ndim is None:
             val_ndim = xu.ndim - u.ndim - (1 if xalpha else 0)
         u_b = _pad_val(u, xu.ndim - u.ndim)
-        xave_f, du, dxdu = central_comoments_from_raw(u_b, xu)
-        uave = u[1]
+        xave_f, du, dxdu = central_comoments_from_raw(u_b, xu, xp=_np)
+        xave_f, du, dxdu = (jnp.asarray(a) for a in (xave_f, du, dxdu))
+        uave = jnp.asarray(u[1])
         return cls(
             xave=xave_f,
             uave=uave,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from math import comb
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "central_comoments_from_raw",
@@ -26,22 +27,24 @@ __all__ = [
 ]
 
 
-def _powers(base, order: int):
+def _powers(base, order: int, xp=jnp):
     """[base**0, ..., base**order] stacked on a new leading axis."""
-    out = [jnp.ones_like(base)]
+    out = [xp.ones_like(base)]
     for _ in range(order):
         out.append(out[-1] * base)
     return out
 
 
-def shift_raw_moments(u, delta):
+def shift_raw_moments(u, delta, xp=jnp):
     r"""Shift raw moments: given ``u[k] = <(y)^k>`` return ``<(y - delta)^n>``.
 
-    ``out[n] = sum_k C(n,k) u[k] (-delta)^{n-k}``.
+    ``out[n] = sum_k C(n,k) u[k] (-delta)^{n-k}``.  Pass ``xp=numpy`` to run
+    in host f64 regardless of the jax x64 flag (constructor-time conversions
+    of large raw moments need f64 to avoid catastrophic cancellation).
     """
     order = u.shape[0] - 1
-    d = _powers(-delta, order)
-    return jnp.stack(
+    d = _powers(-delta, order, xp=xp)
+    return xp.stack(
         [
             sum(comb(n, k) * u[k] * d[n - k] for k in range(n + 1))
             for n in range(order + 1)
@@ -50,13 +53,13 @@ def shift_raw_moments(u, delta):
     )
 
 
-def shift_raw_comoments(xu, delta):
+def shift_raw_comoments(xu, delta, xp=jnp):
     r"""Shift the u-argument of raw comoments ``xu[k] = <x y^k>`` by ``delta``:
     ``out[n] = <x (y - delta)^n> = sum_k C(n,k) xu[k] (-delta)^{n-k}``.
     """
     order = xu.shape[0] - 1
-    d = _powers(-delta, order)
-    return jnp.stack(
+    d = _powers(-delta, order, xp=xp)
+    return xp.stack(
         [
             sum(comb(n, k) * xu[k] * d[n - k] for k in range(n + 1))
             for n in range(order + 1)
@@ -65,25 +68,29 @@ def shift_raw_comoments(xu, delta):
     )
 
 
-def central_from_raw(u):
+def central_from_raw(u, xp=jnp):
     r"""Raw → central moments of ``u``.
 
     ``u[k] = <u^k>`` (``u[0]=1``) → ``du[n] = <(u - <u>)^n>``; output has
     ``du[0]=1`` and ``du[1]=0`` exactly (reference convention, see
     du_func.eval in /root/reference/src/thermoextrap/beta.py:56-66).
     """
-    du = shift_raw_moments(u, u[1])
+    du = shift_raw_moments(u, u[1], xp=xp)
+    if xp is np:
+        du[0] = 1.0
+        du[1] = 0.0
+        return du
     return du.at[0].set(1.0).at[1].set(0.0)
 
 
-def raw_from_central(du, mean):
+def raw_from_central(du, mean, xp=jnp):
     r"""Central → raw: ``u[n] = sum_k C(n,k) du[k] mean^{n-k}``.
 
     ``du`` uses the ``du[0]=1, du[1]=0`` convention.
     """
     order = du.shape[0] - 1
-    m = _powers(mean, order)
-    return jnp.stack(
+    m = _powers(mean, order, xp=xp)
+    return xp.stack(
         [
             sum(comb(n, k) * du[k] * m[n - k] for k in range(n + 1))
             for n in range(order + 1)
@@ -92,7 +99,7 @@ def raw_from_central(du, mean):
     )
 
 
-def central_comoments_from_raw(u, xu):
+def central_comoments_from_raw(u, xu, xp=jnp):
     r"""Raw comoments → central comoments.
 
     Inputs ``u[k] = <u^k>``, ``xu[k] = <x u^k>``; returns
@@ -100,11 +107,14 @@ def central_comoments_from_raw(u, xu):
     ``dxdu[0] = 0`` exactly.
     """
     xave = xu[0]
-    du = central_from_raw(u)
+    du = central_from_raw(u, xp=xp)
     # <x (u - m)^n> then subtract xave * <(u - m)^n>
-    x_du = shift_raw_comoments(xu, u[1])
-    du_full = shift_raw_moments(u, u[1])  # keep true values at n=0,1
+    x_du = shift_raw_comoments(xu, u[1], xp=xp)
+    du_full = shift_raw_moments(u, u[1], xp=xp)  # keep true values at n=0,1
     dxdu = x_du - xave * du_full
+    if xp is np:
+        dxdu[0] = 0.0
+        return xave, du, dxdu
     return xave, du, dxdu.at[0].set(0.0)
 
 
