@@ -187,3 +187,19 @@ class TestActiveLearningEndToEnd:
         mu, _var = gpr.predict_f(np.stack([xt, np.zeros_like(xt)], axis=1))
         exact = np.array([float(idealgas.x_ave(b)) for b in xt])
         np.testing.assert_allclose(np.asarray(mu)[:, 0], exact, atol=0.05)
+
+
+def test_error_stability_full_kl_path():
+    """ErrorStability with >= 3 states exercises the full KL/Lambert-W path
+    (reference active_utils.py:1799-1936); value must normalize to 1.0 on
+    the first call and stay finite/positive afterwards."""
+    states = [
+        ig_active.extrap_IG(b, rng=10 + i, nconfig=NCONF, npart=NPART)
+        for i, b in enumerate([0.6, 1.2, 1.8])
+    ]
+    gpr = au.create_GPR(states)
+    m = au.ErrorStability(tol=0.1)
+    v1 = m.calc_metric(None, None, gpr)
+    assert v1 == pytest.approx(1.0)  # first call defines the normalization
+    v2 = m.calc_metric(None, None, gpr)
+    assert np.isfinite(v2) and v2 > 0

@@ -130,3 +130,34 @@ def test_pytree_roundtrip(vals):
     d2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert d2.order == d.order
     np.testing.assert_array_equal(np.asarray(d2.uv), np.asarray(d.uv))
+
+
+def test_reduce_merges_blocks(vals):
+    """Pooling per-block moments == reducing the concatenated samples
+    (reference DataCentralMoments.reduce, data.py:973-998)."""
+    import jax.numpy as jnp
+
+    u, x = vals
+    nblock, blk = 4, len(u) // 4
+    u_b = u[: nblock * blk].reshape(nblock, blk)
+    x_b = x[: nblock * blk].reshape(nblock, blk, -1)
+
+    d_blocks = xtpu.DataCentralMoments.from_vals(x_b, u_b, ORDER)
+    pooled = d_blocks.reduce(axis=0)
+
+    d_all = xtpu.DataCentralMoments.from_vals(
+        x_b.reshape(-1, x.shape[1]), u_b.reshape(-1), ORDER
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.xave), np.asarray(d_all.xave), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.uave), np.asarray(d_all.uave), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.du), np.asarray(d_all.du), rtol=1e-10, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.dxdu), np.asarray(d_all.dxdu), rtol=1e-10, atol=1e-14
+    )
+    assert float(pooled.wsum) == nblock * blk

@@ -579,6 +579,24 @@ class DataCentralMoments:
             out = (self.u, self.xu)
         return self.meta.derivs_args(self, out)
 
+    def reduce(self, axis: int = 0):
+        """Merge the moment sets along a batch axis into one pooled set
+        (reference ``DataCentralMoments.reduce``, data.py:973-998) — e.g.
+        combine per-block or per-replicate moments from independent
+        simulations.  Exact (same merge rule as the sharded reduction)."""
+        from .ops.convert import merge_central_comoments
+
+        if self.xalpha:
+            msg = "reduce with a deriv axis is not supported yet"
+            raise NotImplementedError(msg)
+        xave, uave, du, dxdu, wsum = merge_central_comoments(
+            self.xave, self.uave, self.du, self.dxdu, self.wsum, axis=axis
+        )
+        return replace(
+            self, xave=xave, uave=uave, du=du, dxdu=dxdu, wsum=wsum,
+            meta=self.meta.reduce(self),
+        )
+
     def resample(self, sampler, *, rng=None, **kws):
         msg = (
             "moment-backed data cannot be value-resampled; build with "
