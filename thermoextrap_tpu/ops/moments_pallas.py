@@ -167,7 +167,10 @@ def reduce_central_comoments_fused(
     rows_total = rp // _LANES
 
     u_p = _pack(uv, rows_total)
-    x_p = jnp.stack([_pack(xv[:, k], rows_total) for k in range(v)], axis=0)
+    # one transposed copy for all observable columns (vs a pass per column)
+    x_p = jnp.pad(xv, ((0, rows_total * _LANES - r), (0, 0))).T.reshape(
+        v, rows_total, _LANES
+    )
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
@@ -330,7 +333,7 @@ def resample_central_comoments_fused(
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     u_p = _pack(uv, nb)
-    x_p = jnp.stack([_pack(xv[:, k], nb) for k in range(v)], axis=0)
+    x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
     f_p = jnp.pad(
         jnp.asarray(freq, jnp.float32),
         ((0, pp - nrep), (0, rp - r)),
@@ -519,7 +522,7 @@ def resample_central_comoments_poisson(
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     u_p = _pack(uv, nb)
-    x_p = jnp.stack([_pack(xv[:, k], nb) for k in range(v)], axis=0)
+    x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
