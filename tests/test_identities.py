@@ -111,3 +111,41 @@ def test_pow_post_func(uval, xval):
     c = m.coefs()
     expected = np.asarray(series_mul(c, c, order=4))
     np.testing.assert_allclose(np.asarray(m_sq.coefs()), expected, rtol=1e-10)
+
+
+def test_from_sympy_migration_seam(uval, xval):
+    """User-supplied sympy expressions (reference Derivatives.from_sympy,
+    models.py:404-421) must reproduce the native engine: build the x_ave
+    derivative expressions by symbolic series division and compare."""
+    import sympy as sp
+
+    from thermoextrap_tpu.models.derivatives import Derivatives
+
+    order = 4
+    u_sym = sp.IndexedBase("u")
+    xu_sym = sp.IndexedBase("xu")
+
+    # symbolic truncated-series division of <x e^{-D u}> / <e^{-D u}>
+    fact = [sp.factorial(n) for n in range(order + 1)]
+    a = [(-1) ** n * xu_sym[n] / fact[n] for n in range(order + 1)]
+    b = [(-1) ** n * u_sym[n] / fact[n] for n in range(order + 1)]
+    c = []
+    for n in range(order + 1):
+        val = a[n] - sum(b[k] * c[n - k] for k in range(1, n + 1))
+        c.append(sp.expand(val / b[0]))
+    exprs = [sp.expand(c[n] * fact[n]) for n in range(order + 1)]
+
+    derivs = Derivatives.from_sympy(exprs, args=(u_sym, xu_sym))
+
+    data = xtpu.factory_data_values(uv=uval, xv=xval, order=order, central=False)
+    m_sympy = xtpu.ExtrapModel(BETA0, data, derivs, order=order)
+    m_native = beta_xpan.factory_extrapmodel(BETA0, data, name="x_ave")
+    np.testing.assert_allclose(
+        np.asarray(m_sympy.derivs()), np.asarray(m_native.derivs()), rtol=1e-10
+    )
+    # and predictions flow through the same ExtrapModel machinery
+    np.testing.assert_allclose(
+        np.asarray(m_sympy.predict(1.3)),
+        np.asarray(m_native.predict(1.3)),
+        rtol=1e-10,
+    )

@@ -364,3 +364,32 @@ class Derivatives:
             return _stack(rows)
 
         return cls(coefs_fn=coefs_fn, name=name)
+
+    @classmethod
+    def from_sympy(cls, exprs, args, name="sympy"):
+        """Migration seam for user-defined sympy observables
+        (reference ``Derivatives.from_sympy``, models.py:404-421).
+
+        ``exprs`` is indexable per derivative order (sympy expressions in
+        indexed moment symbols, e.g. ``u[n]``, ``xu[n]``); ``args`` the
+        corresponding sympy symbols.  Each order is lambdified to
+        ``jax.numpy`` once (cached) — sympy runs at build time only.
+        Indexed symbols index the moment arrays' leading axis, matching the
+        ``derivs_args`` layout.
+        """
+        import sympy as sp
+
+        cache: dict[int, Callable] = {}
+
+        def fn(i: int) -> Callable:
+            if i not in cache:
+                cache[i] = sp.lambdify(tuple(args), exprs[i], modules="jax")
+            return cache[i]
+
+        def coefs_fn(call_args, order):
+            rows = [
+                fn(i)(*call_args) / math.factorial(i) for i in range(order + 1)
+            ]
+            return _stack(rows)
+
+        return cls(coefs_fn=coefs_fn, name=name)
