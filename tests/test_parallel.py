@@ -122,3 +122,29 @@ def test_poisson_bootstrap_interpret(rng_np):
     assert 0.5 * 0.5 / np.sqrt(R) < sem < 2.0 * 0.5 / np.sqrt(R)
     np.testing.assert_allclose(np.asarray(du[0]), 1.0)
     np.testing.assert_allclose(np.asarray(du[1]), 0.0, atol=1e-12)
+
+
+def test_batched_umoments_interpret(rng_np):
+    """Batched u-moment kernel (lnPi macrostate layout) vs the XLA two-pass
+    reference, interpret mode."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_umoments_batched,
+    )
+
+    order, B, R = 5, 3, 2500
+    u = rng_np.normal(-50.0, 2.0, (B, R)).astype(np.float32)
+    w = rng_np.uniform(0.5, 1.5, (B, R)).astype(np.float32)
+    uave, du = reduce_central_umoments_batched(u, order, weight=w, interpret=True)
+    assert uave.shape == (B,)
+    assert du.shape == (order + 1, B)
+    for b in range(B):
+        wsum = w[b].sum()
+        ubar = (w[b] * np.float64(u[b])).sum() / wsum
+        ref = np.stack(
+            [(w[b] * (np.float64(u[b]) - ubar) ** n).sum() / wsum for n in range(order + 1)]
+        )
+        ref[0], ref[1] = 1.0, 0.0
+        np.testing.assert_allclose(float(uave[b]), ubar, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(du[:, b], np.float64), ref, rtol=5e-3, atol=1e-4
+        )

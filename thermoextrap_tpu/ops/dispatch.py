@@ -34,10 +34,19 @@ def _use_pallas() -> bool:
 
 def reduce_central(uv, xv, order, weight=None, val_ndim=1):
     flat = getattr(uv, "ndim", 1) == 1
-    if flat and _use_pallas():
-        return moments_pallas.reduce_central_comoments_fused(
-            uv, xv, order, weight=weight
-        )
+    if _use_pallas():
+        if flat:
+            return moments_pallas.reduce_central_comoments_fused(
+                uv, xv, order, weight=weight
+            )
+        if xv is uv:
+            # x_is_u with batch axes (the lnPi macrostate-grid layout):
+            # u-moments only, via the batched kernel (order+1 for the
+            # dxdu = du[n+1] shift view)
+            uave, du_full = moments_pallas.reduce_central_umoments_batched(
+                uv, order + 1, weight=weight
+            )
+            return uave, uave, du_full[: order + 1], du_full[1 : order + 2]
     return moments.reduce_central_comoments(
         uv, xv, order, weight=weight, val_ndim=val_ndim
     )

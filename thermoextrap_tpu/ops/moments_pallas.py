@@ -42,6 +42,7 @@ from .convert import shift_raw_comoments, shift_raw_moments
 
 __all__ = [
     "reduce_central_comoments_fused",
+    "reduce_central_umoments_batched",
     "resample_central_comoments_fused",
     "resample_central_comoments_poisson",
 ]
@@ -563,3 +564,128 @@ def resample_central_comoments_poisson(
     return _resample_epilogue(
         out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
     )
+
+
+# ---------------------------------------------------------------------------
+# batched u-moment reduction (lnPi-style workloads: energy moments per
+# macrostate; x_is_u so only u-moments are needed)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_u_batched_kernel(su_ref, u_ref, *rest, order, use_w, rows, n_real):
+    if use_w:
+        w_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    du = u_ref[0] - su_ref[b, 0]  # (rows, B)
+
+    def body(p):
+        for n in range(order + 1):
+            out_ref[0, n, :, :] += _tile_sum(p, rows)
+            if n < order:
+                p = p * du
+
+    last = pl.num_programs(1) - 1
+    has_tail = n_real % (rows * _LANES) != 0
+    if has_tail:
+
+        @pl.when(j < last)
+        def _():
+            body(w_ref[0] if use_w else jnp.ones_like(du))
+
+        @pl.when(j == last)
+        def _():
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+            flat = (j * rows + row_ids) * _LANES + lane_ids
+            mask = (flat < n_real).astype(du.dtype)
+            body(w_ref[0] * mask if use_w else mask)
+
+    else:
+        body(w_ref[0] if use_w else jnp.ones_like(du))
+
+
+@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
+def reduce_central_umoments_batched(
+    uv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 131072,
+    interpret: bool = False,
+):
+    r"""Fused central u-moment reduction for batched samples.
+
+    ``uv``: ``(*batch, R)`` (e.g. macrostate grid x samples for lnPi);
+    returns ``(uave (*batch,), du (order+1, *batch))`` with ``du[0]=1``,
+    ``du[1]=0``.  Grid: (batch, rec blocks); each batch row reduces its own
+    sample stream with the single-pass shifted accumulation.
+    """
+    uv = jnp.asarray(uv, dtype=jnp.float32)
+    batch_shape = uv.shape[:-1]
+    r = uv.shape[-1]
+    u2 = uv.reshape(-1, r)
+    nbatch = u2.shape[0]
+
+    w2 = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), uv.shape).reshape(
+            -1, r
+        )
+    )
+
+    head = min(8192, r)
+    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
+    s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
+
+    rows = max(block // _LANES, 8)
+    rows_needed = ((r + _LANES - 1) // _LANES + 7) // 8 * 8
+    rows = min(rows, rows_needed)
+    chunk = rows * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb_rows = rp // _LANES
+
+    u_p = jnp.pad(u2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
+    operands = [s_u.reshape(nbatch, 1), u_p]
+    in_specs = [
+        # whole shift vector in SMEM; indexed by program_id(0) in-kernel
+        pl.BlockSpec((nbatch, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)),
+    ]
+    use_w = w2 is not None
+    if use_w:
+        operands.append(
+            jnp.pad(w2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
+        )
+        in_specs.append(pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)))
+
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _reduce_u_batched_kernel, order=order, use_w=use_w, rows=rows, n_real=r
+        ),
+        grid=(nbatch, nb_rows // rows),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, order + 1, 8, _LANES), lambda b, j: (b, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbatch, order + 1, 8, _LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    sums = out.sum(axis=(2, 3)).T  # (order+1, nbatch)
+    wsum = sums[0]
+    m = sums / wsum
+    uave = m[1] + s_u
+    du = shift_raw_moments(m, m[1])
+    du = du.at[0].set(1.0).at[1].set(0.0)
+    return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
