@@ -1,0 +1,86 @@
+"""Edge-case robustness: degenerate orders, tiny data, single replicates."""
+
+import numpy as np
+import pytest
+
+import thermoextrap_tpu as xtpu
+from thermoextrap_tpu import beta as beta_xpan
+
+
+@pytest.fixture
+def small(rng_np):
+    u = rng_np.normal(2.0, 1.0, 32)
+    x = rng_np.normal(1.0, 0.5, (32, 1))
+    return u, x
+
+
+def test_order_zero_extrapolation(small):
+    """Order 0: prediction is the sample mean everywhere."""
+    u, x = small
+    data = xtpu.factory_data_values(uv=u, xv=x, order=0, central=True)
+    model = beta_xpan.factory_extrapmodel(1.0, data)
+    p1 = np.asarray(model.predict(1.0))
+    p2 = np.asarray(model.predict(5.0))
+    np.testing.assert_allclose(p1, p2, rtol=1e-12)
+    np.testing.assert_allclose(p1[0], x.mean(), rtol=1e-12)
+
+
+def test_order_one(small):
+    """Order 1: the classic -cov(x, u) first derivative."""
+    u, x = small
+    data = xtpu.factory_data_values(uv=u, xv=x, order=1, central=True)
+    model = beta_xpan.factory_extrapmodel(1.0, data)
+    derivs = np.asarray(model.derivs())
+    cov = ((x[:, 0] - x.mean()) * (u - u.mean())).mean()
+    np.testing.assert_allclose(derivs[1, 0], -cov, rtol=1e-10)
+
+
+def test_single_bootstrap_replicate(small):
+    u, x = small
+    data = xtpu.DataCentralMomentsVals.from_vals(x, u, 2)
+    boot = data.resample({"nrep": 1})
+    m = beta_xpan.factory_extrapmodel(1.0, boot)
+    assert np.asarray(m.predict(1.1)).shape == (1, 1)
+
+
+def test_tiny_dataset():
+    """Fewer samples than moment order still computes (garbage-in fine)."""
+    u = np.array([1.0, 2.0, 3.0])
+    x = np.array([[0.5], [1.5], [2.5]])
+    data = xtpu.factory_data_values(uv=u, xv=x, order=2, central=True)
+    m = beta_xpan.factory_extrapmodel(0.5, data)
+    assert np.isfinite(np.asarray(m.predict(0.6))).all()
+
+
+def test_scalar_observable_no_val_axis(small):
+    """xv with no val axis at all (pure scalar observable)."""
+    u, x = small
+    data = xtpu.factory_data_values(uv=u, xv=x[:, 0], order=3, central=True)
+    m = beta_xpan.factory_extrapmodel(1.0, data)
+    out = np.asarray(m.predict(np.array([0.9, 1.1])))
+    assert out.shape == (2,)
+
+
+def test_weight_zero_samples_excluded(small):
+    """Zero-weighted samples must not contribute."""
+    u, x = small
+    w = np.ones_like(u)
+    w[10:] = 0.0
+    d_w = xtpu.factory_data_values(uv=u, xv=x, order=3, central=True, weight=w)
+    d_t = xtpu.factory_data_values(uv=u[:10], xv=x[:10], order=3, central=True)
+    for a, b in zip(d_w.derivs_args, d_t.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10, atol=1e-12)
+
+
+def test_interp_single_state_collection_order():
+    """StateCollection.order is the min across states."""
+    rng = np.random.default_rng(0)
+
+    def mk(order, b):
+        u = rng.normal(size=50)
+        x = rng.normal(size=(50, 1))
+        d = xtpu.factory_data_values(uv=u, xv=x, order=order, central=True)
+        return beta_xpan.factory_extrapmodel(b, d)
+
+    sc = xtpu.StateCollection([mk(2, 0.5), mk(4, 1.5)])
+    assert sc.order == 2
