@@ -8,10 +8,14 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` compares against a vectorized numpy two-pass implementation
 measured on this host's CPU (stand-in for the cmomy/numba reference stack,
-which is not installed in this image; numpy vectorized is within ~2x of
-cmomy single-thread on this op and we scale by the host core count would be
-unfair in our favor — we leave it unscaled, i.e. conservative only w.r.t.
+which is not installed in this image; vectorized numpy is within ~2x of
+single-thread cmomy on this op, so the ratio is conservative only w.r.t.
 numba's threading).
+
+Timing notes: on the axon remote backend ``block_until_ready`` does not
+reliably wait, so runs are synchronized by fetching a scalar; the tunnel
+adds ~±30% timing noise, so the reported rate is the best of several repeat
+batches across two block sizes.
 """
 
 from __future__ import annotations
@@ -23,24 +27,23 @@ import numpy as np
 
 ORDER = 6
 R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md)
-V = 1
-WARMUP = 2
-ITERS = 10
-BASELINE_R = 20_000_000  # numpy baseline measured on a slice, scaled linearly
+REPEATS = 4
+ITERS = 5
+BASELINE_R = 20_000_000
 
 
 def numpy_two_pass(u, x, order):
     ubar = u.mean()
-    xbar = x.mean(axis=0)
+    xbar = x.mean()
     du = u - ubar
     dx = x - xbar
     p = np.ones_like(u)
     out_u = [np.float64(1.0)]
-    out_xu = [dx.mean(axis=0)]
+    out_xu = [dx.mean()]
     for _ in range(order):
         p = p * du
         out_u.append(p.mean())
-        out_xu.append((p[:, None] * dx).mean(axis=0))
+        out_xu.append((p * dx).mean())
     return np.stack(out_u), np.stack(out_xu)
 
 
@@ -56,35 +59,43 @@ def main() -> None:
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)
     uv = 5.0 + jax.random.normal(k1, (r,), dtype=jnp.float32)
-    xv = 2.0 + 0.5 * jax.random.normal(k2, (r, V), dtype=jnp.float32)
-    xv = xv.reshape(r) if V == 1 else xv
-    jax.block_until_ready((uv, xv))
+    xv = 2.0 + 0.5 * jax.random.normal(k2, (r,), dtype=jnp.float32)
 
     if on_accel:
-        run = lambda: reduce_central_comoments_fused(uv, xv, ORDER)
+        blocks = (131072, 524288)
+        runs = [
+            (lambda b=b: reduce_central_comoments_fused(uv, xv, ORDER, block=b))
+            for b in blocks
+        ]
     else:
         from thermoextrap_tpu.ops.moments import reduce_central_comoments
 
-        run = lambda: reduce_central_comoments(uv, xv, ORDER)
+        runs = [lambda: reduce_central_comoments(uv, xv, ORDER)]
 
-    # NOTE: on the axon remote backend block_until_ready does not reliably
-    # wait for completion; force a scalar fetch to synchronize.
-    for _ in range(WARMUP):
-        float(run()[2][2])
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = run()
-    float(out[2][2])
-    dt = (time.perf_counter() - t0) / ITERS
-    samples_per_sec = r / dt
+    def sync(out):
+        return float(out[2][2])
 
-    # CPU numpy baseline (two-pass, vectorized), measured then scaled to rate
+    best_dt = float("inf")
+    for run in runs:
+        sync(run())  # compile + warm
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = run()
+            sync(out)
+            best_dt = min(best_dt, (time.perf_counter() - t0) / ITERS)
+    samples_per_sec = r / best_dt
+
+    # CPU numpy baseline (two-pass, vectorized); best of 3 to de-noise the
+    # shared host
     rng = np.random.default_rng(0)
     ub = rng.normal(5.0, 1.0, BASELINE_R).astype(np.float32)
-    xb = rng.normal(2.0, 0.5, (BASELINE_R, V)).astype(np.float32)
-    t0 = time.perf_counter()
-    numpy_two_pass(ub, xb, ORDER)
-    base_dt = time.perf_counter() - t0
+    xb = rng.normal(2.0, 0.5, BASELINE_R).astype(np.float32)
+    base_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        numpy_two_pass(ub, xb, ORDER)
+        base_dt = min(base_dt, time.perf_counter() - t0)
     baseline_rate = BASELINE_R / base_dt
 
     print(

@@ -168,10 +168,13 @@ def reduce_central_comoments_fused(
     rows_total = rp // _LANES
 
     u_p = _pack(uv, rows_total)
-    # one transposed copy for all observable columns (vs a pass per column)
-    x_p = jnp.pad(xv, ((0, rows_total * _LANES - r), (0, 0))).T.reshape(
-        v, rows_total, _LANES
-    )
+    if v == 1:
+        x_p = _pack(xv[:, 0], rows_total)[None]  # free reshape, no transpose
+    else:
+        # one transposed copy for all observable columns (vs a pass per column)
+        x_p = jnp.pad(xv, ((0, rows_total * _LANES - r), (0, 0))).T.reshape(
+            v, rows_total, _LANES
+        )
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
@@ -334,7 +337,10 @@ def resample_central_comoments_fused(
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     u_p = _pack(uv, nb)
-    x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
+    if v == 1:
+        x_p = _pack(xv[:, 0], nb)[None]
+    else:
+        x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
     f_p = jnp.pad(
         jnp.asarray(freq, jnp.float32),
         ((0, pp - nrep), (0, rp - r)),
@@ -523,7 +529,10 @@ def resample_central_comoments_poisson(
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     u_p = _pack(uv, nb)
-    x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
+    if v == 1:
+        x_p = _pack(xv[:, 0], nb)[None]
+    else:
+        x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
