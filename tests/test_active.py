@@ -203,3 +203,58 @@ def test_error_stability_full_kl_path():
     assert v1 == pytest.approx(1.0)  # first call defines the normalization
     v2 = m.calc_metric(None, None, gpr)
     assert np.isfinite(v2) and v2 > 0
+
+
+def _fake_sim(rep_dir, beta, npart=200, nframes=500):
+    """Module-level sim function (must be picklable for multiprocessing):
+    writes reference-format sim_info.txt / cv_bias.txt files."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(abs(hash((rep_dir, beta))) % (2**31))
+    from thermoextrap_tpu import idealgas
+
+    x, u = idealgas.generate_data((nframes, npart), beta, rng=int(rng.integers(2**31)))
+    x = np.asarray(x)
+    u = np.asarray(u)
+    steps = np.arange(nframes)
+    np.savetxt(
+        os.path.join(rep_dir, "sim_info.txt"),
+        np.stack([steps, np.zeros(nframes), u], axis=1),
+    )
+    np.savetxt(
+        os.path.join(rep_dir, "cv_bias.txt"),
+        np.stack([steps, x, np.zeros(nframes)], axis=1),
+    )
+
+
+class TestSimWrapperProcesses:
+    def test_run_sim_spawns_and_wraps(self, tmp_path):
+        """SimWrapper spawns n_repeats child processes, joins, checks exit
+        codes, and wraps the output files (reference active_utils.py:376-454)."""
+        sw = au.SimWrapper(_fake_sim, data_kw_inputs={"n_frames": 500})
+        dw = sw.run_sim(tmp_path / "beta_1.0", 1.0, n_repeats=2)
+        assert isinstance(dw, au.DataWrapper)
+        assert len(dw.sim_info_files) == 2
+        pot, x, w = dw.get_data()
+        assert pot.shape[0] == x.shape[0] == w.shape[0] > 0
+        state = dw.build_state(max_order=2)
+        pred = float(np.asarray(state.predict(1.0))[0])
+        from thermoextrap_tpu import idealgas
+
+        assert abs(pred - float(idealgas.x_ave(1.0))) < 0.05
+
+    def test_failing_sim_raises(self, tmp_path):
+        def bad_sim(rep_dir, beta):
+            raise RuntimeError("boom")
+
+        # must be picklable -> use a module-level failing function instead
+        sw = au.SimWrapper(_failing_sim)
+        with pytest.raises(RuntimeError, match="exited with code"):
+            sw.run_sim(tmp_path / "beta_2.0", 2.0, n_repeats=1)
+
+
+def _failing_sim(rep_dir, beta):
+    msg = "simulated failure"
+    raise RuntimeError(msg)

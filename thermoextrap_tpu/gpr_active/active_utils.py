@@ -272,6 +272,9 @@ class SimWrapper:
         import multiprocessing
         import time
 
+        # spawn (not fork): jax is multithreaded and fork() risks deadlock
+        ctx = multiprocessing.get_context("spawn")
+
         sim_dir = Path(sim_dir)
         sim_dir.mkdir(parents=True, exist_ok=True)
 
@@ -285,7 +288,7 @@ class SimWrapper:
             rep_dir.mkdir(parents=True, exist_ok=True)
             kws = dict(self.kw_inputs)
             kws.update(extra_kwargs)
-            p = multiprocessing.Process(
+            p = ctx.Process(
                 target=self.sim_func,
                 args=(str(rep_dir), alpha),
                 kwargs=kws,
