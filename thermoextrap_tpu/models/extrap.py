@@ -383,7 +383,8 @@ class MBARModel(StateCollection):
         xv = jnp.stack([jnp.asarray(m.data.xv) for m in self], axis=0)  # (K, R, *val)
         alpha0 = jnp.asarray([m.alpha0 for m in self])  # (K,)
 
-        u_kn = alpha0[:, None] * uv.reshape(len(self), -1)  # (K, K*R)
+        # reduced potential of EVERY state evaluated on ALL pooled samples
+        u_kn = alpha0[:, None] * uv.reshape(1, -1)  # (K, K*R)
         n_k = jnp.full((len(self),), uv.shape[-1] * 1.0)
         f_k = mbar_solve(u_kn, n_k)
 
