@@ -27,7 +27,7 @@ from .models.derivatives import (
     raw_u_ave_coefs,
 )
 from .models.extrap import ExtrapModel
-from .utils.trees import pytree_dataclass, replace
+from .utils.trees import pytree_dataclass
 
 __all__ = ["factory_derivatives", "factory_extrapmodel_lnPi", "lnPiDataCallback"]
 

@@ -32,7 +32,7 @@ plain derivatives ``f^(n)`` (reference convention, models.py:317-402).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from math import comb
 from typing import Any, Callable
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .convert import central_from_raw, shift_raw_comoments, shift_raw_moments
+from .convert import shift_raw_comoments, shift_raw_moments
 from .moments import u_power_stack
 
 __all__ = [
