@@ -268,3 +268,53 @@ class TestHeteroscedasticGPR:
         mean, var = model.predict_f(X)
         assert np.asarray(mean).shape == (6, 2)
         np.testing.assert_allclose(np.asarray(mean), Y, atol=0.15)
+
+
+class TestCallableDerivativeKernel:
+    def test_matches_sympy_rbf(self):
+        """Nested-jax.grad kernel == sympy-differentiated RBF kernel."""
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.gpr_active.kernels import CallableDerivativeKernel
+
+        def rbf(x1, x2, var, ell):
+            return var * jnp.exp(-0.5 * ((x1[0] - x2[0]) / ell) ** 2)
+
+        k_call = CallableDerivativeKernel(
+            rbf, obs_dims=1, kernel_params={"var": 1.4, "l": 0.8}
+        )
+        k_sym = RBFDerivKernel()
+        params = {"var": 1.4, "l": 0.8}
+
+        X = np.array(
+            [[0.1, 0.0], [0.4, 1.0], [0.9, 2.0], [1.3, 0.0], [0.6, 3.0]]
+        )
+        K1 = np.asarray(k_call.K(X))
+        K2 = np.asarray(k_sym.K(X, params=params))
+        np.testing.assert_allclose(K1, K2, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(k_call.K_diag(X)),
+            np.asarray(k_sym.K_diag(X, params=params)),
+            rtol=1e-8,
+        )
+
+    def test_trains_in_gpr(self):
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.gpr_active.kernels import CallableDerivativeKernel
+
+        def rbf(x1, x2, var, ell):
+            return var * jnp.exp(-0.5 * ((x1[0] - x2[0]) / ell) ** 2)
+
+        xs = np.linspace(0, 3, 6)
+        y = np.sin(xs)[:, None]
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        model = HeteroscedasticGPR(
+            (X, y, np.eye(6) * 1e-4),
+            kernel=CallableDerivativeKernel(
+                rbf, kernel_params={"var": 1.0, "l": 1.0}
+            ),
+        )
+        model.train(max_iter=100)
+        mu, _ = model.predict_f(X)
+        np.testing.assert_allclose(np.asarray(mu), y, atol=0.05)

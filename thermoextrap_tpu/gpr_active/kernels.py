@@ -12,6 +12,7 @@ import sympy as sp
 from .gp_models import DerivativeKernel, Parameter
 
 __all__ = [
+    "CallableDerivativeKernel",
     "ChangeInnerOuterRBFDerivKernel",
     "RBFDerivKernel",
     "make_matern_expr",
@@ -99,3 +100,74 @@ class ChangeInnerOuterRBFDerivKernel(DerivativeKernel):
             "c2": Parameter(c2, "none", trainable=False),
         }
         super().__init__(full, 1, kernel_params=params, **kws)
+
+
+class CallableDerivativeKernel(DerivativeKernel):
+    """Derivative kernel over a plain jax-callable — mixed partials by
+    nested ``jax.grad`` instead of sympy (the fully jax-native alternative
+    to the reference's sympy-expression kernels; useful when the kernel has
+    no closed symbolic form, e.g. learned or numerically-defined kernels).
+
+    Parameters
+    ----------
+    fn :
+        ``fn(x1, x2, *param_values) -> scalar`` with ``x1, x2`` length-
+        ``obs_dims`` jax vectors and parameters scalar.
+    obs_dims, kernel_params :
+        As for :class:`~thermoextrap_tpu.gpr_active.gp_models.DerivativeKernel`
+        (``kernel_params`` is required: it defines parameter names/order).
+    """
+
+    def __init__(self, fn, obs_dims: int = 1, kernel_params=None) -> None:
+        import jax
+
+        if not kernel_params:
+            msg = "kernel_params (name -> Parameter/value) is required"
+            raise ValueError(msg)
+        # bypass DerivativeKernel.__init__ (no sympy expression to mine)
+        self.fn = fn
+        self.obs_dims = int(obs_dims)
+        self.kernel_expr = None
+        self.x_syms = []
+        self.param_syms = []
+        self.params = {}
+        for name, spec in kernel_params.items():
+            if isinstance(spec, Parameter):
+                self.params[name] = spec
+            else:
+                self.params[name] = Parameter(float(spec), "positive")
+        self._fn_cache = {}
+        self._jax = jax
+
+    def _deriv_fn(self, d1: tuple, d2: tuple):
+        key = (tuple(d1), tuple(d2))
+        if key not in self._fn_cache:
+            jax = self._jax
+            d = self.obs_dims
+
+            g = self.fn
+            for argnum, orders in ((0, d1), (1, d2)):
+                for k, n in enumerate(orders):
+                    for _ in range(int(n)):
+                        g = (
+                            lambda f, a=argnum, kk=k: lambda *args: jax.grad(
+                                f, argnums=a
+                            )(*args)[kk]
+                        )(g)
+
+            def eval_fn(*flat, _g=g, _d=d):
+                import jax.numpy as jnp
+
+                cols1, cols2 = flat[:_d], flat[_d : 2 * _d]
+                pvals = flat[2 * _d :]
+                x1 = jnp.stack(jnp.broadcast_arrays(*cols1), axis=-1)
+                x2 = jnp.stack(jnp.broadcast_arrays(*cols2), axis=-1)
+                pair = lambda a, b: _g(a, b, *pvals)
+                flat_shape = x1.shape[:-1]
+                out = jax.vmap(pair)(
+                    x1.reshape(-1, _d), x2.reshape(-1, _d)
+                )
+                return out.reshape(flat_shape)
+
+            self._fn_cache[key] = eval_fn
+        return self._fn_cache[key]
