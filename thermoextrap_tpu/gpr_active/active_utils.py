@@ -1004,6 +1004,10 @@ def active_learning(  # noqa: C901
             base_kwargs=gp_base_kwargs,
             start_params=start_params,
         )
+        if logger.isEnabledFor(logging.INFO):
+            from .gp_models import print_summary
+
+            print_summary(this_gp)
         train_history["loss"].append(float(this_gp.neg_lml(this_gp.get_unconstrained())))
         train_history["params"].append(this_gp.parameters())
 

@@ -66,6 +66,7 @@ __all__ = [
     "LinearWithDerivs",
     "Parameter",
     "SympyMeanFunc",
+    "print_summary",
     "multioutput_multivariate_normal",
 ]
 
@@ -653,3 +654,17 @@ class HeteroscedasticGPR:
             self.set_unconstrained(res.x)
         # else: keep the starting parameters (rollback)
         return res
+
+
+def print_summary(gpr) -> None:
+    """Print a parameter/data summary of a GPR model (role of
+    ``gpflow.utilities.print_summary`` in the reference loop,
+    active_utils.py:2177)."""
+    print(f"{type(gpr).__name__}: N={gpr.X.shape[0]}, out_dim={gpr.out_dim}")
+    for name, val in gpr.parameters().items():
+        spec = gpr._param_specs()[name]
+        flags = [spec.transform] if spec.transform != "none" else []
+        if not spec.trainable:
+            flags.append("frozen")
+        extra = f" ({', '.join(flags)})" if flags else ""
+        print(f"  {name:24s} = {val:.6g}{extra}")
