@@ -25,7 +25,6 @@ on CPU; on TPU the matrices are tiny so XLA's f64 emulation is fine).
 from __future__ import annotations
 
 import math
-from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass
 from typing import Callable
 
@@ -35,28 +34,14 @@ import numpy as np
 import sympy as sp
 
 
-@contextmanager
 def _compute_ctx():
-    """Run GPR linear algebra in f64 on the host CPU backend.
+    """GPR linear algebra runs in f64 on the host CPU backend: the
+    derivative-kernel Gram matrices are tiny (N ~ tens) but severely
+    ill-conditioned, and TPUs have no native f64 Cholesky.  Same division of
+    labor as the reference (GPflow/TF on CPU, cmomy crunching samples)."""
+    from ..utils.compute import host_f64
 
-    The derivative-kernel Gram matrices are tiny (N ~ tens) but severely
-    ill-conditioned (mixed derivative orders), so they need f64 Cholesky —
-    which TPUs do not implement natively.  Pinning this math to CPU is the
-    deliberate design (same split as the reference: GPflow/TF ran on CPU
-    while cmomy crunched samples); the heavy sample-reduction kernels stay
-    on the TPU.
-    """
-    dev_ctx = nullcontext()
-    if jax.default_backend() != "cpu":
-        try:
-            dev_ctx = jax.default_device(jax.devices("cpu")[0])
-        except RuntimeError:
-            pass
-    x64_ctx = (
-        nullcontext() if jax.config.jax_enable_x64 else jax.enable_x64(True)
-    )
-    with dev_ctx, x64_ctx:
-        yield
+    return host_f64()
 
 __all__ = [
     "ConstantMeanWithDerivs",

@@ -262,6 +262,14 @@ class InterpModel(StateCollection):
     ``jnp.linalg.solve`` (vs explicit ``np.linalg.inv`` in the reference)."""
 
     def coefs(self, order=None, minus_log=None):
+        # the (porder+1)^2 derivative-matching system has condition number
+        # ~alpha^porder: solve in f64 on the host (utils/compute.py)
+        from ..utils.compute import host_f64
+
+        with host_f64():
+            return self._coefs(order=order, minus_log=minus_log)
+
+    def _coefs(self, order=None, minus_log=None):
         if order is None:
             order = self.order
         porder = len(self) * (order + 1) - 1
@@ -295,11 +303,14 @@ class InterpModel(StateCollection):
         return coefs.reshape((porder + 1, *rest))
 
     def predict(self, alpha, order=None, minus_log=None):
-        coefs = self.coefs(order=order, minus_log=minus_log)
-        alpha = jnp.asarray(alpha)
-        p = _alpha_powers(alpha, coefs.shape[0] - 1)
-        terms = p.reshape(p.shape + (1,) * (coefs.ndim - 1)) * coefs
-        return terms.sum(axis=alpha.ndim)
+        from ..utils.compute import host_f64
+
+        with host_f64():
+            coefs = self._coefs(order=order, minus_log=minus_log)
+            alpha = jnp.asarray(coefs.dtype.type(1) * jnp.asarray(alpha, dtype=coefs.dtype))
+            p = _alpha_powers(alpha, coefs.shape[0] - 1)
+            terms = p.reshape(p.shape + (1,) * (coefs.ndim - 1)) * coefs
+            return terms.sum(axis=alpha.ndim)
 
 
 class InterpModelPiecewise(StateCollection, _PiecewiseMixin):
