@@ -262,16 +262,21 @@ class InterpModel(StateCollection):
     ``jnp.linalg.solve`` (vs explicit ``np.linalg.inv`` in the reference)."""
 
     def coefs(self, order=None, minus_log=None):
+        if order is None:
+            order = self.order
+        # derivatives first, on the normal backend (may hit Pallas kernels)
+        derivs_list = [
+            m.derivs(order=order, minus_log=minus_log, norm=False)
+            for m in self.states
+        ]
         # the (porder+1)^2 derivative-matching system has condition number
         # ~alpha^porder: solve in f64 on the host (utils/compute.py)
         from ..utils.compute import host_f64
 
         with host_f64():
-            return self._coefs(order=order, minus_log=minus_log)
+            return self._coefs(derivs_list, order=order)
 
-    def _coefs(self, order=None, minus_log=None):
-        if order is None:
-            order = self.order
+    def _coefs(self, derivs_list, order):
         porder = len(self) * (order + 1) - 1
 
         power = np.arange(porder + 1)
@@ -291,11 +296,7 @@ class InterpModel(StateCollection):
         mat = jnp.asarray(np.nan_to_num(np.array(rows), posinf=0.0, neginf=0.0))
 
         derivs = jnp.concatenate(
-            [
-                m.derivs(order=order, minus_log=minus_log, norm=False)
-                for m in self.states
-            ],
-            axis=0,
+            [jnp.asarray(d, dtype=jnp.float64) for d in derivs_list], axis=0
         )  # (porder+1, *rest)
         rest = derivs.shape[1:]
         flat = derivs.reshape(porder + 1, -1)
@@ -305,9 +306,9 @@ class InterpModel(StateCollection):
     def predict(self, alpha, order=None, minus_log=None):
         from ..utils.compute import host_f64
 
+        coefs = self.coefs(order=order, minus_log=minus_log)
         with host_f64():
-            coefs = self._coefs(order=order, minus_log=minus_log)
-            alpha = jnp.asarray(coefs.dtype.type(1) * jnp.asarray(alpha, dtype=coefs.dtype))
+            alpha = jnp.asarray(alpha, dtype=coefs.dtype)
             p = _alpha_powers(alpha, coefs.shape[0] - 1)
             terms = p.reshape(p.shape + (1,) * (coefs.ndim - 1)) * coefs
             return terms.sum(axis=alpha.ndim)

@@ -29,6 +29,11 @@ def _use_pallas() -> bool:
         return True
     if _FORCE == "xla":
         return False
+    # respect an active jax.default_device(cpu) context (e.g. the host-f64
+    # linear-algebra context): Pallas TPU kernels cannot lower on CPU
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "cpu") != "cpu"
     return jax.default_backend() != "cpu"
 
 
