@@ -258,3 +258,30 @@ class TestSimWrapperProcesses:
 def _failing_sim(rep_dir, beta):
     msg = "simulated failure"
     raise RuntimeError(msg)
+
+
+class TestActiveLearningRestart:
+    def test_restart_from_data_wrappers(self, tmp_path):
+        """Restart semantics (reference active_utils.py:2133-2144 + file
+        persistence): a second active_learning call seeded with the
+        DataWrapper list from a previous run continues without re-simulating
+        the initial states."""
+        sim = ig_active.SimulateIG(nconfig=NCONF, npart=NPART)
+        update = au.UpdateSpaceFill(rng=3, n_grid=50)
+
+        data_list, _ = au.active_learning(
+            [0.5, 2.0], sim, update, base_dir=str(tmp_path), max_iter=1,
+            max_order=2,
+        )
+        n_first = len(data_list)
+        counter_after_first = sim._counter
+
+        # restart: pass DataWrappers (not floats) -> no new initial sims
+        data_list2, history2 = au.active_learning(
+            data_list, sim, update, base_dir=str(tmp_path), max_iter=1,
+            max_order=2,
+        )
+        assert len(data_list2) >= n_first
+        # exactly one new simulation (the acquisition), none for init states
+        assert sim._counter == counter_after_first + 1
+        assert len(history2["loss"]) >= 1
