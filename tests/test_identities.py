@@ -149,3 +149,36 @@ def test_from_sympy_migration_seam(uval, xval):
         np.asarray(m_native.predict(1.3)),
         rtol=1e-10,
     )
+
+
+def test_end_to_end_differentiability(uval, xval):
+    """The full pipeline samples -> moments -> series engine -> prediction is
+    differentiable (a capability the reference stack cannot offer): gradient
+    of the extrapolated prediction w.r.t. each raw sample matches finite
+    differences."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.models.derivatives import central_x_ave_coefs
+    from thermoextrap_tpu.ops.moments import reduce_central_comoments
+
+    order, b_eval = 3, BETA0 + 0.2
+    xv = xval[:50]
+    uv = uval[:50]
+
+    def predict(u_samples):
+        xave, _ua, du, dxdu = reduce_central_comoments(
+            u_samples, jnp.asarray(xv)[:, None], order
+        )
+        c = central_x_ave_coefs(xave, du[:, None], dxdu, order)
+        d = b_eval - BETA0
+        return sum(c[n, 0] * d**n for n in range(order + 1))
+
+    g = jax.grad(predict)(jnp.asarray(uval[:50]))
+    # finite-difference check on a few sample positions
+    h = 1e-6
+    for i in (0, 17, 42):
+        up = np.array(uval[:50]); up[i] += h
+        um = np.array(uval[:50]); um[i] -= h
+        fd = (float(predict(jnp.asarray(up))) - float(predict(jnp.asarray(um)))) / (2 * h)
+        np.testing.assert_allclose(float(g[i]), fd, rtol=1e-5, atol=1e-10)
