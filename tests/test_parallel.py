@@ -148,3 +148,57 @@ def test_batched_umoments_interpret(rng_np):
         np.testing.assert_allclose(
             np.asarray(du[:, b], np.float64), ref, rtol=5e-3, atol=1e-4
         )
+
+
+def test_fused_reduce_custom_vjp(rng_np):
+    """Cotangents of the fused kernel's custom VJP == autodiff through the
+    XLA reference implementation."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused_ad,
+    )
+
+    order, R, V = 4, 300, 2
+    u = jnp.asarray(rng_np.normal(2.0, 1.0, R))
+    x = jnp.asarray(rng_np.normal(1.0, 0.5, (R, V)))
+    w = jnp.asarray(rng_np.uniform(0.5, 1.5, R))
+
+    def loss_ref(u, x, w):
+        xave, uave, du, dxdu = reduce_central_comoments(u, x, order, weight=w)
+        return (
+            jnp.sum(jnp.sin(xave))
+            + 2.0 * uave
+            + jnp.sum(du**2)
+            + jnp.sum(dxdu * jnp.arange(1.0, 1.0 + dxdu.size).reshape(dxdu.shape))
+        )
+
+    def loss_fused(u, x, w):
+        xave, uave, du, dxdu = reduce_central_comoments_fused_ad(u, x, w, order)
+        return (
+            jnp.sum(jnp.sin(xave))
+            + 2.0 * uave
+            + jnp.sum(du**2)
+            + jnp.sum(dxdu * jnp.arange(1.0, 1.0 + dxdu.size).reshape(dxdu.shape))
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(u, x, w)
+    # patch the fused forward to interpret mode on CPU via dispatch of the
+    # XLA forward inside the custom_vjp: easiest is monkeypatching the
+    # forward used by the wrapper
+    import thermoextrap_tpu.ops.moments_pallas as mp
+
+    orig = mp.reduce_central_comoments_fused
+    mp.reduce_central_comoments_fused = lambda uu, xx, oo, weight=None: orig(
+        uu, xx, oo, weight=weight, interpret=True
+    )
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(u, x, w)
+    finally:
+        mp.reduce_central_comoments_fused = orig
+
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )

@@ -9,6 +9,7 @@ f64 accuracy is available and Pallas TPU kernels cannot compile).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from . import moments, moments_pallas, resample
 
@@ -41,8 +42,16 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
     flat = getattr(uv, "ndim", 1) == 1
     if _use_pallas():
         if flat:
-            return moments_pallas.reduce_central_comoments_fused(
-                uv, xv, order, weight=weight
+            # custom-VJP wrapper: autodiff flows through the fused kernel
+            w = (
+                jnp.ones_like(jnp.asarray(uv))
+                if weight is None
+                else jnp.broadcast_to(
+                    jnp.asarray(weight, jnp.asarray(uv).dtype), jnp.shape(uv)
+                )
+            )
+            return moments_pallas.reduce_central_comoments_fused_ad(
+                uv, xv, w, order
             )
         if xv is uv:
             # x_is_u with batch axes (the lnPi macrostate-grid layout):

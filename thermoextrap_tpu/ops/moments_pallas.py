@@ -42,6 +42,7 @@ from .convert import shift_raw_comoments, shift_raw_moments
 
 __all__ = [
     "reduce_central_comoments_fused",
+    "reduce_central_comoments_fused_ad",
     "reduce_central_umoments_batched",
     "resample_central_comoments_fused",
     "resample_central_comoments_poisson",
@@ -698,3 +699,98 @@ def reduce_central_umoments_batched(
     du = shift_raw_moments(m, m[1])
     du = du.at[0].set(1.0).at[1].set(0.0)
     return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: autodiff through the fused reduction (the Pallas forward has
+# no transpose rule; the backward has closed forms in the outputs)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def reduce_central_comoments_fused_ad(uv, xv, w, order: int):
+    r"""Differentiable wrapper around the fused reduction.
+
+    Same outputs as :func:`reduce_central_comoments_fused` (``w`` must be an
+    array; pass ones for unweighted).  Backward pass implements the exact
+    closed-form cotangents, e.g.
+
+    .. math:: \partial du_n / \partial u_j
+              = (w_j/W)\, n\,[(u_j-\bar u)^{n-1} - du_{n-1}]
+
+    evaluated as per-sample polynomials in :math:`u_j - \bar u` — one
+    streaming XLA pass.
+    """
+    return reduce_central_comoments_fused(uv, xv, order, weight=w)
+
+
+def _fused_ad_fwd(uv, xv, w, order: int):
+    out = reduce_central_comoments_fused(uv, xv, order, weight=w)
+    return out, (uv, xv, w, out)
+
+
+def _fused_ad_bwd(order: int, res, cts):
+    uv, xv, w, (xave, uave, du, dxdu) = res
+    gx, guave, gdu, gdxdu = cts
+    gx = jnp.zeros_like(xave) if gx is None else gx
+    guave = jnp.zeros_like(uave) if guave is None else guave
+    gdu = jnp.zeros_like(du) if gdu is None else gdu
+    gdxdu = jnp.zeros_like(dxdu) if gdxdu is None else gdxdu
+
+    val_shape = xv.shape[1:]
+    xflat = xv.reshape(uv.shape[0], -1)
+    v = xflat.shape[1]
+    gx_f = gx.reshape(v)
+    gdxdu_f = gdxdu.reshape(order + 1, v)
+    xave_f = xave.reshape(v)
+    dxdu_f = dxdu.reshape(order + 1, v)
+
+    wsum = w.sum()
+    wn = w / wsum
+    t = uv - uave  # (R,)
+    s = xflat - xave_f[None, :]  # (R, V)
+
+    # power stack t^0..t^order
+    pw = [jnp.ones_like(t)]
+    for _ in range(order):
+        pw.append(pw[-1] * t)
+
+    # d/du_j:  (w_j/W) [guave + P(t_j) - c1 + sum_v s_jv Q_v(t_j) - c2]
+    p_t = sum(n * gdu[n] * pw[n - 1] for n in range(1, order + 1))
+    c1 = sum(n * gdu[n] * du[n - 1] for n in range(1, order + 1))
+    q_t = sum(
+        n * gdxdu_f[n][None, :] * pw[n - 1][:, None] for n in range(1, order + 1)
+    )  # (R, V)
+    c2 = sum(n * (gdxdu_f[n] * dxdu_f[n - 1]).sum() for n in range(1, order + 1))
+    gu_bar = wn * (guave + p_t - c1 + (s * q_t).sum(axis=1) - c2)
+
+    # d/dx_jv: (w_j/W) [gx_v + R_v(t_j) - c3_v]
+    r_t = sum(gdxdu_f[n][None, :] * pw[n][:, None] for n in range(order + 1))
+    c3 = sum(gdxdu_f[n] * du[n] for n in range(order + 1))
+    gx_bar = wn[:, None] * (gx_f[None, :] + r_t - c3[None, :])
+
+    # d/dw_j (for completeness; weights rarely differentiated)
+    tpow = jnp.stack(pw, axis=0)  # (order+1, R)
+    du_term = sum(
+        gdu[n] * (tpow[n] - du[n] - n * du[n - 1] * t) for n in range(order + 1)
+    )
+    dxdu_term = sum(
+        (
+            gdxdu_f[n][None, :]
+            * (
+                s * tpow[n][:, None]
+                - dxdu_f[n][None, :]
+                - s * du[n]
+                - n * dxdu_f[n - 1][None, :] * t[:, None]
+            )
+        ).sum(axis=1)
+        for n in range(order + 1)
+    )
+    gw_bar = (
+        (s * gx_f[None, :]).sum(axis=1) + guave * t + du_term + dxdu_term
+    ) / wsum
+
+    return gu_bar, gx_bar.reshape(xv.shape), gw_bar
+
+
+reduce_central_comoments_fused_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
