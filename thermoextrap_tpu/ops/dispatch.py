@@ -44,7 +44,7 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
         if flat:
             # custom-VJP wrapper: autodiff flows through the fused kernel
             w = (
-                jnp.ones_like(jnp.asarray(uv))
+                None
                 if weight is None
                 else jnp.broadcast_to(
                     jnp.asarray(weight, jnp.asarray(uv).dtype), jnp.shape(uv)

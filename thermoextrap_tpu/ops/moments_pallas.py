@@ -711,9 +711,9 @@ def reduce_central_umoments_batched(
 def reduce_central_comoments_fused_ad(uv, xv, w, order: int):
     r"""Differentiable wrapper around the fused reduction.
 
-    Same outputs as :func:`reduce_central_comoments_fused` (``w`` must be an
-    array; pass ones for unweighted).  Backward pass implements the exact
-    closed-form cotangents, e.g.
+    Same outputs as :func:`reduce_central_comoments_fused`; ``w`` may be
+    ``None`` (unweighted; the kernel then skips the weight stream).
+    Backward pass implements the exact closed-form cotangents, e.g.
 
     .. math:: \partial du_n / \partial u_j
               = (w_j/W)\, n\,[(u_j-\bar u)^{n-1} - du_{n-1}]
@@ -731,6 +731,9 @@ def _fused_ad_fwd(uv, xv, w, order: int):
 
 def _fused_ad_bwd(order: int, res, cts):
     uv, xv, w, (xave, uave, du, dxdu) = res
+    no_weight = w is None
+    if no_weight:
+        w = jnp.ones_like(uv)
     gx, guave, gdu, gdxdu = cts
     gx = jnp.zeros_like(xave) if gx is None else gx
     guave = jnp.zeros_like(uave) if guave is None else guave
@@ -786,6 +789,8 @@ def _fused_ad_bwd(order: int, res, cts):
         ).sum(axis=1)
         for n in range(order + 1)
     )
+    if no_weight:
+        return gu_bar, gx_bar.reshape(xv.shape), None
     gw_bar = (
         (s * gx_f[None, :]).sum(axis=1) + guave * t + du_term + dxdu_term
     ) / wsum
