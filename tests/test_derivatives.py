@@ -314,3 +314,78 @@ class TestLnPi:
         model = lnpi_xpan.factory_extrapmodel_lnPi(BETA0, data)
         derivs = np.asarray(model.derivs())  # (ORDER+2, n_grid)? order=data.order+1
         np.testing.assert_allclose(derivs[: ORDER + 1], expected, rtol=1e-9)
+
+
+class TestXalphaMomentObservables:
+    """xalpha variants of the moment observables (d-indexed columns)."""
+
+    @staticmethod
+    def _poly_cfg():
+        rng = np.random.default_rng(5)
+        return rng.uniform(0.5, 1.5, size=(12, 3))  # x_c(b) = a + b*beta + c*beta^2
+
+    @staticmethod
+    def _xsym(abc):
+        b = sp.symbols("b")
+        return b, [
+            sp.nsimplify(a) + sp.nsimplify(bb) * b + sp.nsimplify(c) * b**2
+            for a, bb, c in abc
+        ]
+
+    @staticmethod
+    def _deriv_data(u_c, w_c, abc, order, central):
+        m = len(u_c)
+        deriv_vals = np.zeros((m, order + 1 + 2, 1))
+        deriv_vals[:, 0, 0] = abc[:, 0] + abc[:, 1] * BETA0 + abc[:, 2] * BETA0**2
+        deriv_vals[:, 1, 0] = abc[:, 1] + 2 * abc[:, 2] * BETA0
+        deriv_vals[:, 2, 0] = 2 * abc[:, 2]
+        return xtpu.factory_data_values(
+            uv=u_c, xv=deriv_vals, order=order, central=central, xalpha=True,
+            weight=boltzmann_weights(u_c, w_c),
+        )
+
+    def test_xun_ave_xalpha(self, discrete):
+        u_c, w_c, _ = discrete
+        abc = self._poly_cfg()
+        n, d, dorder = 1, 1, 3
+        b, exprs = self._xsym(abc)
+        # observable: x^{(d)}(b) * u^n  with x^{(1)} = dx/db per config
+        expected = sym_derivs(
+            sym_ensemble_avg(
+                [sp.diff(e, b, d) * sp.nsimplify(uu) ** n for e, uu in zip(exprs, u_c)],
+                u_c, w_c, b,
+            ),
+            b, dorder,
+        )
+        data = self._deriv_data(u_c, w_c, abc, n + dorder + 2, central=False)
+        model = beta_xpan.factory_extrapmodel(
+            BETA0, data, name="xun_ave", n=n, d=d, xalpha=True, order=dorder
+        )
+        np.testing.assert_allclose(
+            np.asarray(model.derivs(order=dorder))[:, 0], expected, rtol=1e-8
+        )
+
+    def test_dxdun_ave_xalpha(self, discrete):
+        u_c, w_c, _ = discrete
+        abc = self._poly_cfg()
+        n, d, dorder = 1, 1, 2
+        b, exprs = self._xsym(abc)
+        uave = sym_ensemble_avg([sp.nsimplify(v) for v in u_c], u_c, w_c, b)
+        xdave = sym_ensemble_avg(
+            [sp.diff(e, b, d) for e in exprs], u_c, w_c, b
+        )
+        expr = sym_ensemble_avg(
+            [
+                (sp.diff(e, b, d) - xdave) * (sp.nsimplify(uu) - uave) ** n
+                for e, uu in zip(exprs, u_c)
+            ],
+            u_c, w_c, b,
+        )
+        expected = sym_derivs(expr, b, dorder)
+        data = self._deriv_data(u_c, w_c, abc, n + dorder + 2, central=True)
+        model = beta_xpan.factory_extrapmodel(
+            BETA0, data, name="dxdun_ave", n=n, d=d, xalpha=True, order=dorder
+        )
+        np.testing.assert_allclose(
+            np.asarray(model.derivs(order=dorder))[:, 0], expected, rtol=1e-8
+        )
