@@ -201,3 +201,20 @@ class TestMBAR:
         )
         f = np.asarray(mbar_solve(u_kn, np.array([n, n])))
         np.testing.assert_allclose(f[1] - f[0], c, rtol=1e-6)
+
+
+def test_predict_fn_jittable(states):
+    """predict_fn embeds a model's prediction in jitted programs."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.models.extrap import predict_fn
+
+    fn = predict_fn(states[0])
+    alphas = jnp.array([0.6, 0.9])
+    direct = np.asarray(states[0].predict(alphas))
+    jitted = np.asarray(jax.jit(fn)(alphas))
+    np.testing.assert_allclose(jitted, direct, rtol=1e-12)
+    # and grad flows w.r.t. alpha
+    g = jax.grad(lambda a: jnp.sum(fn(a)))(0.7)
+    assert np.isfinite(float(g))

@@ -24,6 +24,7 @@ from .derivatives import Derivatives
 
 __all__ = [
     "ExtrapModel",
+    "predict_fn",
     "ExtrapWeightedModel",
     "InterpModel",
     "InterpModelPiecewise",
@@ -417,3 +418,17 @@ class MBARModel(StateCollection):
     def resample(self, *args, **kws):
         msg = "resample not implemented for MBARModel"
         raise NotImplementedError(msg)
+
+
+def predict_fn(model: ExtrapModel):
+    """Return a pure jittable ``fn(alpha) -> prediction`` with the model's
+    coefficients captured as constants — for embedding extrapolation
+    predictions inside larger jitted/pjit programs (the model object itself
+    is host-side orchestration)."""
+    coefs = model.coefs()
+    alpha0 = model.alpha0
+
+    def fn(alpha):
+        return _poly_eval(coefs, jnp.asarray(alpha) - alpha0)
+
+    return fn
