@@ -202,3 +202,50 @@ def test_fused_reduce_custom_vjp(rng_np):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
         )
+
+
+def test_fused_resample_custom_vjp(rng_np):
+    """Gradients through the fused bootstrap == autodiff through the XLA
+    formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops import moments_pallas as mp
+
+    order, R, V, nrep = 3, 200, 2, 6
+    u = jnp.asarray(rng_np.normal(2.0, 1.0, R))
+    x = jnp.asarray(rng_np.normal(1.0, 0.5, (R, V)))
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = freq_from_indices(idx, R)
+
+    def scalar(out):
+        xave, uave, du, dxdu = out
+        return (
+            jnp.sum(xave * jnp.arange(1.0, 1.0 + xave.size).reshape(xave.shape))
+            + jnp.sum(uave)
+            + jnp.sum(du**2)
+            + jnp.sum(dxdu)
+        )
+
+    g_ref = jax.grad(
+        lambda u, x: scalar(resample_central_comoments(u, x, freq, order))
+    , argnums=(0, 1))(u, x)
+
+    orig = mp.resample_central_comoments_fused
+    mp.resample_central_comoments_fused = (
+        lambda uu, xx, ff, oo, weight=None: orig(
+            uu, xx, ff, oo, weight=weight, interpret=True
+        )
+    )
+    try:
+        g_fused = jax.grad(
+            lambda u, x: scalar(
+                mp.resample_central_comoments_fused_ad(u, x, freq, order)
+            ),
+            argnums=(0, 1),
+        )(u, x)
+    finally:
+        mp.resample_central_comoments_fused = orig
+
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)

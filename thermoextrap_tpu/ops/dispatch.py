@@ -76,7 +76,7 @@ def reduce_raw(uv, xv, order, weight=None, val_ndim=1):
 
 def resample_central(uv, xv, freq, order, weight=None):
     if _use_pallas():
-        return moments_pallas.resample_central_comoments_fused(
-            uv, xv, freq, order, weight=weight
+        return moments_pallas.resample_central_comoments_fused_ad(
+            uv, xv, freq, order, weight
         )
     return resample.resample_central_comoments(uv, xv, freq, order, weight=weight)

@@ -45,6 +45,7 @@ __all__ = [
     "reduce_central_comoments_fused_ad",
     "reduce_central_umoments_batched",
     "resample_central_comoments_fused",
+    "resample_central_comoments_fused_ad",
     "resample_central_comoments_poisson",
 ]
 
@@ -799,3 +800,44 @@ def _fused_ad_bwd(order: int, res, cts):
 
 
 reduce_central_comoments_fused_ad.defvjp(_fused_ad_fwd, _fused_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def resample_central_comoments_fused_ad(uv, xv, freq, order: int, weight=None):
+    r"""Differentiable wrapper around the fused bootstrap: Pallas forward,
+    backward delegated to jax autodiff of the XLA freq-matmul formulation
+    (exact; only materializes the contribution matrix when differentiating).
+    ``freq`` is non-differentiable (integer counts)."""
+    return resample_central_comoments_fused(uv, xv, freq, order, weight=weight)
+
+
+def _resample_ad_fwd(uv, xv, freq, order: int, weight=None):
+    out = resample_central_comoments_fused(uv, xv, freq, order, weight=weight)
+    return out, (uv, xv, freq, weight)
+
+
+def _resample_ad_bwd(order: int, res, cts):
+    from . import resample as _resample
+
+    uv, xv, freq, weight = res
+    # the fused forward emits f32; the XLA backward works in the input dtype
+    cts = tuple(jnp.asarray(c, uv.dtype) for c in cts)
+
+    if weight is None:
+
+        def f(u, x):
+            return _resample.resample_central_comoments(u, x, freq, order)
+
+        _, vjp = jax.vjp(f, uv, xv)
+        gu, gx = vjp(cts)
+        return gu, gx, None, None
+
+    def f(u, x, w):
+        return _resample.resample_central_comoments(u, x, freq, order, weight=w)
+
+    _, vjp = jax.vjp(f, uv, xv, weight)
+    gu, gx, gw = vjp(cts)
+    return gu, gx, None, gw
+
+
+resample_central_comoments_fused_ad.defvjp(_resample_ad_fwd, _resample_ad_bwd)
