@@ -146,17 +146,25 @@ class DerivativeKernel:
 
     # -- derivative function table --------------------------------------------
 
+    # module-level cache so fresh kernel instances with the same expression
+    # (e.g. one per active-learning iteration) share lambdified derivative
+    # functions AND therefore downstream jit caches
+    _global_fn_cache: dict = {}
+
     def _deriv_fn(self, d1: tuple, d2: tuple) -> Callable:
         key = (tuple(d1), tuple(d2))
         if key not in self._fn_cache:
-            expr = sp.diff(
-                self.kernel_expr,
-                *zip(self.x_syms[: self.obs_dims], d1),
-                *zip(self.x_syms[self.obs_dims :], d2),
-            )
-            self._fn_cache[key] = sp.lambdify(
-                (*self.x_syms, *self.param_syms), expr, modules="jax"
-            )
+            gkey = (sp.srepr(self.kernel_expr), key)
+            if gkey not in DerivativeKernel._global_fn_cache:
+                expr = sp.diff(
+                    self.kernel_expr,
+                    *zip(self.x_syms[: self.obs_dims], d1),
+                    *zip(self.x_syms[self.obs_dims :], d2),
+                )
+                DerivativeKernel._global_fn_cache[gkey] = sp.lambdify(
+                    (*self.x_syms, *self.param_syms), expr, modules="jax"
+                )
+            self._fn_cache[key] = DerivativeKernel._global_fn_cache[gkey]
         return self._fn_cache[key]
 
     def _param_values(self, params=None):
