@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
 import numpy as np
 
 import thermoextrap_tpu as xtpu
@@ -24,10 +28,11 @@ def main() -> None:
     order = 6
     beta0, beta1 = 1.0, 5.0
     betas_eval = np.linspace(beta0, beta1, 9)
+    shape = (2_000, 100) if SMOKE else (50_000, 1_000)
 
     states = []
     for i, b in enumerate([beta0, beta1]):
-        x, u = idealgas.generate_data((50_000, 1_000), b, rng=i)
+        x, u = idealgas.generate_data(shape, b, rng=i)
         data = xtpu.factory_data_values(
             uv=np.asarray(u), xv=np.asarray(x), order=order, central=True
         )
@@ -35,7 +40,7 @@ def main() -> None:
 
     print(f"{'beta':>6} {'extrap(b0)':>12} {'+/-':>9} {'interp':>12} {'exact':>12}")
     interp = InterpModel(states)
-    boot0 = states[0].resample({"nrep": 100})
+    boot0 = states[0].resample({"nrep": 20 if SMOKE else 100})
     for b in betas_eval:
         pred0 = float(np.asarray(states[0].predict(b)))
         err0 = float(np.asarray(boot0.predict(b)).std())

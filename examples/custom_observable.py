@@ -22,6 +22,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
 import math
 
 import jax.numpy as jnp
@@ -56,7 +60,9 @@ def sympy_exprs(order):
 
 def main() -> None:
     order, beta0 = 3, 2.0
-    pos = np.asarray(idealgas.x_sample((20_000, 500), beta0, rng=0))
+    pos = np.asarray(
+        idealgas.x_sample((2_000, 50) if SMOKE else (20_000, 500), beta0, rng=0)
+    )
     xsq = (pos**2).mean(axis=-1)  # custom observable: <x^2> estimator
     u = pos.sum(axis=-1)
 

@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
 import tempfile
 
 import numpy as np
@@ -22,9 +26,12 @@ from thermoextrap_tpu.gpr_active import ig_active
 
 
 def main() -> None:
-    sim = ig_active.SimulateIG(nconfig=5_000, npart=500)
-    update = au.UpdateALMbrute(rng=0, n_grid=200)
-    stop = au.StopCriteria([au.MaxRelGlobalVar(tol=0.02), au.MaxIter()], n_grid=200)
+    nconfig, npart, grid, iters = (
+        (800, 120, 40, 1) if SMOKE else (5_000, 500, 200, 4)
+    )
+    sim = ig_active.SimulateIG(nconfig=nconfig, npart=npart)
+    update = au.UpdateALMbrute(rng=0, n_grid=grid)
+    stop = au.StopCriteria([au.MaxRelGlobalVar(tol=0.02), au.MaxIter()], n_grid=grid)
 
     with tempfile.TemporaryDirectory() as tmp:
         data_list, history = au.active_learning(
@@ -33,7 +40,7 @@ def main() -> None:
             update,
             base_dir=tmp,
             stop_criteria=stop,
-            max_iter=4,
+            max_iter=iters,
             max_order=3,
         )
 

@@ -13,6 +13,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
 import json
 from pathlib import Path
 
@@ -45,7 +49,7 @@ def main() -> None:
     )
     model = lnpi.factory_extrapmodel_lnPi(ref["beta"], replace(data, meta=meta))
 
-    for s in d["samples"][:4]:
+    for s in d["samples"][: (2 if SMOKE else 4)]:
         pred = np.asarray(model.predict(s["beta"], cumsum=True))[s["order"]]
         pred = pred - pred[0]
         gold = np.array(s["lnPi"])

@@ -14,6 +14,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup(n_devices=8)  # smoke: 8 virtual CPU devices
+
 import jax
 import jax.numpy as jnp
 
@@ -30,7 +34,7 @@ def main() -> None:
     n_dev = len(jax.devices())
     print(f"devices: {jax.devices()}")
 
-    order, r, v, nrep = 6, 1 << 16, 2, 32
+    order, r, v, nrep = 6, (1 << 12 if SMOKE else 1 << 16), 2, 32
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     uv = 5.0 + jax.random.normal(k1, (r,))
     xv = 2.0 + 0.5 * jax.random.normal(k2, (r, v))

@@ -12,6 +12,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
 import numpy as np
 
 from thermoextrap_tpu import idealgas, volume, volume_idealgas
@@ -19,14 +23,15 @@ from thermoextrap_tpu import idealgas, volume, volume_idealgas
 
 def main() -> None:
     beta, vol0 = 1.0, 1.0
-    pos = np.asarray(idealgas.x_sample((100_000, 200), beta, vol0, rng=0))
+    shape = (3_000, 50) if SMOKE else (100_000, 200)
+    pos = np.asarray(idealgas.x_sample(shape, beta, vol0, rng=0))
     x = pos.mean(axis=-1)  # observable: mean position
     # virial = -sum_i q_i dU/dq_i = -U for the linear field; uv = beta*virial
     w = -beta * pos.sum(axis=-1)
 
     m_gen = volume.factory_extrapmodel(vol0, uv=w, xv=x, dxdqv=x, ndim=1)
     m_ig = volume_idealgas.factory_extrapmodel(vol0, uv=w, xv=x)
-    boot = m_gen.resample({"nrep": 100})
+    boot = m_gen.resample({"nrep": 20 if SMOKE else 100})
 
     vols = np.array([0.7, 0.85, 1.0, 1.15, 1.3])
     print(f"{'vol':>6} {'general':>10} {'IG-variant':>11} {'+/-':>9} {'exact(o1)':>10}")

@@ -80,7 +80,7 @@ class TestUpdates:
 
     def test_update_alc(self, ig_gpr):
         gpr, alphas = ig_gpr
-        upd = au.UpdateALCbrute(rng=0, n_grid=50)
+        upd = au.UpdateALCbrute(rng=0, n_grid=50, n_candidates=20)
         new_alpha, _mu, _std = upd(gpr, alphas)
         assert np.min(alphas) <= new_alpha <= np.max(alphas)
 
@@ -167,6 +167,18 @@ class TestActiveLearningEndToEnd:
         assert (tmp_path / "active_history.npz").exists()
         # predictions stored each iteration
         assert stop.history[0].shape[0] == len(history["loss"])
+        # npz carries the full training history (reference parity:
+        # active_utils.py:2235-2243) and round-trips for warm restarts
+        hist = au.load_active_history(tmp_path / "active_history.npz")
+        n_it = len(history["loss"])
+        assert hist["loss"].shape == (n_it,)
+        assert len(hist["params"]) == n_it
+        assert hist["params"][-1] == pytest.approx(history["params"][-1])
+        assert "MaxRelGlobalVar" in hist
+        assert hist["pred_mu"].shape[0] == n_it
+        states = [d.build_state(max_order=3) for d in data_list]
+        gpr2 = au.create_GPR(states, start_params=hist["params"][-1])
+        assert np.isfinite(float(gpr2.neg_lml(gpr2.get_unconstrained())))
 
     def test_prediction_quality_after_loop(self, tmp_path):
         from thermoextrap_tpu import idealgas

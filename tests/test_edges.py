@@ -84,3 +84,30 @@ def test_interp_single_state_collection_order():
 
     sc = xtpu.StateCollection([mk(2, 0.5), mk(4, 1.5)])
     assert sc.order == 2
+
+
+def test_n_indexed_order_overflow_raises(rng_np):
+    """n-indexed observables need moments up to n + order; JAX clamps
+    out-of-bounds static indices, so the factory must reject the overflow
+    instead of silently reusing the last moment entry."""
+    u = rng_np.normal(2.0, 1.0, 64)
+
+    # x_is_u raw data, order 4 -> u has entries 0..5 (shift trick adds one)
+    d_raw = xtpu.DataValues.from_vals(None, u, order=4, central=False, x_is_u=True)
+    with pytest.raises(ValueError, match="moment entries"):
+        beta_xpan.factory_extrapmodel(1.0, d_raw, name="un_ave", n=3)
+    # n + order = 5 = data.order + 1 is exactly satisfiable with x_is_u
+    m = beta_xpan.factory_extrapmodel(1.0, d_raw, name="un_ave", n=3, order=2)
+    assert np.isfinite(np.asarray(m.derivs())).all()
+
+    d_cen = xtpu.DataValues.from_vals(None, u, order=4, central=True, x_is_u=True)
+    with pytest.raises(ValueError, match="moment entries"):
+        beta_xpan.factory_extrapmodel(1.0, d_cen, name="dun_ave", n=2)
+
+    # x != u comoments carry no shift: n + order must be <= data.order
+    x = rng_np.normal(1.0, 0.5, (64, 1))
+    d_x = xtpu.factory_data_values(uv=u, xv=x, order=4, central=False)
+    with pytest.raises(ValueError, match="moment entries"):
+        beta_xpan.factory_extrapmodel(1.0, d_x, name="xun_ave", n=1)
+    m2 = beta_xpan.factory_extrapmodel(1.0, d_x, name="xun_ave", n=1, order=3)
+    assert np.isfinite(np.asarray(m2.derivs())).all()

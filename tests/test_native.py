@@ -39,6 +39,30 @@ def test_single_column(tmp_path, rng_np):
     np.testing.assert_allclose(a, data, rtol=5e-16)
 
 
+def test_usecols_matches_numpy(table_file):
+    path, _data = table_file
+    # scalar, list-of-one, and multi-column selections follow np.loadtxt
+    np.testing.assert_allclose(
+        loadtxt_fast(path, usecols=1), np.loadtxt(path, usecols=1), rtol=5e-16
+    )
+    np.testing.assert_allclose(
+        loadtxt_fast(path, usecols=[2]), np.loadtxt(path, usecols=[2]), rtol=5e-16
+    )
+    np.testing.assert_allclose(
+        loadtxt_fast(path, usecols=[0, 2]),
+        np.loadtxt(path, usecols=[0, 2]),
+        rtol=5e-16,
+    )
+
+
+def test_usecols_out_of_range_raises(tmp_path, rng_np):
+    # a single-column table must NOT silently satisfy usecols=2
+    path = tmp_path / "col.txt"
+    np.savetxt(path, rng_np.normal(size=50))
+    with pytest.raises(Exception):  # noqa: B017 - np.loadtxt raises ValueError, fast path IndexError
+        loadtxt_fast(path, usecols=2)
+
+
 def test_int_and_exponent_formats(tmp_path):
     path = tmp_path / "mixed.txt"
     path.write_text("1 2.5 -3e2\n4.0E-3 +5 6.25d1\n")

@@ -153,6 +153,25 @@ def factory_extrapmodel(
         msg = f"{order=} must be <= {data.order=}"
         raise ValueError(msg)
 
+    # n-indexed observables consume moment entries up to index n + order
+    # (e.g. un_ave_coefs reads u[n + p] for p <= order).  JAX *clamps*
+    # out-of-bounds static indices instead of raising, so without this check
+    # an over-asked order silently reuses the last moment — validate here
+    # with a clear message instead.  x_is_u data carries one extra moment
+    # entry for the u-observables via the shift trick (u[n] = xu[n-1]).
+    _N_INDEXED_SHIFT = {"un_ave": 1, "dun_ave": 1, "xun_ave": 0, "dxdun_ave": 0}
+    if derivatives is None and name in _N_INDEXED_SHIFT and n is not None:
+        max_index = data.order + (_N_INDEXED_SHIFT[name] if data.x_is_u else 0)
+        if int(n) + order > max_index:
+            msg = (
+                f"{name} with n={n} needs moment entries up to n + order = "
+                f"{int(n) + order}, but the data provides indices only up to "
+                f"{max_index} (data.order={data.order}"
+                + (", +1 from the x_is_u shift" if max_index > data.order else "")
+                + "); lower `order` or build the data with a larger order"
+            )
+            raise ValueError(msg)
+
     if derivatives is None:
         if name in {"u_ave", "un_ave", "dun_ave"} and not data.x_is_u:
             msg = "name in {u_ave, un_ave, dun_ave} requires data.x_is_u"

@@ -522,12 +522,12 @@ class DataCentralMoments:
     @cached_property
     def u(self):
         """Raw u-moments from the central representation (padded)."""
-        u = raw_from_central(self.du, _pad_val(self.uave, self.du.ndim - 1 - self.uave.ndim))
         if self.x_is_u:
             # reference shift trick: u from xu = central->raw on x=u comoments
-            xu = self.xu
-            return u_from_xu_when_x_is_u(xu)
-        return u
+            return u_from_xu_when_x_is_u(self.xu)
+        return raw_from_central(
+            self.du, _pad_val(self.uave, self.du.ndim - 1 - self.uave.ndim)
+        )
 
     @cached_property
     def xu(self):

@@ -56,6 +56,7 @@ __all__ = [
     "create_base_GP_model",
     "get_logweights",
     "input_GP_from_state",
+    "load_active_history",
     "train_GPR",
 ]
 
@@ -112,10 +113,19 @@ def input_GP_from_state(state: ExtrapModel, n_rep: int = 100, log_scale: bool = 
     )
 
     derivs = np.asarray(state.derivs())
-    if getattr(state.data, "uv", None) is not None and state.data.uv.ndim == 1:
+    uv = getattr(state.data, "uv", None)
+    # replicate axis: batch dims on the values (uv.ndim > 1) or, for
+    # moment-backed data (uv absent, e.g. from_resample_vals), batch dims
+    # on the pooled weight (wsum.ndim >= 1)
+    has_rep = (
+        np.ndim(uv) > 1
+        if uv is not None
+        else np.ndim(getattr(state.data, "wsum", 0.0)) >= 1
+    )
+    if uv is not None and not has_rep:
         # values-backed data: bootstrap replicates via the resample kernels
         boot = np.asarray(state.resample({"nrep": n_rep}).derivs())
-    elif derivs.ndim >= 2 and getattr(state.data, "uv", np.empty(0)).ndim != 1:
+    elif has_rep and derivs.ndim >= 2:
         # data already carries a replicate batch axis (axis 1 of derivs)
         boot = derivs
         derivs = derivs.mean(axis=1)
@@ -123,11 +133,17 @@ def input_GP_from_state(state: ExtrapModel, n_rep: int = 100, log_scale: bool = 
         msg = "state data must be values-backed or carry a replicate axis"
         raise ValueError(msg)
 
-    # normalize shapes to (order+1, Dy) and (order+1, nrep, Dy)
+    # normalize shapes to (order+1, Dy) and (order+1, nrep, Dy); multi-dim
+    # observables flatten their val axes into output dims (the reference
+    # stages those through stack_dataarray, stack.py:15-84)
     if derivs.ndim == 1:
         derivs = derivs[:, None]
+    elif derivs.ndim > 2:
+        derivs = derivs.reshape(derivs.shape[0], -1)
     if boot.ndim == 2:
         boot = boot[:, :, None]
+    elif boot.ndim > 3:
+        boot = boot.reshape(boot.shape[0], boot.shape[1], -1)
 
     if log_scale:
         derivs, boot = _log_scale_transform(derivs, boot, state.alpha0)
@@ -541,22 +557,15 @@ class UpdateALMbrute(UpdateFuncBase):
         )
         std_y = np.where(std_y > 0, std_y, 1.0)
         rel = std / std_y
-        max_err = np.max(rel)
-        max_inds = np.where(rel == max_err)
-        dim_vals, dim_counts = np.unique(max_inds[1], return_counts=True)
-        dim_max = dim_vals[np.argmax(dim_counts)]
-        max_inds = np.sort(max_inds[0][max_inds[1] == dim_max])
-        if max_inds.size == 1:
-            new_ind = max_inds[0]
-        else:
-            # contiguous plateau -> midpoint
-            max_set = [max_inds[0]]
-            for ind in max_inds[1:]:
-                if ind == max_set[-1] + 1:
-                    max_set.append(ind)
-                else:
-                    break
-            new_ind = max_set[len(max_set) // 2]
+        # grid cells tied at the peak relative uncertainty, as (row, dim)
+        peak_rows, peak_dims = np.nonzero(rel == rel.max())
+        # output dims vote: keep rows from the dim with the most peak cells
+        rows = np.unique(peak_rows[peak_dims == np.bincount(peak_dims).argmax()])
+        # a flat peak spans consecutive grid rows; pick the middle of the
+        # leading run so a plateau selects its center, not its edge
+        breaks = np.nonzero(np.diff(rows) != 1)[0]
+        run_len = int(breaks[0]) + 1 if breaks.size else rows.size
+        new_ind = rows[run_len // 2]
         return alpha_select[new_ind], mu[new_ind], std[new_ind]
 
 
@@ -657,7 +666,16 @@ class UpdateAdaptiveIntegrate(UpdateFuncBase):
 class UpdateALCbrute(UpdateFuncBase):
     """EXPERIMENTAL Active Learning Cohn: minimize integrated predictive
     std after hypothetically adding each candidate (reference
-    active_utils.py:1418-1507, marked experimental there too)."""
+    active_utils.py:1418-1507, marked experimental there too).
+
+    ``n_candidates`` limits the candidate set by striding the grid (each
+    candidate costs one GP rebuild + full-grid predict).  ``None`` scans
+    the full grid like the reference.
+    """
+
+    def __init__(self, n_candidates: int | None = None, **kws) -> None:
+        super().__init__(**kws)
+        self.n_candidates = n_candidates
 
     def do_update(self, gpr, alpha_list):
         from scipy import integrate
@@ -671,8 +689,10 @@ class UpdateALCbrute(UpdateFuncBase):
         cov = np.asarray(gpr.likelihood.cov)
         params = gpr.parameters()
 
-        # subsample candidates: full grid would be prohibitively slow
-        cand = alpha_select[:: max(len(alpha_select) // 20, 1)]
+        if self.n_candidates is None:
+            cand = alpha_select
+        else:
+            cand = alpha_select[:: max(len(alpha_select) // self.n_candidates, 1)]
         new_int_std = np.zeros(len(cand))
         grid_x = np.stack(
             [alpha_grid, self.d_order_pred * np.ones_like(alpha_grid)], axis=1
@@ -1045,12 +1065,45 @@ def active_learning(  # noqa: C901
         logger.info("After %s updates, %s values: %s", i + 1, alpha_name, alpha_list)
 
     if save_history and stop_criteria is not None:
+        # full parity with the reference npz (active_utils.py:2235-2243):
+        # pred_mu/pred_std/alpha + every train_history entry (loss, params,
+        # per-metric arrays).  Param dicts are stored as a (iter, n_params)
+        # array + a name list so the file round-trips without pickling.
+        hist_arrays = {}
+        for k, v in train_history.items():
+            if k == "params":
+                names = sorted(v[0]) if v else []
+                hist_arrays["param_names"] = np.array(names)
+                hist_arrays["params"] = np.array(
+                    [[it[nm] for nm in names] for it in v], dtype=np.float64
+                )
+            else:
+                hist_arrays[k] = np.array(v)
         np.savez(
             f"{base_dir}/active_history.npz",
             pred_mu=stop_criteria.history[0],
             pred_std=stop_criteria.history[1],
             alpha=np.array(alpha_list),
-            loss=np.array(train_history["loss"]),
+            **hist_arrays,
         )
 
     return data_list, train_history
+
+
+def load_active_history(path):
+    """Load an ``active_history.npz`` written by :func:`active_learning`.
+
+    Returns the saved dict with ``params`` reconstructed as a list of
+    ``{name: value}`` dicts, so ``out["params"][-1]`` can be passed as
+    ``create_GPR(..., start_params=...)`` to warm-restart a run (reference
+    restart seam: active_utils.py:2170-2175, 2235-2243).
+    """
+    with np.load(path, allow_pickle=False) as f:
+        out = {k: f[k] for k in f.files}
+    if "params" in out and "param_names" in out:
+        names = [str(n) for n in out.pop("param_names")]
+        out["params"] = [
+            dict(zip(names, row))
+            for row in np.asarray(out["params"], dtype=np.float64)
+        ]
+    return out

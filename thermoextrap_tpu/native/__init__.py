@@ -94,8 +94,11 @@ def loadtxt_fast(path, usecols=None):
     )
     if rc != 0:
         return np.loadtxt(path, usecols=usecols)
-    if out.shape[1] == 1:
-        out = out[:, 0]
+    # column selection must happen BEFORE the single-column squeeze so a
+    # requested out-of-range column raises like np.loadtxt instead of
+    # silently returning the whole (only) column
     if usecols is not None:
-        out = out[:, usecols] if out.ndim == 2 else out
+        out = out[:, usecols]
+    if out.ndim == 2 and out.shape[1] == 1:
+        out = out[:, 0]
     return out

@@ -450,8 +450,10 @@ def _poisson_resample_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    # unique per-(rep-block, rec-block) stream
-    pltpu.prng_seed(seed_ref[0, 0] + i * nj + j)
+    # unique per-(rep-block, rec-block) stream; the block id goes in a
+    # SECOND seed word so that adjacent user seeds do not alias adjacent
+    # blocks (seed s, block k+1 vs seed s+1, block k)
+    pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
 
     rep_block = out_u_ref.shape[0]
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)

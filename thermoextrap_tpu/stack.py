@@ -21,9 +21,109 @@ from .models.extrap import StateCollection
 __all__ = [
     "GPRData",
     "StackedDerivatives",
+    "stack_multidim",
     "states_derivs_concat",
     "to_mean_var",
 ]
+
+
+def stack_multidim(
+    arr,
+    dims,
+    x_dims,
+    y_dims=None,
+    stats_dim=None,
+    coords=None,
+    policy: str = "infer",
+):
+    """Flatten named axes of a plain array into the GP staging layout
+    (reference ``stack_dataarray``, stack.py:15-84).
+
+    The reference stacks xarray dims into ``(xstack, ystack[, stats])``
+    with a MultiIndex carrying the original coordinates; this is the same
+    contract on plain arrays: the axes named by ``x_dims`` merge (C-order)
+    into a leading row axis, the remaining axes (minus ``stats_dim``) merge
+    into a column axis, and ``stats_dim`` — a (mean, variance) statistics
+    axis — is moved last.
+
+    Parameters
+    ----------
+    arr : array
+    dims : sequence of str
+        name per axis of ``arr`` (the named-dims convention of the repo's
+        data layer; len(dims) == arr.ndim).
+    x_dims : str or sequence of str
+        axes merged under the row ("xstack") axis, in this order.
+    y_dims : str or sequence of str, optional
+        axes merged under the column ("ystack") axis; defaults to every
+        remaining axis in original order (reference behavior).
+    stats_dim : str, optional
+        statistics axis moved to the last position.
+    coords : dict, optional
+        ``{dim: 1-D coordinate array}``; missing entries fall back to
+        ``arange(size)`` when ``policy == "infer"`` and raise when
+        ``policy == "raise"`` (reference ``policy`` semantics).
+    policy : {"infer", "raise"}
+
+    Returns
+    -------
+    out : array ``(Nx, Ny[, stats])``
+    x_coords : array ``(Nx, len(x_dims))``
+        cartesian-product coordinates of the merged row axes, ordered to
+        match the reshape — the plain-array stand-in for the MultiIndex
+        (reference ``multiindex_to_array``, stack.py:99-101).
+    y_coords : array ``(Ny, len(y_dims))``
+    """
+    arr = np.asarray(arr)
+    dims = tuple(dims)
+    if len(dims) != arr.ndim:
+        msg = f"len(dims)={len(dims)} must equal arr.ndim={arr.ndim}"
+        raise ValueError(msg)
+    if isinstance(x_dims, str):
+        x_dims = (x_dims,)
+    x_dims = tuple(x_dims)
+    if isinstance(y_dims, str):
+        y_dims = (y_dims,)
+    elif y_dims is None:
+        y_dims = tuple(d for d in dims if d not in x_dims and d != stats_dim)
+    else:
+        y_dims = tuple(y_dims)
+
+    order_names = x_dims + y_dims + ((stats_dim,) if stats_dim is not None else ())
+    if sorted(order_names) != sorted(dims):
+        msg = (
+            f"x_dims {x_dims} + y_dims {y_dims}"
+            + (f" + stats_dim {stats_dim!r}" if stats_dim is not None else "")
+            + f" must partition dims {dims}"
+        )
+        raise ValueError(msg)
+
+    sizes = dict(zip(dims, arr.shape))
+    coords = dict(coords or {})
+
+    def _coord(d):
+        if d in coords:
+            c = np.asarray(coords[d])
+            if c.shape[0] != sizes[d]:
+                msg = f"coords[{d!r}] has length {c.shape[0]} != axis size {sizes[d]}"
+                raise ValueError(msg)
+            return c
+        if policy == "raise":
+            msg = f"coords[{d!r}] not set"
+            raise ValueError(msg)
+        return np.arange(sizes[d])
+
+    def _cartesian(names):
+        if not names:
+            return np.empty((1, 0))
+        grids = np.meshgrid(*[_coord(d) for d in names], indexing="ij")
+        return np.stack([g.ravel() for g in grids], axis=1)
+
+    out = arr.transpose([dims.index(d) for d in order_names])
+    nx = int(np.prod([sizes[d] for d in x_dims])) if x_dims else 1
+    ny = int(np.prod([sizes[d] for d in y_dims])) if y_dims else 1
+    shape = (nx, ny) + ((sizes[stats_dim],) if stats_dim is not None else ())
+    return out.reshape(shape), _cartesian(x_dims), _cartesian(y_dims)
 
 
 def to_mean_var(arr, axis: int = 1):
@@ -111,6 +211,10 @@ class StackedDerivatives:
             boot = np.asarray(s.resample({"nrep": nrep}).derivs(order=order))
             if boot.ndim == 2:
                 boot = boot[:, :, None]
+            elif boot.ndim > 3:
+                # multi-dim observable: val axes flatten into output dims
+                # (reference stack_dataarray ystack role, stack.py:15-84)
+                boot = boot.reshape(boot.shape[0], boot.shape[1], -1)
             alphas.append(s.alpha0)
             derivs.append(boot)
         return cls.from_derivs(
