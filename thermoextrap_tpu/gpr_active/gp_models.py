@@ -89,6 +89,47 @@ class Parameter:
 # ---------------------------------------------------------------------------
 
 
+def _group_order_rows(d):
+    """Group integer derivative-order rows: ``(unique order tuples, (N,)
+    group-id array)``.  The unique tuples are static structure (they select
+    which lambdified derivative functions participate); the ids are data."""
+    d = np.asarray(d)
+    uniq, gid = np.unique(d, axis=0, return_inverse=True)
+    groups = tuple(tuple(int(v) for v in row) for row in uniq)
+    return groups, np.asarray(gid, dtype=np.int32).reshape(-1)
+
+
+def _pair_masked_matrix(x1, gid1, groups1, x2, gid2, groups2, pvals, fns):
+    """K[i, j] = fns[(g1_i, g2_j)](x1_i, x2_j, params) via static masked
+    sums over the unique order-pair table (the reference stitches per-pair
+    scatter indices with tf.dynamic_stitch, gp_models.py:176-218; here the
+    pair list is static so this is jit/grad-friendly with static shapes)."""
+    n1, n2 = x1.shape[0], x2.shape[0]
+    obs = x1.shape[1]
+    g1 = [jnp.broadcast_to(x1[:, k : k + 1], (n1, n2)) for k in range(obs)]
+    g2 = [jnp.broadcast_to(x2[:, k : k + 1].T, (n1, n2)) for k in range(obs)]
+    out = jnp.zeros((n1, n2), dtype=x1.dtype)
+    for ia, a in enumerate(groups1):
+        for ib, b in enumerate(groups2):
+            vals = jnp.broadcast_to(
+                jnp.asarray(fns[a, b](*g1, *g2, *pvals)), (n1, n2)
+            )
+            mask = (gid1[:, None] == ia) & (gid2[None, :] == ib)
+            out = jnp.where(mask, vals, out)
+    return out
+
+
+def _pair_masked_diag(x, gid, groups, pvals, fns):
+    """diag(K) companion of :func:`_pair_masked_matrix`."""
+    n = x.shape[0]
+    cols = [x[:, k] for k in range(x.shape[1])]
+    out = jnp.zeros((n,), dtype=x.dtype)
+    for ia, a in enumerate(groups):
+        vals = jnp.broadcast_to(jnp.asarray(fns[a, a](*cols, *cols, *pvals)), (n,))
+        out = jnp.where(gid == ia, vals, out)
+    return out
+
+
 class DerivativeKernel:
     """Kernel over derivative-augmented inputs, built from a sympy expression
     (reference gp_models.py:26-258).
@@ -182,33 +223,29 @@ class DerivativeKernel:
         with _compute_ctx():
             return self._K(X, X2, params)
 
+    def pair_table(self, groups1, groups2):
+        """Static table of lambdified derivative functions for an order-pair
+        grid (shared across instances via the module-level cache)."""
+        return {(a, b): self._deriv_fn(a, b) for a in groups1 for b in groups2}
+
     def _K(self, X, X2=None, params=None):
         if X2 is None:
             X2 = X
         x1, d1 = self._split(X, self.obs_dims)
         x2, d2 = self._split(X2, self.obs_dims)
         pvals = self._param_values(params)
-
-        n1, n2 = x1.shape[0], x2.shape[0]
-        # meshgrid of location columns: lists of (n1, n2) arrays
-        g1 = [jnp.asarray(np.broadcast_to(x1[:, k : k + 1], (n1, n2))) for k in range(self.obs_dims)]
-        g2 = [jnp.asarray(np.broadcast_to(x2[:, k : k + 1].T, (n1, n2))) for k in range(self.obs_dims)]
-
-        pair_ids = {}
-        for i in range(n1):
-            for j in range(n2):
-                pair_ids.setdefault((tuple(d1[i]), tuple(d2[j])), []).append((i, j))
-
-        out = jnp.zeros((n1, n2), dtype=jnp.result_type(float))
-        for (dd1, dd2), idx in pair_ids.items():
-            fn = self._deriv_fn(dd1, dd2)
-            vals = fn(*g1, *g2, *pvals)
-            vals = jnp.broadcast_to(jnp.asarray(vals), (n1, n2))
-            mask = np.zeros((n1, n2), dtype=bool)
-            rows, cols = zip(*idx)
-            mask[list(rows), list(cols)] = True
-            out = jnp.where(jnp.asarray(mask), vals, out)
-        return out
+        groups1, gid1 = _group_order_rows(d1)
+        groups2, gid2 = _group_order_rows(d2)
+        return _pair_masked_matrix(
+            jnp.asarray(x1, dtype=jnp.result_type(float)),
+            jnp.asarray(gid1),
+            groups1,
+            jnp.asarray(x2, dtype=jnp.result_type(float)),
+            jnp.asarray(gid2),
+            groups2,
+            pvals,
+            self.pair_table(groups1, groups2),
+        )
 
     def K_diag(self, X, params=None):
         with _compute_ctx():
@@ -217,15 +254,14 @@ class DerivativeKernel:
     def _K_diag(self, X, params=None):
         x1, d1 = self._split(X, self.obs_dims)
         pvals = self._param_values(params)
-        n = x1.shape[0]
-        cols = [jnp.asarray(x1[:, k]) for k in range(self.obs_dims)]
-        out = jnp.zeros((n,), dtype=jnp.result_type(float))
-        for dd in {tuple(row) for row in d1}:
-            fn = self._deriv_fn(dd, dd)
-            vals = jnp.broadcast_to(jnp.asarray(fn(*cols, *cols, *pvals)), (n,))
-            mask = jnp.asarray(np.all(d1 == np.asarray(dd), axis=1))
-            out = jnp.where(mask, vals, out)
-        return out
+        groups, gid = _group_order_rows(d1)
+        return _pair_masked_diag(
+            jnp.asarray(x1, dtype=jnp.result_type(float)),
+            jnp.asarray(gid),
+            groups,
+            pvals,
+            self.pair_table(groups, groups),
+        )
 
     def __call__(self, X, X2=None, params=None):
         return self.K(X, X2, params=params)
@@ -283,6 +319,7 @@ class HetGaussianDeriv:
         cov = np.asarray(cov, dtype=np.float64)
         if cov.ndim == 1:
             cov = np.diag(cov)
+        self.cov_np = cov  # full-precision host copy for the compiled core
         self.cov = jnp.asarray(cov)
         self.obs_dims = int(obs_dims)
         self.params = {
@@ -422,6 +459,116 @@ class SympyMeanFunc:
 
 
 # ---------------------------------------------------------------------------
+# compiled model core
+#
+# The LML, its gradient, and the posterior predictions are pure functions of
+# (static structure, arrays).  Static structure = kernel expression, unique
+# derivative-order groups, and the parameter layout; everything else (data,
+# parameter values) is a jit argument.  Compiled functions are cached at
+# module level keyed on the structure, so fresh model instances built every
+# active-learning iteration (same kernel, same shapes) reuse the compiled
+# executables instead of re-jitting — the reference gets the analogous reuse
+# from persistent TF graphs (gp_models.py:1076-1156).
+# ---------------------------------------------------------------------------
+
+_COMPILED_CORE: dict = {}
+
+
+def _build_param_split(spec_struct):
+    """``(trainable_vec, fixed_vec) -> (kernel_params, likelihood_params)``
+    for a static (name, transform, trainable) layout; fixed values arrive
+    already constrained."""
+
+    def split(vec, fixed):
+        kernel_p, lik_p = {}, {}
+        ti = fi = 0
+        for name, transform, trainable in spec_struct:
+            if trainable:
+                val = _softplus(vec[ti]) if transform == "positive" else vec[ti]
+                ti += 1
+            else:
+                val = fixed[fi]
+                fi += 1
+            group, key = name.split("/")
+            (kernel_p if group == "kernel" else lik_p)[key] = val
+        return kernel_p, lik_p
+
+    return split
+
+
+def _scaled_noise_cov(cov, dplus, lik_p, stable_var_min):
+    """Order-scaled noise covariance (HetGaussianDeriv.build_scaled_cov_mat
+    semantics; reference gp_models.py:735-754): ``S cov S`` with
+    ``S = diag(exp(p * sum(d+1) + s/2))`` and a jitter floor on the diag."""
+    scale = jnp.exp(lik_p["p"] * dplus + 0.5 * lik_p["s"])
+    out = scale[:, None] * cov * scale[None, None, :]
+    diag = jnp.diagonal(out, axis1=-2, axis2=-1) + stable_var_min
+    eye = jnp.eye(out.shape[-1], dtype=out.dtype)
+    return out * (1.0 - eye) + eye * diag[..., None, :] * eye
+
+
+def _build_lml_fns(kernel, groups, spec_struct, stable_var_min):
+    split = _build_param_split(spec_struct)
+    fns = kernel.pair_table(groups, groups)
+    param_order = tuple(kernel.params)
+
+    def lml(vec, fixed, locs, gid, y, cov, dplus, mean_x):
+        kernel_p, lik_p = split(vec, fixed)
+        pvals = [kernel_p[k] for k in param_order]
+        k = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns)
+        ks = k[None] + _scaled_noise_cov(cov, dplus, lik_p, stable_var_min)
+        chol = jnp.linalg.cholesky(ks)
+        return jnp.sum(multioutput_multivariate_normal(y, mean_x, chol))
+
+    def neg(*args):
+        return -lml(*args)
+
+    return {"lml": jax.jit(lml), "neg_vag": jax.jit(jax.value_and_grad(neg))}
+
+
+def _build_predict_fn(kernel, groups, groups_new, spec_struct, stable_var_min, full_cov):
+    split = _build_param_split(spec_struct)
+    fns_mm = kernel.pair_table(groups, groups)
+    fns_mn = kernel.pair_table(groups, groups_new)
+    fns_nn = kernel.pair_table(groups_new, groups_new)
+    param_order = tuple(kernel.params)
+
+    def predict(vec, fixed, locs, gid, y, cov, dplus, mean_x, locs_new, gid_new, mean_new, scale_fac):
+        kernel_p, lik_p = split(vec, fixed)
+        pvals = [kernel_p[k] for k in param_order]
+        kmm = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns_mm)
+        kmn = _pair_masked_matrix(
+            locs, gid, groups, locs_new, gid_new, groups_new, pvals, fns_mn
+        )
+        ks = kmm[None] + _scaled_noise_cov(cov, dplus, lik_p, stable_var_min)
+        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
+        err = y - mean_x  # (N, D)
+        out_dim = y.shape[1]
+
+        a = jax.scipy.linalg.solve_triangular(
+            chol, jnp.broadcast_to(kmn[None], (out_dim, *kmn.shape)), lower=True
+        )  # (D, N, M)
+        b = jax.scipy.linalg.solve_triangular(
+            chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
+        )  # (D, N, 1)
+        f_mean = (jnp.einsum("dnm,dn->md", a, b[..., 0]) + mean_new) * scale_fac
+
+        if full_cov:
+            knn = _pair_masked_matrix(
+                locs_new, gid_new, groups_new, locs_new, gid_new, groups_new, pvals, fns_nn
+            )
+            f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
+            f_var = f_var * (scale_fac**2).reshape(-1, 1, 1)
+        else:
+            knn = _pair_masked_diag(locs_new, gid_new, groups_new, pvals, fns_nn)
+            f_var = knn[None, :] - jnp.sum(a**2, axis=1)
+            f_var = (f_var * (scale_fac**2)[:, None]).T  # (M, D)
+        return f_mean, f_var
+
+    return jax.jit(predict)
+
+
+# ---------------------------------------------------------------------------
 # the GPR model
 # ---------------------------------------------------------------------------
 
@@ -466,7 +613,16 @@ class HeteroscedasticGPR:
         )
         self.mean_function = mean_function
         self.X = X
-        self.Y = jnp.asarray(Y) / self.scale_fac
+        self._y_np = Y / scale_fac  # host f64 copy for the compiled core
+        self.Y = jnp.asarray(self._y_np)
+
+        # static structure + host-f64 bound data for the compiled core
+        obs = kernel.obs_dims
+        d = np.asarray(np.rint(X[:, obs:]), dtype=int)
+        self._groups, self._gid_np = _group_order_rows(d)
+        self._locs_np = np.asarray(X[:, :obs], dtype=np.float64)
+        self._dplus_np = np.asarray((d + 1.0).sum(axis=-1), dtype=np.float64)
+        self._mean_x_np = np.asarray(self._mean(X), dtype=np.float64)
 
     # -- parameter plumbing ----------------------------------------------------
 
@@ -499,20 +655,50 @@ class HeteroscedasticGPR:
             if k in specs:
                 specs[k].value = float(v)
 
-    def _split_params(self, vec):
-        """Unconstrained trainable vector -> constrained value dicts."""
-        specs = self._param_specs()
-        names = self.trainable_names()
-        kernel_p = {k: jnp.asarray(p.value) for k, p in self.kernel.params.items()}
-        lik_p = {k: jnp.asarray(p.value) for k, p in self.likelihood.params.items()}
-        for i, name in enumerate(names):
-            group, key = name.split("/")
-            val = specs[name].constrain(vec[i])
-            if group == "kernel":
-                kernel_p[key] = val
-            else:
-                lik_p[key] = val
-        return kernel_p, lik_p
+    # -- compiled core plumbing --------------------------------------------------
+
+    def _spec_struct(self):
+        return tuple(
+            (k, p.transform, p.trainable) for k, p in self._param_specs().items()
+        )
+
+    def _structure_key(self):
+        return (
+            sp.srepr(self.kernel.kernel_expr),
+            self.kernel.obs_dims,
+            self._groups,
+            self._spec_struct(),
+            float(self.likelihood.stable_var_min),
+        )
+
+    def _fixed_constrained(self):
+        return np.asarray(
+            [p.value for p in self._param_specs().values() if not p.trainable],
+            dtype=np.float64,
+        )
+
+    def _bound_args(self):
+        """Data arrays for the compiled core (host f64; jit converts)."""
+        return (
+            self._fixed_constrained(),
+            self._locs_np,
+            self._gid_np,
+            self._y_np,
+            self.likelihood.cov_np,
+            self._dplus_np,
+            self._mean_x_np,
+        )
+
+    def _lml_fns(self):
+        key = ("lml", self._structure_key())
+        if key not in _COMPILED_CORE:
+            _COMPILED_CORE[key] = _build_lml_fns(
+                self.kernel,
+                self._groups,
+                self._spec_struct(),
+                float(self.likelihood.stable_var_min),
+            )
+        return _COMPILED_CORE[key]
 
     # -- core math --------------------------------------------------------------
 
@@ -528,48 +714,42 @@ class HeteroscedasticGPR:
     def _lml(self, vec=None):
         if vec is None:
             vec = self.get_unconstrained()
-        kernel_p, lik_p = self._split_params(vec)
-        k = self.kernel._K(self.X, params=kernel_p)
-        ks = k[None] + self.likelihood.build_scaled_cov_mat(self.X, lik_p)
-        chol = jnp.linalg.cholesky(ks)
-        m = self._mean(self.X)
-        return jnp.sum(multioutput_multivariate_normal(self.Y, m, chol))
+        return self._lml_fns()["lml"](jnp.asarray(vec), *self._bound_args())
 
     def neg_lml(self, vec):
-        return -self._lml(vec)
+        with _compute_ctx():
+            return -self._lml(vec)
 
     def predict_f(self, Xnew, full_cov: bool = False):
-        """Posterior mean/variance at new derivative-augmented inputs."""
+        """Posterior mean/variance at new derivative-augmented inputs
+        (compiled; cached per unique new-point order set and grid shape)."""
         with _compute_ctx():
             return self._predict_f(Xnew, full_cov)
 
     def _predict_f(self, Xnew, full_cov: bool = False):
         Xnew = np.asarray(Xnew, dtype=np.float64)
-        kmm = self.kernel._K(self.X)
-        kmn = self.kernel._K(self.X, Xnew)
-        ks = kmm[None] + self.likelihood.build_scaled_cov_mat(self.X)
-        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
+        obs = self.kernel.obs_dims
+        d_new = np.asarray(np.rint(Xnew[:, obs:]), dtype=int)
+        groups_new, gid_new = _group_order_rows(d_new)
 
-        err = self.Y - self._mean(self.X)  # (N, D)
-
-        a = jax.scipy.linalg.solve_triangular(
-            chol, jnp.broadcast_to(kmn[None], (self.out_dim, *kmn.shape)), lower=True
-        )  # (D, N, M)
-        b = jax.scipy.linalg.solve_triangular(
-            chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
-        )  # (D, N, 1)
-        f_mean_zero = jnp.einsum("dnm,dn->md", a, b[..., 0])
-        f_mean = (f_mean_zero + self._mean(Xnew)) * self.scale_fac
-
-        if full_cov:
-            knn = self.kernel._K(Xnew)
-            f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
-            f_var = f_var * (self.scale_fac**2).reshape(-1, 1, 1)
-        else:
-            knn = self.kernel._K_diag(Xnew)
-            f_var = knn[None, :] - jnp.sum(a**2, axis=1)
-            f_var = (f_var * (self.scale_fac**2)[:, None]).T  # (M, D)
-        return f_mean, f_var
+        key = ("predict", self._structure_key(), groups_new, bool(full_cov))
+        if key not in _COMPILED_CORE:
+            _COMPILED_CORE[key] = _build_predict_fn(
+                self.kernel,
+                self._groups,
+                groups_new,
+                self._spec_struct(),
+                float(self.likelihood.stable_var_min),
+                bool(full_cov),
+            )
+        return _COMPILED_CORE[key](
+            jnp.asarray(self.get_unconstrained()),
+            *self._bound_args(),
+            np.asarray(Xnew[:, :obs], dtype=np.float64),
+            gid_new,
+            np.asarray(self._mean(Xnew), dtype=np.float64),
+            np.asarray(self.scale_fac, dtype=np.float64),
+        )
 
     def predict_y(self, Xnew, **kws):
         """Not possible without a noise model at new points
@@ -621,10 +801,11 @@ class HeteroscedasticGPR:
             ctx.__exit__(None, None, None)
 
     def _train_inner(self, optimize, max_iter):
-        val_and_grad = jax.jit(jax.value_and_grad(self.neg_lml))
+        val_and_grad = self._lml_fns()["neg_vag"]
+        bound = self._bound_args()
 
         def fun(x):
-            v, g = val_and_grad(jnp.asarray(x))
+            v, g = val_and_grad(jnp.asarray(x), *bound)
             v = float(v)
             g = np.asarray(g, dtype=np.float64)
             if not np.isfinite(v) or not np.all(np.isfinite(g)):
