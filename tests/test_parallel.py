@@ -249,3 +249,74 @@ def test_fused_resample_custom_vjp(rng_np):
 
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5)
+
+
+def test_bf16_reduce_accuracy(rng_np):
+    """bf16-input fused reduce accuracy gate (justifies the bf16 bench
+    headline):
+
+    (i) the kernel matches exact f64 moments of the *quantized* data —
+        in-kernel accumulation is f32 regardless of input dtype;
+    (ii) the quantization effect itself (f64 moments of quantized vs
+         unquantized data) matches the delta-method prediction
+         ``E[(a+q)^n] - E[a^n] ~ C(n,2) du_{n-2} E[q^2]`` within 5x and
+         stays below a few sampling-noise sigma of the estimator.
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused,
+    )
+
+    R, order = 400_000, 6
+    u = rng_np.normal(5.0, 1.0, R).astype(np.float32)
+    x = (2.0 + 0.3 * (u - 5.0) + rng_np.normal(0, 0.5, R)).astype(np.float32)[
+        :, None
+    ]
+
+    u16 = np.asarray(
+        jnp.asarray(u).astype(jnp.bfloat16).astype(jnp.float32), np.float64
+    )
+    x16 = np.asarray(
+        jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32), np.float64
+    )
+
+    # (i) kernel (bf16 stream, f32 accumulate) vs exact f64 of quantized data
+    got = reduce_central_comoments_fused(
+        jnp.asarray(u).astype(jnp.bfloat16),
+        jnp.asarray(x).astype(jnp.bfloat16),
+        order,
+        interpret=True,
+    )
+    ref16 = reduce_central_comoments(u16, x16, order)
+    for a, b in zip(got, ref16):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+
+    # (ii) quantization shift: f64(quantized) vs f64(original)
+    ref32 = reduce_central_comoments(np.float64(u), np.float64(x), order)
+    du16, du32 = np.asarray(ref16[2], float), np.asarray(ref32[2], float)
+    dx16 = np.asarray(ref16[3], float).ravel()
+    dx32 = np.asarray(ref32[3], float).ravel()
+    q2_u = float(np.mean((np.float64(u) - u16) ** 2))
+    q2_x = float(np.mean((np.float64(x) - x16) ** 2))
+
+    a = np.float64(u) - u.mean()
+    s = np.float64(x[:, 0]) - x[:, 0].mean()
+    for n in range(2, order + 1):
+        bias_u = math.comb(n, 2) * abs(du32[n - 2]) * q2_u
+        sigma_u = float(np.std(a**n)) / np.sqrt(R)
+        assert abs(du16[n] - du32[n]) < 5.0 * bias_u + 3.0 * sigma_u, n
+
+        bias_x = (
+            math.comb(n, 2) * abs(dx32[n - 2]) * q2_u
+            + n * abs(du32[n - 1]) * np.sqrt(q2_x * q2_u)
+            + abs(du32[n]) * 0.0
+        )
+        sigma_x = float(np.std(s * a**n)) / np.sqrt(R)
+        assert abs(dx16[n] - dx32[n]) < 5.0 * bias_x + 3.0 * sigma_x + np.sqrt(
+            q2_x
+        ) * sigma_u, n

@@ -81,6 +81,11 @@ def _reduce_kernel(
     sums accumulate into per-(sublane, lane) tiles ``(order+1, 8, B)`` /
     ``(v*(order+1), 8, B)`` reduced by the XLA epilogue.
 
+    Inputs may be bfloat16 (upcast on load; accumulation always f32): the
+    stream is HBM-bandwidth-sensitive and bf16 halves the traffic, while
+    the quantization noise is statistically negligible against sampling
+    noise at large R (tests/test_parallel.py bf16 accuracy gate).
+
     Tail masking runs only in the *final* grid step (``pl.when`` branch), so
     the bulk of the stream pays zero masking cost.
     """
@@ -95,8 +100,10 @@ def _reduce_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    du = u_ref[:] - su_ref[0, 0]  # (rows, B)
-    xs = [x_ref[k] - sx_ref[0, k] for k in range(v)]  # each (rows, B)
+    du = u_ref[:].astype(jnp.float32) - su_ref[0, 0]  # (rows, B)
+    xs = [
+        x_ref[k].astype(jnp.float32) - sx_ref[0, k] for k in range(v)
+    ]  # each (rows, B)
 
     def body(p0):
         p = p0
@@ -143,10 +150,15 @@ def reduce_central_comoments_fused(
     ``uv``: ``(R,)``; ``xv``: ``(R, *val)``; returns ``(xave, uave, du, dxdu)``
     with the contract of :func:`ops.moments.reduce_central_comoments`
     (``batch=()``).  ``block`` = samples per grid step.
+
+    bfloat16 inputs stream at half the HBM traffic (compute stays f32
+    in-kernel); pass bf16 arrays to opt in.
     """
-    uv = jnp.asarray(uv, dtype=jnp.float32)
+    uv = jnp.asarray(uv)
+    in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
+    uv = uv.astype(in_dtype)
     val_shape = xv.shape[1:]
-    xv = jnp.asarray(xv, dtype=jnp.float32).reshape(uv.shape[0], -1)
+    xv = jnp.asarray(xv).astype(in_dtype).reshape(uv.shape[0], -1)
     r, v = xv.shape
 
     w_flat = (
@@ -161,9 +173,10 @@ def reduce_central_comoments_fused(
     s_u = (w_head * uv[:head]).sum() / w_head.sum()
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
-    rows = max(block // _LANES, 8)
+    sub = 16 if in_dtype == jnp.bfloat16 else 8  # min sublane tile
+    rows = max(block // _LANES, sub)
     # clamp the block for small inputs so padding stays bounded
-    rows_needed = ((r + _LANES - 1) // _LANES + 7) // 8 * 8
+    rows_needed = ((r + _LANES - 1) // _LANES + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
     chunk = rows * _LANES
     rp = ((r + chunk - 1) // chunk) * chunk
