@@ -150,6 +150,92 @@ def test_batched_umoments_interpret(rng_np):
         )
 
 
+def test_batched_comoments_interpret(rng_np):
+    """Batched x != u comoment kernel vs the XLA two-pass reference,
+    interpret mode: multi-dim batch x multi-dim val, weighted, odd R tail."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_batched,
+    )
+
+    order, R = 5, 3001  # odd R exercises the tail mask
+    for batch, val in [((3,), (2,)), ((2, 2), ()), ((4,), (2, 3))]:
+        u = rng_np.normal(5.0, 1.0, (*batch, R)).astype(np.float32)
+        x = rng_np.normal(2.0, 0.5, (*batch, R, *val)).astype(np.float32)
+        w = rng_np.uniform(0.5, 1.5, (*batch, R)).astype(np.float32)
+
+        ref = reduce_central_comoments(
+            np.float64(u), np.float64(x), order, weight=np.float64(w),
+            val_ndim=len(val),
+        )
+        got = reduce_central_comoments_batched(
+            u, x, order, weight=w, interpret=True
+        )
+        for a, b in zip(got, ref):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+            )
+
+    # unweighted path
+    u = rng_np.normal(5.0, 1.0, (3, R)).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (3, R, 2)).astype(np.float32)
+    ref = reduce_central_comoments(np.float64(u), np.float64(x), order)
+    got = reduce_central_comoments_batched(u, x, order, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
+def test_batched_comoments_custom_vjp(rng_np):
+    """Gradients through the batched fused kernel == autodiff through the
+    XLA two-pass formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops import moments_pallas as mp
+
+    order, B, R, V = 3, 2, 300, 2
+    u = jnp.asarray(rng_np.normal(2.0, 1.0, (B, R)))
+    x = jnp.asarray(rng_np.normal(1.0, 0.5, (B, R, V)))
+    w = jnp.asarray(rng_np.uniform(0.5, 1.5, (B, R)))
+
+    def scalar(out):
+        xave, uave, du, dxdu = out
+        return (
+            jnp.sum(jnp.sin(xave))
+            + jnp.sum(uave)
+            + jnp.sum(du**2)
+            + jnp.sum(dxdu * jnp.arange(1.0, 1.0 + dxdu.size).reshape(dxdu.shape))
+        )
+
+    g_ref = jax.grad(
+        lambda u, x, w: scalar(
+            reduce_central_comoments(u, x, order, weight=w)
+        ),
+        argnums=(0, 1, 2),
+    )(u, x, w)
+
+    orig = mp.reduce_central_comoments_batched
+    mp.reduce_central_comoments_batched = lambda uu, xx, oo, weight=None: orig(
+        uu, xx, oo, weight=weight, interpret=True
+    )
+    try:
+        g_fused = jax.grad(
+            lambda u, x, w: scalar(
+                mp.reduce_central_comoments_batched_ad(u, x, w, order)
+            ),
+            argnums=(0, 1, 2),
+        )(u, x, w)
+    finally:
+        mp.reduce_central_comoments_batched = orig
+
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
 def test_fused_reduce_custom_vjp(rng_np):
     """Cotangents of the fused kernel's custom VJP == autodiff through the
     XLA reference implementation."""

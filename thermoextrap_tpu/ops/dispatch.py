@@ -61,6 +61,17 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
                 uv, order + 1, weight=weight
             )
             return uave, uave, du_full[: order + 1], du_full[1 : order + 2]
+        # batched x != u: fused comoment kernel over (batch, rec blocks)
+        w = (
+            None
+            if weight is None
+            else jnp.broadcast_to(
+                jnp.asarray(weight, jnp.float32), jnp.shape(uv)
+            )
+        )
+        return moments_pallas.reduce_central_comoments_batched_ad(
+            uv, xv, w, order
+        )
     return moments.reduce_central_comoments(
         uv, xv, order, weight=weight, val_ndim=val_ndim
     )

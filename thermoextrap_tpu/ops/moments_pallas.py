@@ -41,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .convert import shift_raw_comoments, shift_raw_moments
 
 __all__ = [
+    "reduce_central_comoments_batched",
+    "reduce_central_comoments_batched_ad",
     "reduce_central_comoments_fused",
     "reduce_central_comoments_fused_ad",
     "reduce_central_umoments_batched",
@@ -715,6 +717,240 @@ def reduce_central_umoments_batched(
     du = shift_raw_moments(m, m[1])
     du = du.at[0].set(1.0).at[1].set(0.0)
     return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
+
+
+# ---------------------------------------------------------------------------
+# batched x != u comoment reduction (arbitrary batch axes x val axes, the
+# cmomy arbitrary-dim reduction role, reference data.py:1632-1640)
+# ---------------------------------------------------------------------------
+
+
+def _reduce_co_batched_kernel(
+    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v
+):
+    """Per grid step ``(b, j)``: u block ``(1, rows, B)``, x block
+    ``(1, v, rows, B)``; per-batch shifts indexed from SMEM by the batch
+    program id.  Accumulation mirrors :func:`_reduce_kernel` (shifted raw
+    sums into per-(sublane, lane) tiles), one output tile row per batch."""
+    if use_w:
+        w_ref, out_u_ref, out_xu_ref = rest
+    else:
+        out_u_ref, out_xu_ref = rest
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_u_ref[:] = jnp.zeros_like(out_u_ref)
+        out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
+
+    du = u_ref[0].astype(jnp.float32) - su_ref[b, 0]  # (rows, B)
+    xs = [x_ref[0, k].astype(jnp.float32) - sx_ref[b, k] for k in range(v)]
+
+    def body(p0):
+        p = p0
+        for n in range(order + 1):
+            out_u_ref[0, n, :, :] += _tile_sum(p, rows)
+            for k in range(v):
+                out_xu_ref[0, k * (order + 1) + n, :, :] += _tile_sum(
+                    p * xs[k], rows
+                )
+            if n < order:
+                p = p * du
+
+    last = pl.num_programs(1) - 1
+    has_tail = n_real % (rows * _LANES) != 0
+    if has_tail:
+
+        @pl.when(j < last)
+        def _():
+            body(w_ref[0] if use_w else jnp.ones_like(du))
+
+        @pl.when(j == last)
+        def _():
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+            flat = (j * rows + row_ids) * _LANES + lane_ids
+            mask = (flat < n_real).astype(du.dtype)
+            body(w_ref[0] * mask if use_w else mask)
+
+    else:
+        body(w_ref[0] if use_w else jnp.ones_like(du))
+
+
+@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
+def reduce_central_comoments_batched(
+    uv,
+    xv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 262144,
+    interpret: bool = False,
+):
+    r"""Fused single-pass central comoment reduction with batch axes.
+
+    ``uv``: ``(*batch, R)``; ``xv``: ``(*batch, R, *val)``; same return
+    contract as :func:`ops.moments.reduce_central_comoments` — the batched
+    fast path the reference delegates to one cmomy call over arbitrary dims
+    (/root/reference/src/thermoextrap/data.py:1632-1640).
+
+    Grid is (batch, rec blocks); each batch row streams its own samples with
+    the shifted single-pass accumulation (per-batch shift from the first
+    chunk).  ``block`` bounds the per-step u-block size; the x block scales
+    it by ``v``, so the default keeps VMEM well under the 16 MB scoped limit
+    for small-to-moderate ``v``.  bfloat16 inputs stream at half traffic.
+    """
+    uv = jnp.asarray(uv)
+    in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
+    uv = uv.astype(in_dtype)
+    batch_shape = uv.shape[:-1]
+    r = uv.shape[-1]
+    val_shape = xv.shape[uv.ndim :]
+    u2 = uv.reshape(-1, r)
+    nbatch = u2.shape[0]
+    x3 = jnp.asarray(xv).astype(in_dtype).reshape(nbatch, r, -1)
+    v = x3.shape[-1]
+
+    w2 = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), uv.shape).reshape(
+            -1, r
+        )
+    )
+
+    head = min(8192, r)
+    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
+    hsum = w_head.sum(-1)
+    s_u = (w_head * u2[:, :head]).sum(-1) / hsum  # (nbatch,)
+    s_x = (w_head[:, :, None] * x3[:, :head]).sum(1) / hsum[:, None]  # (nbatch, v)
+
+    sub = 16 if in_dtype == jnp.bfloat16 else 8
+    rows = max(block // (_LANES * max(v, 1)), sub) // sub * sub
+    rows_needed = ((r + _LANES - 1) // _LANES + sub - 1) // sub * sub
+    rows = min(rows, rows_needed)
+    chunk = rows * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb_rows = rp // _LANES
+
+    u_p = jnp.pad(u2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
+    # one transposed copy: (nbatch, R, v) -> (nbatch, v, rows, LANES)
+    x_p = (
+        jnp.pad(x3, ((0, 0), (0, rp - r), (0, 0)))
+        .transpose(0, 2, 1)
+        .reshape(nbatch, v, nb_rows, _LANES)
+    )
+
+    operands = [s_u.reshape(nbatch, 1), s_x.reshape(nbatch, v), u_p, x_p]
+    in_specs = [
+        pl.BlockSpec((nbatch, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((nbatch, v), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, v, rows, _LANES), lambda b, j: (b, 0, j, 0)),
+    ]
+    use_w = w2 is not None
+    if use_w:
+        operands.append(
+            jnp.pad(w2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
+        )
+        in_specs.append(pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)))
+
+    out_u, out_xu = pl.pallas_call(
+        functools.partial(
+            _reduce_co_batched_kernel,
+            order=order,
+            use_w=use_w,
+            rows=rows,
+            n_real=r,
+            v=v,
+        ),
+        grid=(nbatch, nb_rows // rows),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, order + 1, 8, _LANES), lambda b, j: (b, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, v * (order + 1), 8, _LANES), lambda b, j: (b, 0, 0, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbatch, order + 1, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (nbatch, v * (order + 1), 8, _LANES), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    sum_u = jnp.moveaxis(out_u.sum(axis=(2, 3)), 1, 0)  # (order+1, nbatch)
+    sum_xu = jnp.moveaxis(
+        out_xu.sum(axis=(2, 3)).reshape(nbatch, v, order + 1), 2, 0
+    )  # (order+1, nbatch, v)
+
+    wsum = sum_u[0]
+    m = sum_u / wsum
+    c = sum_xu / wsum[:, None]
+
+    uave = m[1] + s_u
+    xave = c[0] + s_x
+
+    du = shift_raw_moments(m, m[1])
+    x_du = shift_raw_comoments(c, m[1][:, None])
+    dxdu = x_du - c[0][None] * du[:, :, None]
+    du = du.at[0].set(1.0).at[1].set(0.0)
+    dxdu = dxdu.at[0].set(0.0)
+    return (
+        xave.reshape(batch_shape + val_shape),
+        uave.reshape(batch_shape),
+        du.reshape((order + 1, *batch_shape)),
+        dxdu.reshape((order + 1, *batch_shape, *val_shape)),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def reduce_central_comoments_batched_ad(uv, xv, w, order: int):
+    r"""Differentiable wrapper around the batched fused reduction: Pallas
+    forward, backward delegated to jax autodiff of the XLA two-pass
+    formulation (exact; moments are cheap to re-derive on the backward
+    pass).  ``w`` may be ``None``."""
+    return reduce_central_comoments_batched(uv, xv, order, weight=w)
+
+
+def _batched_ad_fwd(uv, xv, w, order: int):
+    out = reduce_central_comoments_batched(uv, xv, order, weight=w)
+    return out, (uv, xv, w)
+
+
+def _batched_ad_bwd(order: int, res, cts):
+    from . import moments as _moments
+
+    uv, xv, w = res
+    val_ndim = jnp.ndim(xv) - jnp.ndim(uv)
+    # the fused forward emits f32; the XLA backward works in the input dtype
+    cts = tuple(jnp.asarray(c, jnp.result_type(uv)) for c in cts)
+
+    if w is None:
+
+        def f(u, x):
+            return _moments.reduce_central_comoments(
+                u, x, order, val_ndim=val_ndim
+            )
+
+        _, vjp = jax.vjp(f, uv, xv)
+        gu, gx = vjp(cts)
+        return gu, gx, None
+
+    def f(u, x, ww):
+        return _moments.reduce_central_comoments(
+            u, x, order, weight=ww, val_ndim=val_ndim
+        )
+
+    _, vjp = jax.vjp(f, uv, xv, w)
+    gu, gx, gw = vjp(cts)
+    return gu, gx, gw
+
+
+reduce_central_comoments_batched_ad.defvjp(_batched_ad_fwd, _batched_ad_bwd)
 
 
 # ---------------------------------------------------------------------------
