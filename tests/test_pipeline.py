@@ -1,0 +1,92 @@
+"""One-dispatch serving pipeline == the eager model workflow."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import thermoextrap_tpu as xtpu
+from thermoextrap_tpu import beta
+from thermoextrap_tpu.pipeline import make_extrap_pipeline
+
+
+def _model(u, x, order, beta0, minus_log=False):
+    data = xtpu.factory_data_values(
+        uv=np.asarray(u), xv=np.asarray(x), order=order, central=True
+    )
+    return beta.factory_extrapmodel(beta0, data, minus_log=minus_log)
+
+
+def test_pipeline_matches_model(rng_np):
+    order, beta0, R = 4, 2.0, 5000
+    u = rng_np.normal(3.0, 0.7, R)
+    x = 1.5 + 0.2 * (u - 3.0) + rng_np.normal(0, 0.3, R)
+    betas = np.array([1.8, 2.0, 2.3])
+
+    run = make_extrap_pipeline(order, beta0)
+    got = np.asarray(run(u, x, betas))
+    ref = np.asarray(_model(u, x, order, beta0).predict(betas))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_pipeline_minus_log(rng_np):
+    order, beta0, R = 3, 1.0, 3000
+    u = rng_np.normal(2.0, 0.5, R)
+    x = np.exp(0.5 + 0.1 * (u - 2.0)) + rng_np.uniform(0.1, 0.2, R)
+    betas = np.array([0.9, 1.1])
+
+    run = make_extrap_pipeline(order, beta0, minus_log=True)
+    got = np.asarray(run(u, x, betas))
+    ref = np.asarray(_model(u, x, order, beta0, minus_log=True).predict(betas))
+    np.testing.assert_allclose(got, ref, rtol=1e-10)
+
+
+def test_pipeline_vector_observable(rng_np):
+    order, beta0, R, V = 3, 2.0, 2000, 3
+    u = rng_np.normal(3.0, 0.7, R)
+    x = 1.5 + 0.2 * (u[:, None] - 3.0) + rng_np.normal(0, 0.3, (R, V))
+    betas = np.array([1.9, 2.1])
+
+    run = make_extrap_pipeline(order, beta0)
+    got = np.asarray(run(u, x, betas))
+    assert got.shape == (2, V)
+    ref = np.asarray(_model(u, x, order, beta0).predict(betas))
+    np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+
+def test_pipeline_bootstrap_std(rng_np):
+    """The in-jit bootstrap std is calibrated against the eager resample
+    path (different draws -> statistical comparison)."""
+    order, beta0, R, nrep = 2, 2.0, 4000, 200
+    u = rng_np.normal(3.0, 0.7, R)
+    x = 1.5 + 0.2 * (u - 3.0) + rng_np.normal(0, 0.3, R)
+    betas = np.array([1.9, 2.2])
+
+    run = make_extrap_pipeline(order, beta0, nrep=nrep)
+    pred, std = run(u, x, betas, seed=3)
+    pred, std = np.asarray(pred), np.asarray(std)
+
+    model = _model(u, x, order, beta0)
+    np.testing.assert_allclose(
+        pred, np.asarray(model.predict(betas)), rtol=1e-10
+    )
+    boot = model.resample({"nrep": nrep})
+    ref_std = np.asarray(boot.predict(betas)).std(axis=1)
+    ratio = std / ref_std
+    assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+
+    # different seeds -> different draws, same calibration
+    _, std2 = run(u, x, betas, seed=4)
+    assert not np.allclose(np.asarray(std2), std)
+    assert np.all(np.abs(np.asarray(std2) / std - 1.0) < 0.5)
+
+
+def test_pipeline_is_differentiable(rng_np):
+    import jax
+
+    order, beta0, R = 2, 1.0, 500
+    u = jnp.asarray(rng_np.normal(2.0, 0.5, R))
+    x = jnp.asarray(1.0 + 0.3 * (u - 2.0) + rng_np.normal(0, 0.1, R))
+    run = make_extrap_pipeline(order, beta0)
+
+    g = jax.grad(lambda uu: run(uu, x, jnp.asarray([1.2])).sum())(u)
+    assert g.shape == u.shape
+    assert bool(jnp.all(jnp.isfinite(g)))

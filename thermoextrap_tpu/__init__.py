@@ -28,6 +28,7 @@ from . import (
     idealgas,
     lnpi,
     parallel,
+    pipeline,
     random,
     recursive_interp,
     stack,
@@ -78,6 +79,7 @@ __all__ = [
     "idealgas",
     "lnpi",
     "parallel",
+    "pipeline",
     "random",
     "recursive_interp",
     "stack",

@@ -1,0 +1,107 @@
+r"""One-dispatch serving pipelines: samples → extrapolation (+ bootstrap CI).
+
+TPU-native addition (no reference analogue — the reference workflow is the
+eager ``ExtrapModel.predict`` + ``resample`` pair, models.py:487-576).  On a
+serving path every host→device dispatch carries fixed overhead (milliseconds
+through a remote tunnel), so the production shape of the workflow is a
+SINGLE jitted program that runs the full chain in one dispatch:
+
+    fused Pallas moment reduction  →  truncated-series derivative engine
+    →  Taylor evaluation           →  (optional) in-kernel Poisson
+                                       bootstrap for uncertainty
+
+The returned function is a pure jax program: embeddable in larger jit/pjit
+programs, differentiable end-to-end (the Pallas reductions carry custom
+VJPs), and compiled exactly once per input shape.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .models.derivatives import central_x_ave_coefs
+from .models.extrap import _poly_eval
+from .ops import dispatch
+from .ops.series import series_neg_log
+
+__all__ = ["make_extrap_pipeline"]
+
+
+def make_extrap_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    minus_log: bool = False,
+    nrep: int = 0,
+):
+    r"""Build a jitted ``run(uv, xv, betas, seed=0)`` for β extrapolation of
+    ``<x>`` (the flagship observable, reference beta.py:277-301).
+
+    Parameters
+    ----------
+    order : Taylor order (static).
+    beta0 : reference inverse temperature the samples were drawn at.
+    minus_log : predict ``-log <x>`` (series-log transform of the
+        coefficients, reference ``SymMinusLog``, models.py:261-287).
+    nrep : if > 0, also return the bootstrap standard deviation of the
+        prediction from ``nrep`` replicates.  On an accelerator the
+        replicates come from the in-kernel Poisson bootstrap (no
+        ``(nrep, R)`` table in HBM — scales to R=1e8 and beyond); on CPU
+        from the XLA multinomial freq-table path.
+
+    Returns
+    -------
+    ``run(uv, xv, betas, seed=0)`` where ``uv (R,)``, ``xv (R, *val)``,
+    ``betas (A,)`` → ``pred (A, *val)`` or ``(pred, std)`` with
+    ``std (A, *val)``.  ``seed`` only matters when ``nrep > 0``.
+    """
+    # backend decided when the pipeline is built: Pallas bootstrap kernels
+    # only lower on an accelerator
+    on_accel = jax.default_backend() != "cpu"
+
+    def _coefs(xave, du, dxdu):
+        c = central_x_ave_coefs(xave, du, dxdu, order)
+        return series_neg_log(c) if minus_log else c
+
+    @jax.jit
+    def run(uv, xv, betas, seed=0):
+        uv = jnp.asarray(uv)
+        xv = jnp.asarray(xv)
+        val_shape = xv.shape[1:]
+        xflat = xv.reshape(uv.shape[0], -1)
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        dalpha = betas - beta0
+
+        xave, _uave, du, dxdu = dispatch.reduce_central(uv, xflat, order)
+        pred = _poly_eval(_coefs(xave, du[:, None], dxdu), dalpha)
+        pred = pred.reshape(betas.shape + val_shape)
+        if not nrep:
+            return pred
+
+        if on_accel:
+            from .ops.moments_pallas import resample_central_comoments_poisson
+
+            bx, _bu, bdu, bdxdu = resample_central_comoments_poisson(
+                uv, xflat, nrep, order, seed=seed
+            )
+        else:
+            from .ops.resample import (
+                freq_from_indices,
+                random_indices,
+                resample_central_comoments,
+            )
+
+            r = uv.shape[0]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bx, _bu, bdu, bdxdu = resample_central_comoments(
+                uv, xflat, freq, order
+            )
+
+        bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
+        std = bpred.std(axis=1).reshape(betas.shape + val_shape)
+        return pred, std
+
+    return run
