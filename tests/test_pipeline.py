@@ -79,6 +79,35 @@ def test_pipeline_bootstrap_std(rng_np):
     assert np.all(np.abs(np.asarray(std2) / std - 1.0) < 0.5)
 
 
+def test_pipeline_sharded(rng_np):
+    """mesh= pipeline == unsharded pipeline exactly (8 virtual devices)."""
+    import jax
+    import pytest
+
+    from thermoextrap_tpu.parallel import make_mesh, shard_rec
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    order, beta0, R, nrep = 3, 2.0, 4096, 16
+    u = rng_np.normal(3.0, 0.7, R)
+    x = 1.5 + 0.2 * (u - 3.0) + rng_np.normal(0, 0.3, R)
+    betas = np.array([1.9, 2.2])
+
+    mesh = make_mesh(8, axis_names=("rep", "rec"))
+    run_m = make_extrap_pipeline(order, beta0, nrep=nrep, mesh=mesh)
+    run_1 = make_extrap_pipeline(order, beta0)
+
+    us = shard_rec(jnp.asarray(u), mesh)
+    xs = shard_rec(jnp.asarray(x), mesh)
+    pred_m, std_m = run_m(us, xs, betas, seed=5)
+    pred_1 = run_1(u, x, betas)
+    np.testing.assert_allclose(
+        np.asarray(pred_m), np.asarray(pred_1), rtol=1e-12
+    )
+    assert np.all(np.asarray(std_m) > 0)
+
+
 def test_pipeline_is_differentiable(rng_np):
     import jax
 

@@ -34,6 +34,7 @@ def make_extrap_pipeline(
     *,
     minus_log: bool = False,
     nrep: int = 0,
+    mesh=None,
 ):
     r"""Build a jitted ``run(uv, xv, betas, seed=0)`` for β extrapolation of
     ``<x>`` (the flagship observable, reference beta.py:277-301).
@@ -49,6 +50,10 @@ def make_extrap_pipeline(
         replicates come from the in-kernel Poisson bootstrap (no
         ``(nrep, R)`` table in HBM — scales to R=1e8 and beyond); on CPU
         from the XLA multinomial freq-table path.
+    mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis (and
+        optionally ``"rep"``).  The reduction and bootstrap then run
+        sharded over devices (``parallel/sharded.py``: psum-merged partial
+        moments over ICI); shard inputs with :func:`parallel.shard_rec`.
 
     Returns
     -------
@@ -73,13 +78,31 @@ def make_extrap_pipeline(
         betas = jnp.atleast_1d(jnp.asarray(betas))
         dalpha = betas - beta0
 
-        xave, _uave, du, dxdu = dispatch.reduce_central(uv, xflat, order)
+        if mesh is not None:
+            from .parallel import reduce_central_comoments_sharded
+
+            xave, _uave, du, dxdu = reduce_central_comoments_sharded(
+                uv, xflat, order, mesh
+            )
+        else:
+            xave, _uave, du, dxdu = dispatch.reduce_central(uv, xflat, order)
         pred = _poly_eval(_coefs(xave, du[:, None], dxdu), dalpha)
         pred = pred.reshape(betas.shape + val_shape)
         if not nrep:
             return pred
 
-        if on_accel:
+        if mesh is not None:
+            from .ops.resample import freq_from_indices, random_indices
+            from .parallel import resample_central_comoments_sharded
+
+            r = uv.shape[0]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bx, _bu, bdu, bdxdu = resample_central_comoments_sharded(
+                uv, xflat, freq, order, mesh
+            )
+        elif on_accel:
             from .ops.moments_pallas import resample_central_comoments_poisson
 
             bx, _bu, bdu, bdxdu = resample_central_comoments_poisson(
