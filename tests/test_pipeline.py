@@ -5,7 +5,7 @@ import numpy as np
 
 import thermoextrap_tpu as xtpu
 from thermoextrap_tpu import beta
-from thermoextrap_tpu.pipeline import make_extrap_pipeline
+from thermoextrap_tpu.pipeline import make_extrap_pipeline, make_lnpi_pipeline
 
 
 def _model(u, x, order, beta0, minus_log=False):
@@ -106,6 +106,41 @@ def test_pipeline_sharded(rng_np):
         np.asarray(pred_m), np.asarray(pred_1), rtol=1e-12
     )
     assert np.all(np.asarray(std_m) > 0)
+
+
+def test_lnpi_pipeline_matches_model(rng_np):
+    """One-dispatch lnPi grid pipeline == the eager moment-backed model."""
+    from thermoextrap_tpu import lnpi
+    from thermoextrap_tpu.utils.trees import replace
+
+    order, beta0, n_grid, R = 3, 1.4, 7, 3000
+    # per-macrostate energy streams with a grid-dependent mean
+    shift = np.linspace(-2.0, 2.0, n_grid)
+    uv = shift[:, None] + rng_np.normal(-10.0, 1.5, (n_grid, R))
+    lnpi0 = rng_np.normal(0.0, 1.0, n_grid)
+    lnpi0 -= lnpi0[0]
+    mu = 0.7
+    ncoords = np.arange(n_grid, dtype=float)
+    mudotn = mu * ncoords
+
+    run = make_lnpi_pipeline(order, beta0)
+    betas = np.array([1.2, 1.4, 1.6])
+    got = np.asarray(run(uv, lnpi0, mudotn, betas))
+    assert got.shape == (3, n_grid)
+
+    # eager reference: moment-backed data (exact f64 raw moments) + factory
+    u_raw = np.stack(
+        [(np.float64(uv) ** n).mean(axis=-1) for n in range(order + 1)]
+    )
+    data = xtpu.DataCentralMoments.from_ave_raw(
+        u=u_raw, xu=None, x_is_u=True, central=True
+    )
+    meta = lnpi.lnPiDataCallback.from_mu(
+        lnPi0=lnpi0, mu=[mu], ncoords=ncoords[None, :]
+    )
+    model = lnpi.factory_extrapmodel_lnPi(beta0, replace(data, meta=meta))
+    ref = np.asarray(model.predict(betas))
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
 
 
 def test_pipeline_is_differentiable(rng_np):

@@ -20,12 +20,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .models.derivatives import central_x_ave_coefs
+from .models.derivatives import (
+    central_u_ave_coefs,
+    central_x_ave_coefs,
+    lnpi_coefs,
+)
 from .models.extrap import _poly_eval
 from .ops import dispatch
 from .ops.series import series_neg_log
 
-__all__ = ["make_extrap_pipeline"]
+__all__ = ["make_extrap_pipeline", "make_lnpi_pipeline"]
 
 
 def make_extrap_pipeline(
@@ -126,5 +130,53 @@ def make_extrap_pipeline(
         bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
         std = bpred.std(axis=1).reshape(betas.shape + val_shape)
         return pred, std
+
+    return run
+
+
+def _u_central_moments_xla(uv, order: int):
+    """Two-pass batched central u-moments (XLA fallback for the lnΠ
+    pipeline off-accelerator): ``uv (*batch, R)`` → ``(uave (*batch,),
+    du (order+1, *batch))`` with ``du[0]=1, du[1]=0``."""
+    uave = uv.mean(-1)
+    d = uv - uave[..., None]
+    rows = [jnp.ones_like(uave), jnp.zeros_like(uave)]
+    p = d * d
+    for _ in range(2, order + 1):
+        rows.append(p.mean(-1))
+        p = p * d
+    return uave, jnp.stack(rows)
+
+
+def make_lnpi_pipeline(order: int, beta0: float):
+    r"""Build a jitted ``run(uv, lnpi0, mudotn, betas)`` for macrostate-grid
+    lnΠ temperature extrapolation (reference lnpi.py:372-438 workflow).
+
+    One dispatch covers the whole grid: the batched u-moment Pallas kernel
+    reduces every macrostate's energy stream at once (``uv (*grid, R)``,
+    x_is_u), the series engine integrates ``(lnΠ)' = μ·N − <u>`` term by
+    term, and Taylor evaluation lands ``lnΠ`` at each target β.
+
+    ``lnpi0 (*grid,)`` is the reference-β distribution, ``mudotn (*grid,)``
+    the per-macrostate ``μ·N`` coupling; returns ``(A, *grid)``.
+    """
+    if order < 1:
+        msg = f"lnPi order must be >= 1, got {order}"
+        raise ValueError(msg)
+    on_accel = jax.default_backend() != "cpu"
+
+    @jax.jit
+    def run(uv, lnpi0, mudotn, betas):
+        uv = jnp.asarray(uv)
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        if on_accel:
+            from .ops.moments_pallas import reduce_central_umoments_batched
+
+            uave, du = reduce_central_umoments_batched(uv, order)
+        else:
+            uave, du = _u_central_moments_xla(uv, order)
+        u_c = central_u_ave_coefs(uave, du, order - 1)
+        c = lnpi_coefs(u_c, jnp.asarray(lnpi0), jnp.asarray(mudotn), order)
+        return _poly_eval(c, betas - beta0)
 
     return run
