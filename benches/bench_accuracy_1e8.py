@@ -158,7 +158,7 @@ def main() -> None:
     assert abs(pu - ref["prefix_u"]) < 1e-3, (pu, ref["prefix_u"])
 
     def run(uu, xx):
-        out = reduce_central_comoments_fused(uu, xx[:, None], ORDER, block=524288)
+        out = reduce_central_comoments_fused(uu, xx[:, None], ORDER)
         return (
             np.asarray(out[2], np.float64),
             np.asarray(out[3], np.float64).reshape(ORDER + 1),

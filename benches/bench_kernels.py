@@ -1,0 +1,158 @@
+"""Chip throughput capture for every Pallas kernel variant.
+
+The headline bench (bench.py) covers the flat V=1 reduction only; this
+bench records the rest — vector-packed reduction, batched (x_is_u and
+x!=u) reductions, freq-matmul and in-kernel Poisson bootstraps — in one
+committed artifact (BENCH_KERNELS.json) so every fast path has a recorded
+number on real hardware.
+
+Timing notes (CLAUDE.md): per-call dispatch through the measurement tunnel
+carries a ~4-7 ms fixed+noisy overhead, included in the apparent rates;
+the flat V=1 reductions use the K-chained in-jit device-rate method of
+bench.py, which removes it.
+Synchronization is by scalar fetch (block_until_ready is unreliable here).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+REPEATS, ITERS = 3, 3
+
+
+def _best(fn, sync):
+    sync(fn())
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn()
+        sync(out)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    return best
+
+
+def main() -> None:
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_batched,
+        reduce_central_comoments_fused,
+        reduce_central_umoments_batched,
+        resample_central_comoments_fused,
+        resample_central_comoments_poisson,
+    )
+    from thermoextrap_tpu.ops.resample import freq_from_indices, random_indices
+
+    order = 6
+    out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
+
+    def sync_reduce(o):
+        return float(jnp.asarray(o[2]).reshape(-1)[0])
+
+    # --- flat reduction, V=1 and V=4, marginal rates -----------------------
+    R, RH = 100_000_000, 50_000_000
+    k1, k2 = jax.random.split(jax.random.key(0))
+    uv = 5.0 + jax.random.normal(k1, (R,), dtype=jnp.float32)
+    xv1 = 2.0 + 0.5 * jax.random.normal(k2, (R,), dtype=jnp.float32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _chain(u, x, k):
+        acc = 0.0
+        for _ in range(k):
+            u, x = jax.lax.optimization_barrier((u, x))
+            out = reduce_central_comoments_fused(u, x, order)
+            acc = acc + out[2][2]
+        return acc
+
+    def _chain_time(u, x, k):
+        float(_chain(u, x, k))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(_chain(u, x, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def marginal(u, x, r=R, rh=None):
+        # K-chained in-jit device rate (see bench.py methodology): per-call
+        # marginal timing hits the tunnel noise floor at these kernel times
+        t4, t12 = _chain_time(u, x, 4), _chain_time(u, x, 12)
+        tf = _best(lambda: reduce_central_comoments_fused(u, x, order), sync_reduce)
+        return 8 * r / max(t12 - t4, 1e-9) / 1e9, r / tf / 1e9
+
+    m, a = marginal(uv, xv1)
+    out["flat_f32_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
+    m, a = marginal(uv.astype(jnp.bfloat16), xv1.astype(jnp.bfloat16))
+    out["flat_bf16_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
+
+    R4 = 25_000_000
+    xv4 = 2.0 + 0.5 * jax.random.normal(k2, (R4, 4), dtype=jnp.float32)
+    u4 = jax.block_until_ready(uv[:R4])
+    t = _best(lambda: reduce_central_comoments_fused(u4, xv4, order), sync_reduce)
+    out["flat_f32_V4"] = {
+        "apparent_2p5e7_gsps": round(R4 / t / 1e9, 2),
+        "note": "per-sample rate; each sample carries 4 observable values",
+    }
+
+    # --- batched x!=u comoments (B x R x V) --------------------------------
+    B, Rb, V = 8, 10_000_000, 2
+    ub = 5.0 + jax.random.normal(k1, (B, Rb), dtype=jnp.float32)
+    xb = 2.0 + 0.5 * jax.random.normal(k2, (B, Rb, V), dtype=jnp.float32)
+    t = _best(
+        lambda: reduce_central_comoments_batched(ub, xb, order), sync_reduce
+    )
+    out["batched_comoments_f32_B8_R1e7_V2"] = {
+        "apparent_gsps": round(B * Rb / t / 1e9, 2)
+    }
+
+    # --- batched u-moments (lnPi macrostate grid) --------------------------
+    Bg, Rg = 512, 1_000_000
+    ug = -10.0 + 1.5 * jax.random.normal(k1, (Bg, Rg), dtype=jnp.float32)
+    t = _best(
+        lambda: reduce_central_umoments_batched(ug, order),
+        lambda o: float(o[1][2, 0]),
+    )
+    out["batched_umoments_f32_B512_R1e6"] = {
+        "apparent_gsps": round(Bg * Rg / t / 1e9, 2)
+    }
+
+    # --- bootstraps ---------------------------------------------------------
+    Rr, nrep = 1_000_000, 256
+    ur, xr = uv[:Rr], xv1[:Rr].reshape(Rr, 1)
+    freq = freq_from_indices(random_indices(jax.random.key(3), nrep, Rr), Rr)
+    t = _best(
+        lambda: resample_central_comoments_fused(ur, xr, freq, order),
+        sync_reduce,
+    )
+    out["bootstrap_freq_matmul_R1e6_nrep256"] = {
+        "trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)
+    }
+
+    for rp in (10_000_000, 100_000_000):
+        up, xp = uv[:rp], xv1[:rp].reshape(rp, 1)
+        t = _best(
+            lambda: resample_central_comoments_poisson(up, xp, nrep, order, seed=1),
+            sync_reduce,
+        )
+        out[f"bootstrap_poisson_R{rp:.0e}_nrep256".replace("+0", "")] = {
+            "trep_samples_per_s": round(nrep * rp / t / 1e12, 3),
+            "wallclock_s": round(t, 3),
+        }
+
+    Path(__file__).parent.parent.joinpath("BENCH_KERNELS.json").write_text(
+        json.dumps(out) + "\n"
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

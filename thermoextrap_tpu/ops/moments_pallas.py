@@ -70,14 +70,14 @@ def _pack(a, rows_total):
 
 
 def _tile_sum(a, rows):
-    """Sum (rows, LANES) -> (8, LANES) by elementwise tile-group adds —
+    """Sum (rows, lanes) -> (8, lanes) by elementwise tile-group adds —
     avoids cross-sublane shuffle reductions (the sublane split reshape is a
     free relayout; the sum lowers to rows/8 - 1 vector adds)."""
-    return jnp.sum(a.reshape(rows // 8, 8, _LANES), axis=0)
+    return jnp.sum(a.reshape(rows // 8, 8, a.shape[-1]), axis=0)
 
 
 def _reduce_kernel(
-    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v
+    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v, lanes
 ):
     """Inputs per grid step: u ``(rows, B)``, x ``(v, rows, B)``; partial
     sums accumulate into per-(sublane, lane) tiles ``(order+1, 8, B)`` /
@@ -89,7 +89,10 @@ def _reduce_kernel(
     noise at large R (tests/test_parallel.py bf16 accuracy gate).
 
     Tail masking runs only in the *final* grid step (``pl.when`` branch), so
-    the bulk of the stream pays zero masking cost.
+    the bulk of the stream pays zero masking cost.  The tail uses
+    ``jnp.where`` (not multiply-by-mask) because the final grid block may
+    extend past the real array — Pallas pads it with *undefined* memory,
+    and ``0 * garbage`` would propagate NaNs where ``where`` does not.
     """
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
@@ -107,7 +110,7 @@ def _reduce_kernel(
         x_ref[k].astype(jnp.float32) - sx_ref[0, k] for k in range(v)
     ]  # each (rows, B)
 
-    def body(p0):
+    def body(p0, du, xs):
         p = p0
         for n in range(order + 1):
             out_u_ref[n, :, :] += _tile_sum(p, rows)
@@ -117,24 +120,28 @@ def _reduce_kernel(
                 p = p * du
 
     last = pl.num_programs(0) - 1
-    has_tail = n_real % (rows * _LANES) != 0
+    has_tail = n_real % (rows * lanes) != 0
 
     if has_tail:
 
         @pl.when(i < last)
         def _():
-            body(w_ref[:] if use_w else jnp.ones_like(du))
+            body(w_ref[:] if use_w else jnp.ones_like(du), du, xs)
 
         @pl.when(i == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-            flat = (i * rows + row_ids) * _LANES + lane_ids
-            mask = (flat < n_real).astype(du.dtype)
-            body(w_ref[:] * mask if use_w else mask)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+            flat = (i * rows + row_ids) * lanes + lane_ids
+            mask = flat < n_real
+            zero = jnp.zeros_like(du)
+            du_s = jnp.where(mask, du, zero)
+            xs_s = [jnp.where(mask, xk, zero) for xk in xs]
+            p0 = jnp.where(mask, w_ref[:] if use_w else jnp.ones_like(du), zero)
+            body(p0, du_s, xs_s)
 
     else:
-        body(w_ref[:] if use_w else jnp.ones_like(du))
+        body(w_ref[:] if use_w else jnp.ones_like(du), du, xs)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -144,7 +151,7 @@ def reduce_central_comoments_fused(
     order: int,
     weight=None,
     *,
-    block: int = 524288,
+    block: int = 262144,
     interpret: bool = False,
 ):
     r"""Fused single-pass central comoment reduction for the flat hot path.
@@ -176,21 +183,35 @@ def reduce_central_comoments_fused(
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8  # min sublane tile
-    rows = max(block // _LANES, sub)
+    # pick the lane width from the divisors of R so the (R,) -> (rows, lanes)
+    # reshape is a pure BITCAST — padding to a chunk multiple would force
+    # XLA to materialize a full padded copy of the input on every call
+    # (~3x the HBM traffic of the reduction itself at R=1e8)
+    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    # ``block`` is calibrated for the (u, x) V=1 pair (2 streams); scale the
+    # rows down as the stream count grows so the double-buffered VMEM
+    # footprint stays constant (V=4 with the default block would otherwise
+    # exceed the 16 MB scoped limit)
+    streams = 1 + v + (1 if weight is not None else 0)
+    rows = max(2 * block // (lanes * streams), sub) // sub * sub
     # clamp the block for small inputs so padding stays bounded
-    rows_needed = ((r + _LANES - 1) // _LANES + sub - 1) // sub * sub
+    rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
-    chunk = rows * _LANES
-    rp = ((r + chunk - 1) // chunk) * chunk
-    rows_total = rp // _LANES
+    rows_total = (r + lanes - 1) // lanes
+    grid = (rows_total + rows - 1) // rows  # partial last block allowed
 
-    u_p = _pack(uv, rows_total)
+    def pack1(a):
+        if r % lanes == 0:
+            return a.reshape(rows_total, lanes)  # bitcast, zero copy
+        return _pad_flat(a, rows_total * lanes).reshape(rows_total, lanes)
+
+    u_p = pack1(uv)
     if v == 1:
-        x_p = _pack(xv[:, 0], rows_total)[None]  # free reshape, no transpose
+        x_p = pack1(xv[:, 0])[None]  # free reshape, no transpose
     else:
         # one transposed copy for all observable columns (vs a pass per column)
-        x_p = jnp.pad(xv, ((0, rows_total * _LANES - r), (0, 0))).T.reshape(
-            v, rows_total, _LANES
+        x_p = jnp.pad(xv, ((0, rows_total * lanes - r), (0, 0))).T.reshape(
+            v, rows_total, lanes
         )
 
     operands = [
@@ -202,27 +223,33 @@ def reduce_central_comoments_fused(
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((rows, _LANES), lambda i: (i, 0)),
-        pl.BlockSpec((v, rows, _LANES), lambda i: (0, i, 0)),
+        pl.BlockSpec((rows, lanes), lambda i: (i, 0)),
+        pl.BlockSpec((v, rows, lanes), lambda i: (0, i, 0)),
     ]
     use_w = w_flat is not None
     if use_w:
-        operands.append(_pack(w_flat, rows_total))
-        in_specs.append(pl.BlockSpec((rows, _LANES), lambda i: (i, 0)))
+        operands.append(pack1(w_flat))
+        in_specs.append(pl.BlockSpec((rows, lanes), lambda i: (i, 0)))
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
-            _reduce_kernel, order=order, use_w=use_w, rows=rows, n_real=r, v=v
+            _reduce_kernel,
+            order=order,
+            use_w=use_w,
+            rows=rows,
+            n_real=r,
+            v=v,
+            lanes=lanes,
         ),
-        grid=(rows_total // rows,),
+        grid=(grid,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((order + 1, 8, _LANES), lambda i: (0, 0, 0)),
-            pl.BlockSpec((v * (order + 1), 8, _LANES), lambda i: (0, 0, 0)),
+            pl.BlockSpec((order + 1, 8, lanes), lambda i: (0, 0, 0)),
+            pl.BlockSpec((v * (order + 1), 8, lanes), lambda i: (0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((order + 1, 8, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((v * (order + 1), 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((order + 1, 8, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((v * (order + 1), 8, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
