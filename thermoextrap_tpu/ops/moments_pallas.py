@@ -627,7 +627,9 @@ def resample_central_comoments_poisson(
 # ---------------------------------------------------------------------------
 
 
-def _reduce_u_batched_kernel(su_ref, u_ref, *rest, order, use_w, rows, n_real):
+def _reduce_u_batched_kernel(
+    su_ref, u_ref, *rest, order, use_w, rows, n_real, lanes
+):
     if use_w:
         w_ref, out_ref = rest
     else:
@@ -639,32 +641,34 @@ def _reduce_u_batched_kernel(su_ref, u_ref, *rest, order, use_w, rows, n_real):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    du = u_ref[0] - su_ref[b, 0]  # (rows, B)
+    du = u_ref[0].astype(jnp.float32) - su_ref[b, 0]  # (rows, B)
 
-    def body(p):
+    def body(p, du):
         for n in range(order + 1):
             out_ref[0, n, :, :] += _tile_sum(p, rows)
             if n < order:
                 p = p * du
 
     last = pl.num_programs(1) - 1
-    has_tail = n_real % (rows * _LANES) != 0
+    has_tail = n_real % (rows * lanes) != 0
     if has_tail:
 
         @pl.when(j < last)
         def _():
-            body(w_ref[0] if use_w else jnp.ones_like(du))
+            body(w_ref[0] if use_w else jnp.ones_like(du), du)
 
         @pl.when(j == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-            flat = (j * rows + row_ids) * _LANES + lane_ids
-            mask = (flat < n_real).astype(du.dtype)
-            body(w_ref[0] * mask if use_w else mask)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+            flat = (j * rows + row_ids) * lanes + lane_ids
+            mask = flat < n_real
+            zero = jnp.zeros_like(du)
+            p0 = jnp.where(mask, w_ref[0] if use_w else jnp.ones_like(du), zero)
+            body(p0, jnp.where(mask, du, zero))
 
     else:
-        body(w_ref[0] if use_w else jnp.ones_like(du))
+        body(w_ref[0] if use_w else jnp.ones_like(du), du)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -701,38 +705,50 @@ def reduce_central_umoments_batched(
     w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
     s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
 
-    rows = max(block // _LANES, 8)
-    rows_needed = ((r + _LANES - 1) // _LANES + 7) // 8 * 8
+    # zero-copy (nbatch, R) -> (nbatch, rows, lanes) bitcast when a lane
+    # width divides R (see reduce_central_comoments_fused); pad fallback
+    # otherwise.  Partial final rec-block handled by the where-masked tail.
+    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    rows = max(block // lanes, 8) // 8 * 8
+    rows_needed = ((r + lanes - 1) // lanes + 7) // 8 * 8
     rows = min(rows, rows_needed)
-    chunk = rows * _LANES
-    rp = ((r + chunk - 1) // chunk) * chunk
-    nb_rows = rp // _LANES
+    nb_rows = (r + lanes - 1) // lanes
+    grid_j = (nb_rows + rows - 1) // rows
 
-    u_p = jnp.pad(u2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
-    operands = [s_u.reshape(nbatch, 1), u_p]
+    def packb(a):
+        if r % lanes == 0:
+            return a.reshape(nbatch, nb_rows, lanes)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, nb_rows * lanes - r))).reshape(
+            nbatch, nb_rows, lanes
+        )
+
+    operands = [s_u.reshape(nbatch, 1), packb(u2)]
     in_specs = [
         # whole shift vector in SMEM; indexed by program_id(0) in-kernel
         pl.BlockSpec((nbatch, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, rows, lanes), lambda b, j: (b, j, 0)),
     ]
     use_w = w2 is not None
     if use_w:
-        operands.append(
-            jnp.pad(w2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
-        )
-        in_specs.append(pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)))
+        operands.append(packb(w2))
+        in_specs.append(pl.BlockSpec((1, rows, lanes), lambda b, j: (b, j, 0)))
 
     (out,) = pl.pallas_call(
         functools.partial(
-            _reduce_u_batched_kernel, order=order, use_w=use_w, rows=rows, n_real=r
+            _reduce_u_batched_kernel,
+            order=order,
+            use_w=use_w,
+            rows=rows,
+            n_real=r,
+            lanes=lanes,
         ),
-        grid=(nbatch, nb_rows // rows),
+        grid=(nbatch, grid_j),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, order + 1, 8, _LANES), lambda b, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, order + 1, 8, lanes), lambda b, j: (b, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nbatch, order + 1, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nbatch, order + 1, 8, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
@@ -753,7 +769,7 @@ def reduce_central_umoments_batched(
 
 
 def _reduce_co_batched_kernel(
-    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v
+    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v, lanes
 ):
     """Per grid step ``(b, j)``: u block ``(1, rows, B)``, x block
     ``(1, v, rows, B)``; per-batch shifts indexed from SMEM by the batch
@@ -774,7 +790,7 @@ def _reduce_co_batched_kernel(
     du = u_ref[0].astype(jnp.float32) - su_ref[b, 0]  # (rows, B)
     xs = [x_ref[0, k].astype(jnp.float32) - sx_ref[b, k] for k in range(v)]
 
-    def body(p0):
+    def body(p0, du, xs):
         p = p0
         for n in range(order + 1):
             out_u_ref[0, n, :, :] += _tile_sum(p, rows)
@@ -786,23 +802,27 @@ def _reduce_co_batched_kernel(
                 p = p * du
 
     last = pl.num_programs(1) - 1
-    has_tail = n_real % (rows * _LANES) != 0
+    has_tail = n_real % (rows * lanes) != 0
     if has_tail:
 
         @pl.when(j < last)
         def _():
-            body(w_ref[0] if use_w else jnp.ones_like(du))
+            body(w_ref[0] if use_w else jnp.ones_like(du), du, xs)
 
         @pl.when(j == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
-            flat = (j * rows + row_ids) * _LANES + lane_ids
-            mask = (flat < n_real).astype(du.dtype)
-            body(w_ref[0] * mask if use_w else mask)
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
+            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
+            flat = (j * rows + row_ids) * lanes + lane_ids
+            mask = flat < n_real
+            zero = jnp.zeros_like(du)
+            du_s = jnp.where(mask, du, zero)
+            xs_s = [jnp.where(mask, xk, zero) for xk in xs]
+            p0 = jnp.where(mask, w_ref[0] if use_w else jnp.ones_like(du), zero)
+            body(p0, du_s, xs_s)
 
     else:
-        body(w_ref[0] if use_w else jnp.ones_like(du))
+        body(w_ref[0] if use_w else jnp.ones_like(du), du, xs)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -854,34 +874,43 @@ def reduce_central_comoments_batched(
     s_x = (w_head[:, :, None] * x3[:, :head]).sum(1) / hsum[:, None]  # (nbatch, v)
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8
-    rows = max(block // (_LANES * max(v, 1)), sub) // sub * sub
-    rows_needed = ((r + _LANES - 1) // _LANES + sub - 1) // sub * sub
+    # zero-copy bitcast packing when a lane width divides R (v==1 x stream
+    # included); the v>1 x stream pays its transposed copy regardless
+    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    rows = max(block // (lanes * max(v, 1)), sub) // sub * sub
+    rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
-    chunk = rows * _LANES
-    rp = ((r + chunk - 1) // chunk) * chunk
-    nb_rows = rp // _LANES
+    nb_rows = (r + lanes - 1) // lanes
+    grid_j = (nb_rows + rows - 1) // rows
+    rp = nb_rows * lanes
 
-    u_p = jnp.pad(u2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
-    # one transposed copy: (nbatch, R, v) -> (nbatch, v, rows, LANES)
-    x_p = (
-        jnp.pad(x3, ((0, 0), (0, rp - r), (0, 0)))
-        .transpose(0, 2, 1)
-        .reshape(nbatch, v, nb_rows, _LANES)
-    )
+    def packb(a):
+        if r % lanes == 0:
+            return a.reshape(nbatch, nb_rows, lanes)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, lanes)
+
+    u_p = packb(u2)
+    if v == 1:
+        x_p = packb(x3[:, :, 0])[:, None]  # free reshape, no transpose
+    else:
+        # one transposed copy: (nbatch, R, v) -> (nbatch, v, rows, lanes)
+        x_p = (
+            jnp.pad(x3, ((0, 0), (0, rp - r), (0, 0)))
+            .transpose(0, 2, 1)
+            .reshape(nbatch, v, nb_rows, lanes)
+        )
 
     operands = [s_u.reshape(nbatch, 1), s_x.reshape(nbatch, v), u_p, x_p]
     in_specs = [
         pl.BlockSpec((nbatch, 1), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((nbatch, v), lambda b, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)),
-        pl.BlockSpec((1, v, rows, _LANES), lambda b, j: (b, 0, j, 0)),
+        pl.BlockSpec((1, rows, lanes), lambda b, j: (b, j, 0)),
+        pl.BlockSpec((1, v, rows, lanes), lambda b, j: (b, 0, j, 0)),
     ]
     use_w = w2 is not None
     if use_w:
-        operands.append(
-            jnp.pad(w2, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, _LANES)
-        )
-        in_specs.append(pl.BlockSpec((1, rows, _LANES), lambda b, j: (b, j, 0)))
+        operands.append(packb(w2))
+        in_specs.append(pl.BlockSpec((1, rows, lanes), lambda b, j: (b, j, 0)))
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
@@ -891,19 +920,20 @@ def reduce_central_comoments_batched(
             rows=rows,
             n_real=r,
             v=v,
+            lanes=lanes,
         ),
-        grid=(nbatch, nb_rows // rows),
+        grid=(nbatch, grid_j),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, order + 1, 8, _LANES), lambda b, j: (b, 0, 0, 0)),
+            pl.BlockSpec((1, order + 1, 8, lanes), lambda b, j: (b, 0, 0, 0)),
             pl.BlockSpec(
-                (1, v * (order + 1), 8, _LANES), lambda b, j: (b, 0, 0, 0)
+                (1, v * (order + 1), 8, lanes), lambda b, j: (b, 0, 0, 0)
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nbatch, order + 1, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nbatch, order + 1, 8, lanes), jnp.float32),
             jax.ShapeDtypeStruct(
-                (nbatch, v * (order + 1), 8, _LANES), jnp.float32
+                (nbatch, v * (order + 1), 8, lanes), jnp.float32
             ),
         ],
         interpret=interpret,
