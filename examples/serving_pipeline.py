@@ -1,0 +1,83 @@
+"""One-dispatch serving pipelines: extrapolation + CI, and lnPi grids.
+
+The production shape of the extrapolation workflow: the whole chain
+(fused Pallas moment reduction -> series derivative engine -> Taylor
+evaluation -> in-kernel Poisson bootstrap CI) compiled into a SINGLE
+jitted program, so a serving call costs one device dispatch.
+
+Run: python examples/serving_pipeline.py          (real TPU, R=1e8)
+     python examples/serving_pipeline.py --smoke  (CPU, small sizes)
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thermoextrap_tpu import idealgas
+from thermoextrap_tpu.pipeline import make_extrap_pipeline, make_lnpi_pipeline
+
+
+def main() -> None:
+    beta0, order = 2.0, 4
+    nconfig, npart = (2_000, 100) if SMOKE else (100_000, 1_000)
+    nrep = 32 if SMOKE else 128
+
+    # ideal-gas samples at beta0; predictions vs the analytic answer
+    x, u = idealgas.generate_data((nconfig, npart), beta0, rng=0)
+    x = jnp.asarray(x)
+    u = jnp.asarray(u)
+    betas = jnp.asarray([1.6, 1.8, 2.0, 2.2, 2.4], x.dtype)
+
+    run = make_extrap_pipeline(order, beta0, nrep=nrep)
+    pred, std = run(u, x, betas, seed=0)  # compile
+    float(pred[0])
+    t0 = time.perf_counter()
+    pred, std = run(u, x, betas, seed=1)
+    float(pred[0])
+    dt = time.perf_counter() - t0
+
+    exact = np.array([idealgas.x_ave(float(b)) for b in betas])
+    print(f"one-dispatch extrap+CI ({nconfig * npart:.0e} samples, "
+          f"{nrep} bootstrap reps): {dt * 1e3:.1f} ms")
+    for b, p, s, e in zip(np.asarray(betas), np.asarray(pred),
+                          np.asarray(std), exact):
+        print(f"  beta={b:.1f}: pred={p:.6f} +/- {s:.1e}  analytic={e:.6f}")
+    err = np.abs(np.asarray(pred) - exact)
+    assert err[2] < 1e-3, "beta0 prediction must match the sample mean"
+
+    # lnPi macrostate grid in one dispatch
+    n_grid, r = (16, 5_000) if SMOKE else (512, 1_000_000)
+    kg = jax.random.key(7)
+    shift = jnp.linspace(-2.0, 2.0, n_grid)
+    uvg = shift[:, None] + (
+        -10.0 + 1.5 * jax.random.normal(kg, (n_grid, r), dtype=jnp.float32)
+    )
+    lnpi0 = jnp.linspace(0.0, 5.0, n_grid)
+    mudotn = 0.7 * jnp.arange(n_grid, dtype=jnp.float32)
+
+    run_lnpi = make_lnpi_pipeline(3, 1.4)
+    out = run_lnpi(uvg, lnpi0, mudotn, jnp.asarray([1.2, 1.4, 1.6]))
+    float(out[0, 0])
+    t0 = time.perf_counter()
+    out = run_lnpi(uvg, lnpi0, mudotn, jnp.asarray([1.2, 1.4, 1.6]))
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    np.testing.assert_allclose(
+        np.asarray(out)[1], np.asarray(lnpi0), rtol=1e-4, atol=1e-4
+    )
+    print(f"one-dispatch lnPi grid ({n_grid} macrostates x {r:.0e} samples): "
+          f"{dt * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
