@@ -318,3 +318,112 @@ class TestCallableDerivativeKernel:
         model.train(max_iter=100)
         mu, _ = model.predict_f(X)
         np.testing.assert_allclose(np.asarray(mu), y, atol=0.05)
+
+
+class TestAnalyticalScaleGPR:
+    """HeteroscedasticGPRAnalyticalScale: profiled global noise/signal scale
+    (reference gp_models.py:812-955)."""
+
+    @pytest.fixture(scope="class")
+    def sine_data(self):
+        rng = np.random.default_rng(1)
+        xs = np.linspace(0.0, 2.0 * np.pi, 8)
+        noise0, noise1 = 0.02, 0.05
+        y0 = np.sin(xs) + rng.normal(0, noise0, xs.shape)
+        y1 = np.cos(xs) + rng.normal(0, noise1, xs.shape)
+        X = np.concatenate(
+            [
+                np.stack([xs, np.zeros_like(xs)], axis=1),
+                np.stack([xs, np.ones_like(xs)], axis=1),
+            ]
+        )
+        Y = np.concatenate([y0, y1])[:, None]
+        cov = np.diag(
+            np.concatenate(
+                [np.full_like(xs, noise0**2), np.full_like(xs, noise1**2)]
+            )
+        )
+        return X, Y, cov
+
+    def test_concentrated_lml_formula(self, sine_data):
+        """LML matches an explicit numpy evaluation of the concentrated
+        (Binois-style) objective at the current parameters."""
+        from thermoextrap_tpu.gpr_active.gp_models import (
+            HeteroscedasticGPRAnalyticalScale,
+        )
+
+        X, Y, cov = sine_data
+        model = HeteroscedasticGPRAnalyticalScale(
+            (X, Y, cov), kernel=RBFDerivKernel()
+        )
+        lml = float(model.log_marginal_likelihood())
+
+        sf = float(np.asarray(model.scale_fac)[0])
+        k = np.asarray(model.kernel.K(X))
+        s = cov / sf**2
+        ks = k + s + 1e-12 * np.eye(len(X))
+        ell = np.linalg.cholesky(ks)
+        err = Y[:, 0] / sf
+        alpha = np.linalg.solve(ell, err)
+        n = len(X)
+        v = float(alpha @ alpha) / n
+        expect = (
+            -0.5 * n * np.log(v)
+            - 0.5 * n * np.log(2 * np.pi)
+            - np.sum(np.log(np.diag(ell)))
+            - 0.5 * n
+        )
+        np.testing.assert_allclose(lml, expect, rtol=1e-9)
+        np.testing.assert_allclose(
+            float(np.asarray(model.calc_scale_v())[0]), v, rtol=1e-9
+        )
+
+    def test_mean_matches_standard_var_scales_by_v(self, sine_data):
+        """Posterior mean is v-independent (== the standard model with the
+        same frozen parameters); posterior variance is the standard one
+        times v."""
+        from thermoextrap_tpu.gpr_active.gp_models import (
+            HeteroscedasticGPRAnalyticalScale,
+        )
+
+        X, Y, cov = sine_data
+        model_v = HeteroscedasticGPRAnalyticalScale(
+            (X, Y, cov), kernel=RBFDerivKernel(), scale_fac=1.0
+        )
+        model_s = HeteroscedasticGPR(
+            (X, Y, cov),
+            kernel=RBFDerivKernel(),
+            likelihood_kwargs={
+                "p": 0.0,
+                "constrain_p": True,
+                "transform_p": "none",
+            },
+        )
+        xt = np.linspace(0.5, 5.5, 7)
+        Xt = np.stack([xt, np.zeros_like(xt)], axis=1)
+        mu_v, var_v = (np.asarray(a) for a in model_v.predict_f(Xt))
+        mu_s, var_s = (np.asarray(a) for a in model_s.predict_f(Xt))
+        v = float(np.asarray(model_v.calc_scale_v())[0])
+        np.testing.assert_allclose(mu_v, mu_s, rtol=1e-8)
+        np.testing.assert_allclose(var_v, var_s * v, rtol=1e-8)
+
+    def test_trains_and_predicts(self, sine_data):
+        from thermoextrap_tpu.gpr_active.gp_models import (
+            HeteroscedasticGPRAnalyticalScale,
+        )
+
+        X, Y, cov = sine_data
+        model = HeteroscedasticGPRAnalyticalScale(
+            (X, Y, cov), kernel=RBFDerivKernel()
+        )
+        res = model.train()
+        assert np.isfinite(res.fun)
+        assert float(np.asarray(model.calc_scale_v())[0]) > 0
+
+        xt = np.linspace(0.5, 5.5, 11)
+        Xt = np.stack([xt, np.zeros_like(xt)], axis=1)
+        mean, var = model.predict_f(Xt)
+        mean = np.asarray(mean)[:, 0]
+        std = np.sqrt(np.asarray(var)[:, 0])
+        err = np.abs(mean - np.sin(xt))
+        assert np.all(err < np.maximum(4 * std, 0.1))

@@ -2,13 +2,18 @@
 
 from . import active_utils, gp_models, ig_active, kernels, sine_active
 from .active_utils import active_learning, create_GPR, train_GPR
-from .gp_models import DerivativeKernel, HeteroscedasticGPR
+from .gp_models import (
+    DerivativeKernel,
+    HeteroscedasticGPR,
+    HeteroscedasticGPRAnalyticalScale,
+)
 from .kernels import CallableDerivativeKernel, RBFDerivKernel
 
 __all__ = [
     "CallableDerivativeKernel",
     "DerivativeKernel",
     "HeteroscedasticGPR",
+    "HeteroscedasticGPRAnalyticalScale",
     "RBFDerivKernel",
     "active_learning",
     "active_utils",

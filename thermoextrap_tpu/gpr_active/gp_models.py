@@ -48,6 +48,7 @@ __all__ = [
     "DerivativeKernel",
     "HetGaussianDeriv",
     "HeteroscedasticGPR",
+    "HeteroscedasticGPRAnalyticalScale",
     "LinearWithDerivs",
     "Parameter",
     "SympyMeanFunc",
@@ -842,3 +843,190 @@ def print_summary(gpr) -> None:
             flags.append("frozen")
         extra = f" ({', '.join(flags)})" if flags else ""
         print(f"  {name:24s} = {val:.6g}{extra}")
+
+
+def _build_lml_fns_vscale(kernel, groups, spec_struct, stable_var_min):
+    """Concentrated (profiled) LML for the analytical-noise-scale model:
+    a global per-output-dim multiplier ``v`` on ``K + S`` has the closed-form
+    optimum ``v* = err^T (K+S)^{-1} err / N`` (Binois et al. 2018); plugging
+    it back concentrates the likelihood to
+    ``-N/2 log v* - N/2 log 2pi - sum log diag L - N/2``
+    (reference HeteroscedasticGPR_analytical_scale, gp_models.py:877-901)."""
+    split = _build_param_split(spec_struct)
+    fns = kernel.pair_table(groups, groups)
+    param_order = tuple(kernel.params)
+
+    def lml(vec, fixed, locs, gid, y, cov, dplus, mean_x):
+        kernel_p, lik_p = split(vec, fixed)
+        pvals = [kernel_p[k] for k in param_order]
+        k = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns)
+        ks = k[None] + _scaled_noise_cov(cov, dplus, lik_p, stable_var_min)
+        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
+        err = jnp.moveaxis(y - mean_x, 1, 0)[..., None]  # (D, N, 1)
+        alpha = jax.scipy.linalg.solve_triangular(chol, err, lower=True)
+        n = y.shape[0]
+        v = jnp.sum(alpha[..., 0] ** 2, axis=1) / n  # (D,)
+        logdet = jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+        )
+        per_dim = (
+            -0.5 * n * jnp.log(v)
+            - 0.5 * n * jnp.log(2.0 * jnp.pi)
+            - logdet
+            - 0.5 * n
+        )
+        return jnp.sum(per_dim)
+
+    def neg(*args):
+        return -lml(*args)
+
+    return {"lml": jax.jit(lml), "neg_vag": jax.jit(jax.value_and_grad(neg))}
+
+
+def _build_predict_fn_vscale(
+    kernel, groups, groups_new, spec_struct, stable_var_min, full_cov
+):
+    """Posterior under the ``v*(K+S)`` model: the mean is unchanged (the
+    scale cancels in ``v kmn^T (v(K+S))^{-1} err``), the posterior variance
+    is multiplied by ``v*`` (reference gp_models.py:903-936)."""
+    split = _build_param_split(spec_struct)
+    fns_mm = kernel.pair_table(groups, groups)
+    fns_mn = kernel.pair_table(groups, groups_new)
+    fns_nn = kernel.pair_table(groups_new, groups_new)
+    param_order = tuple(kernel.params)
+
+    def predict(vec, fixed, locs, gid, y, cov, dplus, mean_x, locs_new, gid_new, mean_new, scale_fac):
+        kernel_p, lik_p = split(vec, fixed)
+        pvals = [kernel_p[k] for k in param_order]
+        kmm = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns_mm)
+        kmn = _pair_masked_matrix(
+            locs, gid, groups, locs_new, gid_new, groups_new, pvals, fns_mn
+        )
+        ks = kmm[None] + _scaled_noise_cov(cov, dplus, lik_p, stable_var_min)
+        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
+        err = y - mean_x  # (N, D)
+        out_dim = y.shape[1]
+        n = y.shape[0]
+
+        a = jax.scipy.linalg.solve_triangular(
+            chol, jnp.broadcast_to(kmn[None], (out_dim, *kmn.shape)), lower=True
+        )  # (D, N, M)
+        b = jax.scipy.linalg.solve_triangular(
+            chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
+        )  # (D, N, 1)
+        v = jnp.sum(b[..., 0] ** 2, axis=1) / n  # (D,)
+        f_mean = (jnp.einsum("dnm,dn->md", a, b[..., 0]) + mean_new) * scale_fac
+
+        if full_cov:
+            knn = _pair_masked_matrix(
+                locs_new, gid_new, groups_new, locs_new, gid_new, groups_new, pvals, fns_nn
+            )
+            f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
+            f_var = f_var * (v * scale_fac**2).reshape(-1, 1, 1)
+        else:
+            knn = _pair_masked_diag(locs_new, gid_new, groups_new, pvals, fns_nn)
+            f_var = knn[None, :] - jnp.sum(a**2, axis=1)
+            f_var = (f_var * (v * scale_fac**2)[:, None]).T  # (M, D)
+        return f_mean, f_var
+
+    return jax.jit(predict)
+
+
+class HeteroscedasticGPRAnalyticalScale(HeteroscedasticGPR):
+    r"""Heteroscedastic derivative GPR with a closed-form global noise/signal
+    scale (reference ``HeteroscedasticGPR_analytical_scale``,
+    gp_models.py:812-955 — marked experimental there; provided for parity).
+
+    Models ``y ~ N(m, v (K + S))`` per output dim and profiles ``v`` out
+    analytically instead of learning a trainable noise scaling, so the
+    default likelihood freezes the order-dependent scaling (``p = 0``,
+    i.e. ``S = noise_cov`` exactly, mirroring the reference's
+    ``HetGaussianSimple``).
+    """
+
+    def __init__(self, data, kernel, mean_function=None, scale_fac=None, likelihood_kwargs=None):
+        noise_cov = np.asarray(data[2], dtype=np.float64)
+        if scale_fac is None:
+            # reference default: sqrt of the minimum noise variance
+            diag = (
+                noise_cov
+                if noise_cov.ndim == 1
+                else np.diagonal(noise_cov, axis1=-2, axis2=-1)
+            )
+            scale_fac = float(np.sqrt(max(diag.min(), 1e-300)))
+        kws = {"p": 0.0, "constrain_p": True, "transform_p": "none"}
+        kws.update(likelihood_kwargs or {})
+        super().__init__(
+            data,
+            kernel,
+            mean_function=mean_function,
+            scale_fac=scale_fac,
+            likelihood_kwargs=kws,
+        )
+
+    def _structure_key(self):
+        return ("vscale", *super()._structure_key())
+
+    def _lml_fns(self):
+        key = ("lml", self._structure_key())
+        if key not in _COMPILED_CORE:
+            _COMPILED_CORE[key] = _build_lml_fns_vscale(
+                self.kernel,
+                self._groups,
+                self._spec_struct(),
+                float(self.likelihood.stable_var_min),
+            )
+        return _COMPILED_CORE[key]
+
+    def calc_scale_v(self):
+        """Closed-form per-output-dim scale ``v* = err^T (K+S)^{-1} err / N``
+        at the current parameters (reference calc_scale_v,
+        gp_models.py:850-873)."""
+        with _compute_ctx():
+            vec = self.get_unconstrained()
+            split = _build_param_split(self._spec_struct())
+            kernel_p, lik_p = split(
+                jnp.asarray(vec), self._fixed_constrained()
+            )
+            pvals = [kernel_p[k] for k in self.kernel.params]
+            fns = self.kernel.pair_table(self._groups, self._groups)
+            k = _pair_masked_matrix(
+                self._locs_np, self._gid_np, self._groups,
+                self._locs_np, self._gid_np, self._groups, pvals, fns,
+            )
+            ks = k[None] + _scaled_noise_cov(
+                self.likelihood.cov_np, self._dplus_np, lik_p,
+                float(self.likelihood.stable_var_min),
+            )
+            chol = jnp.linalg.cholesky(ks)
+            err = jnp.moveaxis(
+                jnp.asarray(self._y_np) - self._mean_x_np, 1, 0
+            )[..., None]
+            alpha = jax.scipy.linalg.solve_triangular(chol, err, lower=True)
+            return alpha[..., 0].__pow__(2).sum(axis=1) / self._y_np.shape[0]
+
+    def _predict_f(self, Xnew, full_cov: bool = False):
+        Xnew = np.asarray(Xnew, dtype=np.float64)
+        obs = self.kernel.obs_dims
+        d_new = np.asarray(np.rint(Xnew[:, obs:]), dtype=int)
+        groups_new, gid_new = _group_order_rows(d_new)
+
+        key = ("predict", self._structure_key(), groups_new, bool(full_cov))
+        if key not in _COMPILED_CORE:
+            _COMPILED_CORE[key] = _build_predict_fn_vscale(
+                self.kernel,
+                self._groups,
+                groups_new,
+                self._spec_struct(),
+                float(self.likelihood.stable_var_min),
+                bool(full_cov),
+            )
+        return _COMPILED_CORE[key](
+            jnp.asarray(self.get_unconstrained()),
+            *self._bound_args(),
+            np.asarray(Xnew[:, :obs], dtype=np.float64),
+            gid_new,
+            np.asarray(self._mean(Xnew), dtype=np.float64),
+            np.asarray(self.scale_fac, dtype=np.float64),
+        )
+
