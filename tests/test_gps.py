@@ -427,3 +427,18 @@ class TestAnalyticalScaleGPR:
         std = np.sqrt(np.asarray(var)[:, 0])
         err = np.abs(mean - np.sin(xt))
         assert np.all(err < np.maximum(4 * std, 0.1))
+
+    def test_create_base_gp_model_class(self, sine_data):
+        """create_base_GP_model(model_class=...) swaps in the variant."""
+        from thermoextrap_tpu.gpr_active import active_utils as au
+        from thermoextrap_tpu.gpr_active.gp_models import (
+            HeteroscedasticGPRAnalyticalScale,
+        )
+
+        X, Y, cov = sine_data
+        model = au.create_base_GP_model(
+            (X, Y, cov), model_class=HeteroscedasticGPRAnalyticalScale
+        )
+        assert isinstance(model, HeteroscedasticGPRAnalyticalScale)
+        res = model.train(max_iter=50)
+        assert np.isfinite(res.fun)

@@ -342,9 +342,13 @@ def create_base_GP_model(  # noqa: N802 - reference name
     kernel=RBFDerivKernel,
     mean_func=None,
     likelihood_kwargs=None,
+    model_class=None,
 ):
     """Untrained HeteroscedasticGPR with auto mean function and output
-    scaling (reference active_utils.py:677-799)."""
+    scaling (reference active_utils.py:677-799).  ``model_class`` swaps the
+    GP model (e.g. ``HeteroscedasticGPRAnalyticalScale``); it must accept
+    the same ``(data, kernel=, scale_fac=, mean_function=,
+    likelihood_kwargs=)`` signature."""
     n_x_dims = gpr_data[0].shape[1] // 2
     ref_d_bool = np.all(gpr_data[0][:, n_x_dims:] == d_order_ref, axis=-1)
 
@@ -373,7 +377,8 @@ def create_base_GP_model(  # noqa: N802 - reference name
         std_scale = 1.0
 
     kern = kernel() if isinstance(kernel, type) else kernel
-    return HeteroscedasticGPR(
+    cls = HeteroscedasticGPR if model_class is None else model_class
+    return cls(
         gpr_data,
         kernel=kern,
         scale_fac=std_scale,
