@@ -46,7 +46,6 @@ import numpy as np
 
 ORDER = 6
 R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md)
-R_HALF = 50_000_000
 REPEATS = 4
 ITERS = 5
 BASELINE_R = 20_000_000
@@ -106,7 +105,6 @@ def main() -> None:
 
     on_accel = jax.default_backend() != "cpu"
     r_full = R if on_accel else 2_000_000
-    r_half = R_HALF if on_accel else 1_000_000
 
     key = jax.random.key(0)
     k1, k2 = jax.random.split(key)

@@ -57,7 +57,7 @@ def main() -> None:
         return float(jnp.asarray(o[2]).reshape(-1)[0])
 
     # --- flat reduction, V=1 and V=4, marginal rates -----------------------
-    R, RH = 100_000_000, 50_000_000
+    R = 100_000_000
     k1, k2 = jax.random.split(jax.random.key(0))
     uv = 5.0 + jax.random.normal(k1, (R,), dtype=jnp.float32)
     xv1 = 2.0 + 0.5 * jax.random.normal(k2, (R,), dtype=jnp.float32)
@@ -82,7 +82,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    def marginal(u, x, r=R, rh=None):
+    def marginal(u, x, r=R):
         # K-chained in-jit device rate (see bench.py methodology): per-call
         # marginal timing hits the tunnel noise floor at these kernel times
         t4, t12 = _chain_time(u, x, 4), _chain_time(u, x, 12)

@@ -47,7 +47,9 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     exact = np.array([idealgas.x_ave(float(b)) for b in betas])
-    print(f"one-dispatch extrap+CI ({nconfig * npart:.0e} samples, "
+    # generate_data returns per-configuration aggregates: the reduction
+    # runs over nconfig records (each summarizing npart particles)
+    print(f"one-dispatch extrap+CI ({u.shape[0]:.0e} config records, "
           f"{nrep} bootstrap reps): {dt * 1e3:.1f} ms")
     for b, p, s, e in zip(np.asarray(betas), np.asarray(pred),
                           np.asarray(std), exact):

@@ -187,6 +187,48 @@ def test_batched_comoments_interpret(rng_np):
         )
 
 
+def test_batched_umoments_custom_vjp(rng_np):
+    """Gradients through the batched u-moment kernel == autodiff of the
+    XLA two-pass formulation (the lnPi pipeline's fast path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops import moments_pallas as mp
+
+    order, B, R = 4, 3, 400
+    u = jnp.asarray(rng_np.normal(2.0, 1.0, (B, R)))
+    w = jnp.asarray(rng_np.uniform(0.5, 1.5, (B, R)))
+
+    def scalar(out):
+        uave, du = out
+        return jnp.sum(jnp.sin(uave)) + jnp.sum(
+            du**2 * jnp.arange(1.0, 1.0 + du.size).reshape(du.shape)
+        )
+
+    g_ref = jax.grad(
+        lambda u, w: scalar(mp._u_batched_xla(u, w, order)), argnums=(0, 1)
+    )(u, w)
+
+    orig = mp.reduce_central_umoments_batched
+    mp.reduce_central_umoments_batched = lambda uu, oo, weight=None: orig(
+        uu, oo, weight=weight, interpret=True
+    )
+    try:
+        g_fused = jax.grad(
+            lambda u, w: scalar(
+                mp.reduce_central_umoments_batched_ad(u, w, order)
+            ),
+            argnums=(0, 1),
+        )(u, w)
+    finally:
+        mp.reduce_central_umoments_batched = orig
+
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
 def test_batched_comoments_custom_vjp(rng_np):
     """Gradients through the batched fused kernel == autodiff through the
     XLA two-pass formulation."""

@@ -56,9 +56,16 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
         if xv is uv:
             # x_is_u with batch axes (the lnPi macrostate-grid layout):
             # u-moments only, via the batched kernel (order+1 for the
-            # dxdu = du[n+1] shift view)
-            uave, du_full = moments_pallas.reduce_central_umoments_batched(
-                uv, order + 1, weight=weight
+            # dxdu = du[n+1] shift view); custom-VJP wrapper carries autodiff
+            w = (
+                None
+                if weight is None
+                else jnp.broadcast_to(
+                    jnp.asarray(weight, jnp.float32), jnp.shape(uv)
+                )
+            )
+            uave, du_full = moments_pallas.reduce_central_umoments_batched_ad(
+                uv, w, order + 1
             )
             return uave, uave, du_full[: order + 1], du_full[1 : order + 2]
         # batched x != u: fused comoment kernel over (batch, rec blocks)

@@ -46,6 +46,7 @@ __all__ = [
     "reduce_central_comoments_fused",
     "reduce_central_comoments_fused_ad",
     "reduce_central_umoments_batched",
+    "reduce_central_umoments_batched_ad",
     "resample_central_comoments_fused",
     "resample_central_comoments_fused_ad",
     "resample_central_comoments_poisson",
@@ -760,6 +761,48 @@ def reduce_central_umoments_batched(
     du = shift_raw_moments(m, m[1])
     du = du.at[0].set(1.0).at[1].set(0.0)
     return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
+
+
+def _u_batched_xla(uv, w, order: int):
+    """Two-pass weighted batched central u-moments in XLA (backward-pass
+    reference for the AD wrapper): ``(uave (*batch,), du (order+1, *batch))``."""
+    w = jnp.ones_like(uv) if w is None else jnp.broadcast_to(w, uv.shape)
+    wsum = w.sum(-1)
+    uave = (w * uv).sum(-1) / wsum
+    d = uv - uave[..., None]
+    rows = [jnp.ones_like(uave), jnp.zeros_like(uave)]
+    p = d * d
+    for _ in range(2, order + 1):
+        rows.append((w * p).sum(-1) / wsum)
+        p = p * d
+    return uave, jnp.stack(rows)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def reduce_central_umoments_batched_ad(uv, w, order: int):
+    r"""Differentiable wrapper around the batched u-moment kernel: Pallas
+    forward, backward delegated to jax autodiff of the XLA two-pass
+    formulation.  ``w`` may be ``None``."""
+    return reduce_central_umoments_batched(uv, order, weight=w)
+
+
+def _u_batched_ad_fwd(uv, w, order: int):
+    return reduce_central_umoments_batched(uv, order, weight=w), (uv, w)
+
+
+def _u_batched_ad_bwd(order: int, res, cts):
+    uv, w = res
+    cts = tuple(jnp.asarray(c, jnp.result_type(uv)) for c in cts)
+    if w is None:
+        _, vjp = jax.vjp(lambda u: _u_batched_xla(u, None, order), uv)
+        (gu,) = vjp(cts)
+        return gu, None
+    _, vjp = jax.vjp(lambda u, ww: _u_batched_xla(u, ww, order), uv, w)
+    gu, gw = vjp(cts)
+    return gu, gw
+
+
+reduce_central_umoments_batched_ad.defvjp(_u_batched_ad_fwd, _u_batched_ad_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -11,8 +11,11 @@ SINGLE jitted program that runs the full chain in one dispatch:
                                        bootstrap for uncertainty
 
 The returned function is a pure jax program: embeddable in larger jit/pjit
-programs, differentiable end-to-end (the Pallas reductions carry custom
-VJPs), and compiled exactly once per input shape.
+programs and compiled exactly once per input shape.  The reduction paths
+carry custom VJPs, so predictions are differentiable end-to-end; the
+Poisson-bootstrap CI branch is forward-only (its frequencies are generated
+by the in-kernel PRNG and cannot be replayed by a backward pass) — for
+gradients through the CI use the mesh/CPU freq-table path or ``nrep=0``.
 """
 
 from __future__ import annotations
@@ -170,9 +173,9 @@ def make_lnpi_pipeline(order: int, beta0: float):
         uv = jnp.asarray(uv)
         betas = jnp.atleast_1d(jnp.asarray(betas))
         if on_accel:
-            from .ops.moments_pallas import reduce_central_umoments_batched
+            from .ops.moments_pallas import reduce_central_umoments_batched_ad
 
-            uave, du = reduce_central_umoments_batched(uv, order)
+            uave, du = reduce_central_umoments_batched_ad(uv, None, order)
         else:
             uave, du = _u_central_moments_xla(uv, order)
         u_c = central_u_ave_coefs(uave, du, order - 1)
