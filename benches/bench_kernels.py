@@ -126,14 +126,14 @@ def main() -> None:
     }
 
     # --- bootstraps ---------------------------------------------------------
-    Rr, nrep = 1_000_000, 256
+    Rr, nrep = 1_048_576, 256  # 128-divisible: freq table bitcasts, no cast/pad copy
     ur, xr = uv[:Rr], xv1[:Rr].reshape(Rr, 1)
     freq = freq_from_indices(random_indices(jax.random.key(3), nrep, Rr), Rr)
     t = _best(
         lambda: resample_central_comoments_fused(ur, xr, freq, order),
         sync_reduce,
     )
-    out["bootstrap_freq_matmul_R1e6_nrep256"] = {
+    out["bootstrap_freq_matmul_R2p20_nrep256"] = {
         "trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)
     }
 

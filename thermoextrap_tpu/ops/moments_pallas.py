@@ -292,8 +292,14 @@ _SUBROWS = 8  # sample rows handled per resample grid step
 
 
 def _resample_kernel(
-    su_ref, sx_ref, f_ref, u_ref, x_ref, *rest, order, use_w, n_real, v
+    su_ref, sx_ref, f_ref, u_ref, x_ref, *rest, order, use_w, n_real, v, lanes
 ):
+    """Freq blocks stream in their NATIVE int dtype (no host-side cast —
+    casting the (nrep, R) table to f32 before the call would materialize a
+    full copy costing more HBM traffic than the kernel itself); conversion
+    to f32 happens per block in VMEM.  Tail blocks use ``jnp.where`` masks
+    on every operand that may alias undefined memory (bitcast packing +
+    partial final grid blocks)."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -305,39 +311,61 @@ def _resample_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    acc_u = jnp.zeros_like(out_u_ref)
-    acc_xu = jnp.zeros_like(out_xu_ref)
-    for s in range(_SUBROWS):
-        du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
-        base = (j * _SUBROWS + s) * _LANES
-        mask = (base + lane_ids < n_real).astype(du.dtype)
-        p0 = w_ref[s : s + 1, :] * mask if use_w else mask
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
 
-        prows = [p0]
-        for _ in range(order):
-            prows.append(prows[-1] * du)
-        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+    def body(masked: bool):
+        acc_u = jnp.zeros_like(out_u_ref)
+        acc_xu = jnp.zeros_like(out_xu_ref)
+        for s in range(_SUBROWS):
+            du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
+            f = f_ref[:, s, :].astype(jnp.float32)  # (RB, B)
+            p0 = w_ref[s : s + 1, :] if use_w else jnp.ones_like(du)
+            if masked:
+                base = (j * _SUBROWS + s) * lanes
+                mask = base + lane_ids < n_real
+                zero = jnp.zeros_like(du)
+                du = jnp.where(mask, du, zero)
+                p0 = jnp.where(mask, p0, zero)
+                f = jnp.where(mask, f, jnp.zeros_like(f))
 
-        f = f_ref[:, s, :]  # (RB, B)
-        acc_u += jax.lax.dot_general(
-            f,
-            p,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        crows = [p * (x_ref[k, s : s + 1, :] - sx_ref[0, k]) for k in range(v)]
-        contrib = jnp.concatenate(crows, axis=0)  # ((order+1)*V, B)
-        acc_xu += jax.lax.dot_general(
-            f,
-            contrib,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    out_u_ref[:] += acc_u
-    out_xu_ref[:] += acc_xu
+            prows = [p0]
+            for _ in range(order):
+                prows.append(prows[-1] * du)
+            p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+
+            xs = [x_ref[k, s : s + 1, :] - sx_ref[0, k] for k in range(v)]
+            if masked:
+                xs = [jnp.where(mask, xk, zero) for xk in xs]
+            crows = [p * xk for xk in xs]
+            contrib = jnp.concatenate(
+                [p, *crows], axis=0
+            )  # ((order+1)*(1+V), B) — one MXU dot per subrow
+            acc = jax.lax.dot_general(
+                f,
+                contrib,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_u += acc[:, : order + 1]
+            acc_xu += acc[:, order + 1 :]
+        out_u_ref[:] += acc_u
+        out_xu_ref[:] += acc_xu
+
+    last = pl.num_programs(1) - 1
+    has_tail = n_real % (_SUBROWS * lanes) != 0
+    if has_tail:
+
+        @pl.when(j < last)
+        def _():
+            body(False)
+
+        @pl.when(j == last)
+        def _():
+            body(True)
+
+    else:
+        body(False)
 
 
 @functools.partial(
@@ -376,20 +404,34 @@ def resample_central_comoments_fused(
     s_u = (w_head * uv[:head]).sum() / w_head.sum()
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
-    chunk = _SUBROWS * _LANES
-    rp = ((r + chunk - 1) // chunk) * chunk
-    nb = rp // _LANES
-    pp = ((nrep + rep_block - 1) // rep_block) * rep_block
+    # zero-copy packing: lanes from the divisors of R so every stream
+    # (including the big (nrep, R) freq table, kept in its NATIVE int dtype)
+    # reshapes as a bitcast; partial final grid blocks in both the rep and
+    # the rec dimension are handled by output slicing / where-masked tails
+    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    nb = (r + lanes - 1) // lanes
+    grid_i = (nrep + rep_block - 1) // rep_block
+    grid_j = (nb + _SUBROWS - 1) // _SUBROWS
+    rp = nb * lanes
+    pp = grid_i * rep_block
 
-    u_p = _pack(uv, nb)
+    def pack1(a):
+        if r % lanes == 0:
+            return a.reshape(nb, lanes)  # bitcast, zero copy
+        return _pad_flat(a, rp).reshape(nb, lanes)
+
+    u_p = pack1(uv)
     if v == 1:
-        x_p = _pack(xv[:, 0], nb)[None]
+        x_p = pack1(xv[:, 0])[None]
     else:
-        x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
-    f_p = jnp.pad(
-        jnp.asarray(freq, jnp.float32),
-        ((0, pp - nrep), (0, rp - r)),
-    ).reshape(pp, nb, _LANES)
+        x_p = jnp.pad(xv, ((0, rp - r), (0, 0))).T.reshape(v, nb, lanes)
+    freq = jnp.asarray(freq)
+    if freq.dtype not in (jnp.int32, jnp.float32, jnp.bfloat16):
+        freq = freq.astype(jnp.int32)  # e.g. x64-mode int64 tables
+    if r % lanes == 0:
+        f_p = freq.reshape(nrep, nb, lanes)  # bitcast, zero copy, no cast
+    else:
+        f_p = jnp.pad(freq, ((0, 0), (0, rp - r))).reshape(nrep, nb, lanes)
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
@@ -401,20 +443,25 @@ def resample_central_comoments_fused(
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((rep_block, _SUBROWS, _LANES), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)),
-        pl.BlockSpec((v, _SUBROWS, _LANES), lambda i, j: (0, j, 0)),
+        pl.BlockSpec((rep_block, _SUBROWS, lanes), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((_SUBROWS, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, _SUBROWS, lanes), lambda i, j: (0, j, 0)),
     ]
     use_w = w_flat is not None
     if use_w:
-        operands.append(_pack(w_flat, nb))
-        in_specs.append(pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)))
+        operands.append(pack1(w_flat))
+        in_specs.append(pl.BlockSpec((_SUBROWS, lanes), lambda i, j: (j, 0)))
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
-            _resample_kernel, order=order, use_w=use_w, n_real=r, v=v
+            _resample_kernel,
+            order=order,
+            use_w=use_w,
+            n_real=r,
+            v=v,
+            lanes=lanes,
         ),
-        grid=(pp // rep_block, nb // _SUBROWS),
+        grid=(grid_i, grid_j),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((rep_block, order + 1), lambda i, j: (i, 0)),
