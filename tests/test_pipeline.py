@@ -108,6 +108,31 @@ def test_pipeline_sharded(rng_np):
     assert np.all(np.asarray(std_m) > 0)
 
 
+def test_pipeline_weighted(rng_np):
+    """weighted=True pipeline == the eager weighted data path."""
+    order, beta0, R, nrep = 3, 2.0, 3000, 100
+    u = rng_np.normal(3.0, 0.7, R)
+    x = 1.5 + 0.2 * (u - 3.0) + rng_np.normal(0, 0.3, R)
+    w = rng_np.uniform(0.5, 1.5, R)
+    betas = np.array([1.9, 2.2])
+
+    run = make_extrap_pipeline(order, beta0, weighted=True, nrep=nrep)
+    pred, std = run(u, x, betas, w, seed=2)
+
+    data = xtpu.factory_data_values(
+        uv=np.asarray(u), xv=np.asarray(x), weight=np.asarray(w),
+        order=order, central=True,
+    )
+    model = beta.factory_extrapmodel(beta0, data)
+    np.testing.assert_allclose(
+        np.asarray(pred), np.asarray(model.predict(betas)), rtol=1e-10
+    )
+    boot = model.resample({"nrep": nrep})
+    ref_std = np.asarray(boot.predict(betas)).std(axis=1)
+    ratio = np.asarray(std) / ref_std
+    assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+
+
 def test_lnpi_pipeline_matches_model(rng_np):
     """One-dispatch lnPi grid pipeline == the eager moment-backed model."""
     from thermoextrap_tpu import lnpi

@@ -42,6 +42,7 @@ def make_extrap_pipeline(
     minus_log: bool = False,
     nrep: int = 0,
     mesh=None,
+    weighted: bool = False,
 ):
     r"""Build a jitted ``run(uv, xv, betas, seed=0)`` for β extrapolation of
     ``<x>`` (the flagship observable, reference beta.py:277-301).
@@ -61,6 +62,10 @@ def make_extrap_pipeline(
         optionally ``"rep"``).  The reduction and bootstrap then run
         sharded over devices (``parallel/sharded.py``: psum-merged partial
         moments over ICI); shard inputs with :func:`parallel.shard_rec`.
+    weighted : if true, ``run`` takes a per-sample weight array as its
+        final positional argument: ``run(uv, xv, betas, weight, seed=0)``
+        (e.g. reweighting factors from a biased simulation, the
+        ``DataWrapper.get_logweights`` role).
 
     Returns
     -------
@@ -77,7 +82,7 @@ def make_extrap_pipeline(
         return series_neg_log(c) if minus_log else c
 
     @jax.jit
-    def run(uv, xv, betas, seed=0):
+    def _run(uv, xv, betas, weight, seed):
         uv = jnp.asarray(uv)
         xv = jnp.asarray(xv)
         val_shape = xv.shape[1:]
@@ -89,10 +94,12 @@ def make_extrap_pipeline(
             from .parallel import reduce_central_comoments_sharded
 
             xave, _uave, du, dxdu = reduce_central_comoments_sharded(
-                uv, xflat, order, mesh
+                uv, xflat, order, mesh, weight=weight
             )
         else:
-            xave, _uave, du, dxdu = dispatch.reduce_central(uv, xflat, order)
+            xave, _uave, du, dxdu = dispatch.reduce_central(
+                uv, xflat, order, weight=weight
+            )
         pred = _poly_eval(_coefs(xave, du[:, None], dxdu), dalpha)
         pred = pred.reshape(betas.shape + val_shape)
         if not nrep:
@@ -107,13 +114,13 @@ def make_extrap_pipeline(
                 random_indices(jax.random.key(seed), nrep, r), r
             )
             bx, _bu, bdu, bdxdu = resample_central_comoments_sharded(
-                uv, xflat, freq, order, mesh
+                uv, xflat, freq, order, mesh, weight=weight
             )
         elif on_accel:
             from .ops.moments_pallas import resample_central_comoments_poisson
 
             bx, _bu, bdu, bdxdu = resample_central_comoments_poisson(
-                uv, xflat, nrep, order, seed=seed
+                uv, xflat, nrep, order, weight=weight, seed=seed
             )
         else:
             from .ops.resample import (
@@ -127,12 +134,22 @@ def make_extrap_pipeline(
                 random_indices(jax.random.key(seed), nrep, r), r
             )
             bx, _bu, bdu, bdxdu = resample_central_comoments(
-                uv, xflat, freq, order
+                uv, xflat, freq, order, weight=weight
             )
 
         bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
         std = bpred.std(axis=1).reshape(betas.shape + val_shape)
         return pred, std
+
+    if weighted:
+
+        def run(uv, xv, betas, weight, seed=0):
+            return _run(uv, xv, betas, weight, seed)
+
+    else:
+
+        def run(uv, xv, betas, seed=0):
+            return _run(uv, xv, betas, None, seed)
 
     return run
 
