@@ -52,6 +52,12 @@ def main() -> None:
 
     order = 6
     out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
+    art = Path(__file__).parent.parent / "BENCH_KERNELS.json"
+
+    def flush():
+        # incremental dump: compiles through the remote service are slow
+        # enough that a wall-clock cap can cut the run short
+        art.write_text(json.dumps(out) + "\n")
 
     def sync_reduce(o):
         return float(jnp.asarray(o[2]).reshape(-1)[0])
@@ -91,8 +97,10 @@ def main() -> None:
 
     m, a = marginal(uv, xv1)
     out["flat_f32_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
+    flush()
     m, a = marginal(uv.astype(jnp.bfloat16), xv1.astype(jnp.bfloat16))
     out["flat_bf16_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
+    flush()
 
     R4 = 25_000_000
     xv4 = 2.0 + 0.5 * jax.random.normal(k2, (R4, 4), dtype=jnp.float32)
@@ -102,6 +110,7 @@ def main() -> None:
         "apparent_2p5e7_gsps": round(R4 / t / 1e9, 2),
         "note": "per-sample rate; each sample carries 4 observable values",
     }
+    flush()
 
     # --- batched x!=u comoments (B x R x V) --------------------------------
     B, Rb, V = 8, 10_000_000, 2
@@ -113,6 +122,7 @@ def main() -> None:
     out["batched_comoments_f32_B8_R1e7_V2"] = {
         "apparent_gsps": round(B * Rb / t / 1e9, 2)
     }
+    flush()
 
     # --- batched u-moments (lnPi macrostate grid) --------------------------
     Bg, Rg = 512, 1_000_000
@@ -124,6 +134,7 @@ def main() -> None:
     out["batched_umoments_f32_B512_R1e6"] = {
         "apparent_gsps": round(Bg * Rg / t / 1e9, 2)
     }
+    flush()
 
     # --- bootstraps ---------------------------------------------------------
     Rr, nrep = 1_048_576, 256  # 128-divisible: freq table bitcasts, no cast/pad copy
@@ -136,6 +147,7 @@ def main() -> None:
     out["bootstrap_freq_matmul_R2p20_nrep256"] = {
         "trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)
     }
+    flush()
 
     for rp in (10_000_000, 100_000_000):
         up, xp = uv[:rp], xv1[:rp].reshape(rp, 1)
@@ -147,10 +159,8 @@ def main() -> None:
             "trep_samples_per_s": round(nrep * rp / t / 1e12, 3),
             "wallclock_s": round(t, 3),
         }
+        flush()
 
-    Path(__file__).parent.parent.joinpath("BENCH_KERNELS.json").write_text(
-        json.dumps(out) + "\n"
-    )
     print(json.dumps(out))
 
 

@@ -57,3 +57,25 @@ def test_volume_resample(ig_volume_data):
     assert pred.shape == (8,)
     exact = float(idealgas.x_vol_extrap(1, VOL0, 1.1, BETA)[0])
     assert abs(pred.mean() - exact) < 10 * pred.std() + 5e-2
+
+
+def test_ig_factory_extrapmodel_data(ig_volume_data):
+    """factory_extrapmodel_data == factory_extrapmodel on the same samples
+    (reference volume_idealgas.py:121-161); validators reject central data."""
+    import thermoextrap_tpu as xtpu
+
+    x, w = ig_volume_data
+    data = xtpu.factory_data_values(
+        uv=w, xv=x, order=1, central=False, xalpha=False
+    )
+    m_data = volume_idealgas.factory_extrapmodel_data(VOL0, data)
+    m_vals = volume_idealgas.factory_extrapmodel(VOL0, uv=w, xv=x)
+    np.testing.assert_allclose(
+        np.asarray(m_data.predict([0.9, 1.1])),
+        np.asarray(m_vals.predict([0.9, 1.1])),
+        rtol=1e-12,
+    )
+
+    central = xtpu.factory_data_values(uv=w, xv=x, order=1, central=True)
+    with pytest.raises(ValueError, match="raw moments"):
+        volume_idealgas.factory_extrapmodel_data(VOL0, central)

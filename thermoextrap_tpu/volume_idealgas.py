@@ -12,7 +12,12 @@ from .data import factory_data_values
 from .models.derivatives import Derivatives
 from .models.extrap import ExtrapModel
 
-__all__ = ["VolumeDerivFuncsIG", "factory_derivatives", "factory_extrapmodel"]
+__all__ = [
+    "VolumeDerivFuncsIG",
+    "factory_derivatives",
+    "factory_extrapmodel",
+    "factory_extrapmodel_data",
+]
 
 
 class VolumeDerivFuncsIG:
@@ -55,6 +60,36 @@ def factory_extrapmodel(
     data = factory_data_values(
         uv=uv, xv=xv, order=order, central=False, xalpha=False, **kws
     )
+    return ExtrapModel(
+        alpha0=volume,
+        data=data,
+        derivatives=factory_derivatives(refV=volume),
+        order=order,
+        minus_log=False,
+        alpha_name=alpha_name,
+    )
+
+
+def factory_extrapmodel_data(
+    volume: float, data, order: int | None = 1, alpha_name: str = "volume"
+) -> ExtrapModel:
+    """ExtrapModel for IG volume expansion from a pre-built data object
+    (reference volume_idealgas.py:121-161).  The data must carry raw
+    moments (``central=False``) with no explicit alpha dependence."""
+    if order is None:
+        order = data.order
+    if order != 1:
+        msg = "only first order supported"
+        raise ValueError(msg)
+    if order > data.order:
+        msg = f"{order=} exceeds data.order={data.order}"
+        raise ValueError(msg)
+    if data.central:
+        msg = "only works with raw moments"
+        raise ValueError(msg)
+    if data.xalpha:
+        msg = "explicit alpha dependence not supported"
+        raise ValueError(msg)
     return ExtrapModel(
         alpha0=volume,
         data=data,
