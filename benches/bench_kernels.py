@@ -9,12 +9,18 @@ number on real hardware.
 Timing notes (CLAUDE.md): per-call dispatch through the measurement tunnel
 carries a ~4-7 ms fixed+noisy overhead, included in the apparent rates;
 the flat V=1 reductions use the K-chained in-jit device-rate method of
-bench.py, which removes it.
-Synchronization is by scalar fetch (block_until_ready is unreliable here).
+bench.py, which removes it.  Synchronization is by scalar fetch
+(block_until_ready is unreliable here).
+
+Remote compiles are slow enough that the full suite can exceed a 10-min
+wall-clock cap, so the run is RESUMABLE: each entry merges into the
+existing BENCH_KERNELS.json as soon as it is measured, and ``--only
+flat|batched|bootstrap`` restricts a run to one stage.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -51,115 +57,142 @@ def main() -> None:
     from thermoextrap_tpu.ops.resample import freq_from_indices, random_indices
 
     order = 6
-    out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
     art = Path(__file__).parent.parent / "BENCH_KERNELS.json"
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only":
+            only = sys.argv[i + 1]
 
-    def flush():
-        # incremental dump: compiles through the remote service are slow
-        # enough that a wall-clock cap can cut the run short
+    out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
+    if art.exists():
+        try:
+            prev = json.loads(art.read_text())
+            if prev.get("order") == order:
+                out.update(prev)
+        except Exception:
+            pass
+
+    def record(key, value):
+        out[key] = value
         art.write_text(json.dumps(out) + "\n")
+        print(key, value, flush=True)
 
     def sync_reduce(o):
         return float(jnp.asarray(o[2]).reshape(-1)[0])
 
-    # --- flat reduction, V=1 and V=4, marginal rates -----------------------
     R = 100_000_000
     k1, k2 = jax.random.split(jax.random.key(0))
     uv = 5.0 + jax.random.normal(k1, (R,), dtype=jnp.float32)
     xv1 = 2.0 + 0.5 * jax.random.normal(k2, (R,), dtype=jnp.float32)
 
-    import functools
+    if only in (None, "flat"):
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def _chain(u, x, k):
-        acc = 0.0
-        for _ in range(k):
-            u, x = jax.lax.optimization_barrier((u, x))
-            out = reduce_central_comoments_fused(u, x, order)
-            acc = acc + out[2][2]
-        return acc
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def _chain(u, x, k):
+            acc = 0.0
+            for _ in range(k):
+                u, x = jax.lax.optimization_barrier((u, x))
+                o = reduce_central_comoments_fused(u, x, order)
+                acc = acc + o[2][2]
+            return acc
 
-    def _chain_time(u, x, k):
-        float(_chain(u, x, k))
-        best = float("inf")
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
+        def _chain_time(u, x, k):
             float(_chain(u, x, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                float(_chain(u, x, k))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    def marginal(u, x, r=R):
-        # K-chained in-jit device rate (see bench.py methodology): per-call
-        # marginal timing hits the tunnel noise floor at these kernel times
-        t4, t12 = _chain_time(u, x, 4), _chain_time(u, x, 12)
-        tf = _best(lambda: reduce_central_comoments_fused(u, x, order), sync_reduce)
-        return 8 * r / max(t12 - t4, 1e-9) / 1e9, r / tf / 1e9
+        def flat_rates(u, x):
+            # K-chained in-jit device rate (bench.py methodology): per-call
+            # timing hits the tunnel noise floor at these kernel times
+            t4, t12 = _chain_time(u, x, 4), _chain_time(u, x, 12)
+            tf = _best(
+                lambda: reduce_central_comoments_fused(u, x, order), sync_reduce
+            )
+            return 8 * R / max(t12 - t4, 1e-9) / 1e9, R / tf / 1e9
 
-    m, a = marginal(uv, xv1)
-    out["flat_f32_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
-    flush()
-    m, a = marginal(uv.astype(jnp.bfloat16), xv1.astype(jnp.bfloat16))
-    out["flat_bf16_V1"] = {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)}
-    flush()
+        m, a = flat_rates(uv, xv1)
+        record(
+            "flat_f32_V1",
+            {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)},
+        )
+        m, a = flat_rates(uv.astype(jnp.bfloat16), xv1.astype(jnp.bfloat16))
+        record(
+            "flat_bf16_V1",
+            {"device_gsps": round(m, 2), "apparent_1e8_gsps": round(a, 2)},
+        )
 
-    R4 = 25_000_000
-    xv4 = 2.0 + 0.5 * jax.random.normal(k2, (R4, 4), dtype=jnp.float32)
-    u4 = jax.block_until_ready(uv[:R4])
-    t = _best(lambda: reduce_central_comoments_fused(u4, xv4, order), sync_reduce)
-    out["flat_f32_V4"] = {
-        "apparent_2p5e7_gsps": round(R4 / t / 1e9, 2),
-        "note": "per-sample rate; each sample carries 4 observable values",
-    }
-    flush()
-
-    # --- batched x!=u comoments (B x R x V) --------------------------------
-    B, Rb, V = 8, 10_000_000, 2
-    ub = 5.0 + jax.random.normal(k1, (B, Rb), dtype=jnp.float32)
-    xb = 2.0 + 0.5 * jax.random.normal(k2, (B, Rb, V), dtype=jnp.float32)
-    t = _best(
-        lambda: reduce_central_comoments_batched(ub, xb, order), sync_reduce
-    )
-    out["batched_comoments_f32_B8_R1e7_V2"] = {
-        "apparent_gsps": round(B * Rb / t / 1e9, 2)
-    }
-    flush()
-
-    # --- batched u-moments (lnPi macrostate grid) --------------------------
-    Bg, Rg = 512, 1_000_000
-    ug = -10.0 + 1.5 * jax.random.normal(k1, (Bg, Rg), dtype=jnp.float32)
-    t = _best(
-        lambda: reduce_central_umoments_batched(ug, order),
-        lambda o: float(o[1][2, 0]),
-    )
-    out["batched_umoments_f32_B512_R1e6"] = {
-        "apparent_gsps": round(Bg * Rg / t / 1e9, 2)
-    }
-    flush()
-
-    # --- bootstraps ---------------------------------------------------------
-    Rr, nrep = 1_048_576, 256  # 128-divisible: freq table bitcasts, no cast/pad copy
-    ur, xr = uv[:Rr], xv1[:Rr].reshape(Rr, 1)
-    freq = freq_from_indices(random_indices(jax.random.key(3), nrep, Rr), Rr)
-    t = _best(
-        lambda: resample_central_comoments_fused(ur, xr, freq, order),
-        sync_reduce,
-    )
-    out["bootstrap_freq_matmul_R2p20_nrep256"] = {
-        "trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)
-    }
-    flush()
-
-    for rp in (10_000_000, 100_000_000):
-        up, xp = uv[:rp], xv1[:rp].reshape(rp, 1)
+        R4 = 25_000_000
+        xv4 = 2.0 + 0.5 * jax.random.normal(k2, (R4, 4), dtype=jnp.float32)
+        u4 = jax.block_until_ready(uv[:R4])
         t = _best(
-            lambda: resample_central_comoments_poisson(up, xp, nrep, order, seed=1),
+            lambda: reduce_central_comoments_fused(u4, xv4, order), sync_reduce
+        )
+        record(
+            "flat_f32_V4",
+            {
+                "apparent_2p5e7_gsps": round(R4 / t / 1e9, 2),
+                "note": "per-sample rate; each sample carries 4 observable values",
+            },
+        )
+
+    if only in (None, "batched"):
+        B, Rb, V = 8, 10_000_000, 2
+        ub = 5.0 + jax.random.normal(k1, (B, Rb), dtype=jnp.float32)
+        xb = 2.0 + 0.5 * jax.random.normal(k2, (B, Rb, V), dtype=jnp.float32)
+        t = _best(
+            lambda: reduce_central_comoments_batched(ub, xb, order), sync_reduce
+        )
+        record(
+            "batched_comoments_f32_B8_R1e7_V2",
+            {"apparent_gsps": round(B * Rb / t / 1e9, 2)},
+        )
+
+        Bg, Rg = 512, 1_000_000
+        ug = -10.0 + 1.5 * jax.random.normal(k1, (Bg, Rg), dtype=jnp.float32)
+        t = _best(
+            lambda: reduce_central_umoments_batched(ug, order),
+            lambda o: float(o[1][2, 0]),
+        )
+        record(
+            "batched_umoments_f32_B512_R1e6",
+            {"apparent_gsps": round(Bg * Rg / t / 1e9, 2)},
+        )
+
+    if only in (None, "bootstrap"):
+        # 128-divisible R: the int32 freq table bitcasts (no cast/pad copy)
+        Rr, nrep = 1_048_576, 256
+        ur = jax.block_until_ready(uv[:Rr])
+        xr = jax.block_until_ready(xv1[:Rr].reshape(Rr, 1))
+        freq = freq_from_indices(random_indices(jax.random.key(3), nrep, Rr), Rr)
+        t = _best(
+            lambda: resample_central_comoments_fused(ur, xr, freq, order),
             sync_reduce,
         )
-        out[f"bootstrap_poisson_R{rp:.0e}_nrep256".replace("+0", "")] = {
-            "trep_samples_per_s": round(nrep * rp / t / 1e12, 3),
-            "wallclock_s": round(t, 3),
-        }
-        flush()
+        record(
+            "bootstrap_freq_matmul_R2p20_nrep256",
+            {"trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)},
+        )
+
+        for rp in (10_000_000, 100_000_000):
+            up = jax.block_until_ready(uv[:rp])
+            xp = jax.block_until_ready(xv1[:rp].reshape(rp, 1))
+            t = _best(
+                lambda: resample_central_comoments_poisson(
+                    up, xp, nrep, order, seed=1
+                ),
+                sync_reduce,
+            )
+            record(
+                f"bootstrap_poisson_R{rp:.0e}_nrep256".replace("+0", ""),
+                {
+                    "trep_samples_per_s": round(nrep * rp / t / 1e12, 3),
+                    "wallclock_s": round(t, 3),
+                },
+            )
 
     print(json.dumps(out))
 
