@@ -187,6 +187,33 @@ def test_batched_comoments_interpret(rng_np):
         )
 
 
+@pytest.mark.parametrize("r", [127, 128, 1024, 1025, 2048, 4096 + 512])
+def test_fused_reduce_lane_shapes(rng_np, r):
+    """The lanes-from-divisors packing (bitcast vs pad fallback, partial
+    final grid block, where-masked tails) is exact for every R shape class:
+    R<128 (pad), R=128/512-divisible (bitcast + partial block), R%128!=0
+    (pad fallback)."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused,
+    )
+
+    order, v = 4, 2
+    u = rng_np.normal(5.0, 1.0, r).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (r, v)).astype(np.float32)
+    w = rng_np.uniform(0.5, 1.5, r).astype(np.float32)
+
+    ref = reduce_central_comoments(
+        np.float64(u), np.float64(x), order, weight=np.float64(w)
+    )
+    got = reduce_central_comoments_fused(
+        u, x, order, weight=w, block=1024, interpret=True
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
 def test_batched_umoments_custom_vjp(rng_np):
     """Gradients through the batched u-moment kernel == autodiff of the
     XLA two-pass formulation (the lnPi pipeline's fast path)."""
