@@ -73,6 +73,7 @@ def torch_two_pass_rate(r):
         import torch
     except Exception:  # pragma: no cover
         return None
+    torch.set_num_threads(1)  # the labeled quantity is a SINGLE-core rate
     g = torch.Generator().manual_seed(0)
     u = torch.randn(r, generator=g) + 5.0
     x = torch.randn(r, generator=g) * 0.5 + 2.0
@@ -153,11 +154,14 @@ def main() -> None:
             return r_full / t, r_full / t
         t4 = _chain_time(u, x, 4)
         t12 = _chain_time(u, x, 12)
-        device_rate = 8 * r_full / max(t12 - t4, 1e-9)
         t_single = best_time(
             lambda: reduce_central_comoments_fused(u, x, ORDER)
         )
-        return device_rate, r_full / t_single
+        if t12 <= t4:
+            # degenerate timing (severe tunnel noise): report the apparent
+            # rate rather than an absurd 1/epsilon headline
+            return r_full / t_single, r_full / t_single
+        return 8 * r_full / (t12 - t4), r_full / t_single
 
     device_bf16, apparent_bf16 = measure(
         uv.astype(jnp.bfloat16), xv.astype(jnp.bfloat16)

@@ -153,8 +153,11 @@ def main() -> None:
 
     u, x = gen(jnp, jrandom, R)
     # backend-divergence check on a tiny prefix (threefry is deterministic,
-    # erfinv rounding could differ in ulps across backends)
-    pu = float(jnp.sum(u[:1000].astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)))
+    # erfinv rounding could differ in ulps across backends).  The prefix is
+    # summed on HOST in f64: an on-device f32 sum of ~5000 has intrinsic
+    # roundoff ~1e-3 — the same order as a real divergence — so an
+    # f32-accumulated comparison would be flaky from summation order alone.
+    pu = float(np.sum(np.asarray(u[:1000], np.float64)))
     assert abs(pu - ref["prefix_u"]) < 1e-3, (pu, ref["prefix_u"])
 
     def run(uu, xx):

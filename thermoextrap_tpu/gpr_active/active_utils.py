@@ -674,8 +674,10 @@ class UpdateALCbrute(UpdateFuncBase):
     active_utils.py:1418-1507, marked experimental there too).
 
     ``n_candidates`` limits the candidate set by striding the grid (each
-    candidate costs one GP rebuild + full-grid predict).  ``None`` scans
-    the full grid like the reference.
+    candidate costs one GP rebuild + full-grid predict).  The default
+    ``None`` scans the full grid for reference parity — O(grid²) GP
+    predicts per update, expensive on large grids; pass e.g.
+    ``n_candidates=20`` for a cheap strided scan.
     """
 
     def __init__(self, n_candidates: int | None = None, **kws) -> None:

@@ -623,7 +623,11 @@ class HeteroscedasticGPR:
         self._groups, self._gid_np = _group_order_rows(d)
         self._locs_np = np.asarray(X[:, :obs], dtype=np.float64)
         self._dplus_np = np.asarray((d + 1.0).sum(axis=-1), dtype=np.float64)
-        self._mean_x_np = np.asarray(self._mean(X), dtype=np.float64)
+        # evaluate the mean under the host-f64 context: on the accelerator
+        # backend this would otherwise run eagerly on-device in f32 and the
+        # rounded values would be frozen into the f64 compiled core
+        with _compute_ctx():
+            self._mean_x_np = np.asarray(self._mean(X), dtype=np.float64)
 
     # -- parameter plumbing ----------------------------------------------------
 

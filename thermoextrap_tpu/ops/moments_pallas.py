@@ -165,10 +165,19 @@ def reduce_central_comoments_fused(
     in-kernel); pass bf16 arrays to opt in.
     """
     uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    if (uv.dtype == jnp.bfloat16) != (xv.dtype == jnp.bfloat16):
+        # the bf16 opt-in must be explicit for BOTH streams: keying on one
+        # would silently downcast (or silently ignore) the other
+        msg = (
+            f"mixed input dtypes {uv.dtype}/{xv.dtype}: cast both uv and xv "
+            "to bfloat16 to opt into the half-traffic stream, or neither"
+        )
+        raise ValueError(msg)
     in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
     uv = uv.astype(in_dtype)
     val_shape = xv.shape[1:]
-    xv = jnp.asarray(xv).astype(in_dtype).reshape(uv.shape[0], -1)
+    xv = xv.astype(in_dtype).reshape(uv.shape[0], -1)
     r, v = xv.shape
 
     w_flat = (
@@ -939,6 +948,13 @@ def reduce_central_comoments_batched(
     for small-to-moderate ``v``.  bfloat16 inputs stream at half traffic.
     """
     uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    if (uv.dtype == jnp.bfloat16) != (xv.dtype == jnp.bfloat16):
+        msg = (
+            f"mixed input dtypes {uv.dtype}/{xv.dtype}: cast both uv and xv "
+            "to bfloat16 to opt into the half-traffic stream, or neither"
+        )
+        raise ValueError(msg)
     in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
     uv = uv.astype(in_dtype)
     batch_shape = uv.shape[:-1]
@@ -946,7 +962,7 @@ def reduce_central_comoments_batched(
     val_shape = xv.shape[uv.ndim :]
     u2 = uv.reshape(-1, r)
     nbatch = u2.shape[0]
-    x3 = jnp.asarray(xv).astype(in_dtype).reshape(nbatch, r, -1)
+    x3 = xv.astype(in_dtype).reshape(nbatch, r, -1)
     v = x3.shape[-1]
 
     w2 = (

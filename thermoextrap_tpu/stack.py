@@ -76,6 +76,9 @@ def stack_multidim(
     """
     arr = np.asarray(arr)
     dims = tuple(dims)
+    if policy not in ("infer", "raise"):
+        msg = f"policy must be 'infer' or 'raise'; got {policy!r}"
+        raise ValueError(msg)
     if len(dims) != arr.ndim:
         msg = f"len(dims)={len(dims)} must equal arr.ndim={arr.ndim}"
         raise ValueError(msg)
