@@ -187,6 +187,26 @@ def test_batched_comoments_interpret(rng_np):
         )
 
 
+def test_fused_reduce_rejects_mixed_dtypes(rng_np):
+    """bf16 opt-in must cover both streams; mixed dtypes raise instead of
+    silently downcasting (or ignoring) one of them."""
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_batched,
+        reduce_central_comoments_fused,
+    )
+
+    u = jnp.asarray(rng_np.normal(0, 1, 256), jnp.float32)
+    x = u.astype(jnp.bfloat16).reshape(256, 1)
+    with pytest.raises(ValueError, match="mixed input dtypes"):
+        reduce_central_comoments_fused(u, x, 2, interpret=True)
+    with pytest.raises(ValueError, match="mixed input dtypes"):
+        reduce_central_comoments_batched(
+            u.reshape(2, 128), x.reshape(2, 128, 1), 2, interpret=True
+        )
+
+
 @pytest.mark.parametrize("r", [127, 128, 1024, 1025, 2048, 4096 + 512])
 def test_fused_reduce_lane_shapes(rng_np, r):
     """The lanes-from-divisors packing (bitcast vs pad fallback, partial
