@@ -180,6 +180,29 @@ class TestActiveLearningEndToEnd:
         gpr2 = au.create_GPR(states, start_params=hist["params"][-1])
         assert np.isfinite(float(gpr2.neg_lml(gpr2.get_unconstrained())))
 
+    def test_ig_loop_analytical_scale_model(self, tmp_path):
+        """gp_base_kwargs plumbs a swapped GP model class through the
+        whole loop (the analytical-noise-scale variant)."""
+        from thermoextrap_tpu.gpr_active.gp_models import (
+            HeteroscedasticGPRAnalyticalScale,
+        )
+
+        sim = ig_active.SimulateIG(nconfig=NCONF, npart=NPART)
+        update = au.UpdateSpaceFill(rng=2, n_grid=40)
+        stop = au.StopCriteria([au.MaxRelGlobalVar(tol=1e-6)], n_grid=40)
+        data_list, history = au.active_learning(
+            [0.5, 2.0],
+            sim,
+            update,
+            base_dir=str(tmp_path),
+            stop_criteria=stop,
+            max_iter=1,
+            max_order=3,
+            gp_base_kwargs={"model_class": HeteroscedasticGPRAnalyticalScale},
+        )
+        assert len(history["loss"]) >= 1
+        assert np.all(np.isfinite(np.asarray(history["loss"])))
+
     def test_prediction_quality_after_loop(self, tmp_path):
         from thermoextrap_tpu import idealgas
 
