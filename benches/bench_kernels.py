@@ -61,14 +61,27 @@ def main() -> None:
     only = None
     for i, a in enumerate(sys.argv):
         if a == "--only":
+            if i + 1 >= len(sys.argv) or sys.argv[i + 1] not in (
+                "flat", "batched", "bootstrap",
+            ):
+                sys.exit("--only requires one of: flat, batched, bootstrap")
             only = sys.argv[i + 1]
 
+    known_keys = {
+        "metric", "order",
+        "flat_f32_V1", "flat_bf16_V1", "flat_f32_V4",
+        "batched_comoments_f32_B8_R1e7_V2", "batched_umoments_f32_B512_R1e6",
+        "bootstrap_freq_matmul_R2p20_nrep256",
+        "bootstrap_poisson_R1e7_nrep256", "bootstrap_poisson_R1e8_nrep256",
+    }
     out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
     if art.exists():
         try:
             prev = json.loads(art.read_text())
             if prev.get("order") == order:
-                out.update(prev)
+                # keep only keys this script still produces — retired entry
+                # names must not ride along in the artifact forever
+                out.update({k: v for k, v in prev.items() if k in known_keys})
         except Exception:
             pass
 

@@ -234,6 +234,55 @@ def test_fused_reduce_lane_shapes(rng_np, r):
         )
 
 
+@pytest.mark.parametrize(
+    ("r", "nrep"), [(128, 5), (384, 130), (1024, 128), (1025, 5), (9216, 7)]
+)
+def test_fused_resample_lane_shapes(rng_np, r, nrep):
+    """The bootstrap kernel's bitcast packing (int32 freq, partial rep and
+    rec grid blocks, where-masked tails) is exact for every shape class."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_comoments_fused,
+    )
+
+    order, v = 4, 2
+    u = rng_np.normal(5.0, 1.0, r).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (r, v)).astype(np.float32)
+    w = rng_np.uniform(0.5, 1.5, r).astype(np.float32)
+    idx = rng_np.integers(0, r, (nrep, r))
+    freq = np.asarray(freq_from_indices(idx, r))
+
+    ref = resample_central_comoments(
+        np.float64(u), np.float64(x), freq, order, weight=np.float64(w)
+    )
+    got = resample_central_comoments_fused(
+        u, x, freq.astype(np.int32), order, weight=w, interpret=True
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
+
+
+def test_fused_resample_fractional_freq(rng_np):
+    """Float (fractional-weight) frequency tables — e.g. Bayesian-bootstrap
+    Dirichlet weights — must NOT be truncated to integers."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_comoments_fused,
+    )
+
+    order, r, nrep = 3, 512, 8
+    u = rng_np.normal(5.0, 1.0, r).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (r, 1)).astype(np.float32)
+    freq = (rng_np.dirichlet(np.ones(r), size=nrep) * r).astype(np.float64)
+
+    ref = resample_central_comoments(np.float64(u), np.float64(x), freq, order)
+    got = resample_central_comoments_fused(u, x, freq, order, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
+
+
 def test_batched_umoments_custom_vjp(rng_np):
     """Gradients through the batched u-moment kernel == autodiff of the
     XLA two-pass formulation (the lnPi pipeline's fast path)."""

@@ -60,6 +60,19 @@ def _pad_flat(a, n):
     return jnp.pad(a, (0, n - a.shape[0])) if a.shape[0] != n else a
 
 
+def _stream_dtype(uv, xv):
+    """bf16 opt-in must be explicit for BOTH streams: keying on one would
+    silently downcast (or silently ignore) the other.  Returns the common
+    in-kernel stream dtype."""
+    if (uv.dtype == jnp.bfloat16) != (xv.dtype == jnp.bfloat16):
+        msg = (
+            f"mixed input dtypes {uv.dtype}/{xv.dtype}: cast both uv and xv "
+            "to bfloat16 to opt into the half-traffic stream, or neither"
+        )
+        raise ValueError(msg)
+    return jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _pack(a, rows_total):
     """(R,) -> (rows_total, LANES) dense row layout."""
     return _pad_flat(a, rows_total * _LANES).reshape(rows_total, _LANES)
@@ -166,15 +179,7 @@ def reduce_central_comoments_fused(
     """
     uv = jnp.asarray(uv)
     xv = jnp.asarray(xv)
-    if (uv.dtype == jnp.bfloat16) != (xv.dtype == jnp.bfloat16):
-        # the bf16 opt-in must be explicit for BOTH streams: keying on one
-        # would silently downcast (or silently ignore) the other
-        msg = (
-            f"mixed input dtypes {uv.dtype}/{xv.dtype}: cast both uv and xv "
-            "to bfloat16 to opt into the half-traffic stream, or neither"
-        )
-        raise ValueError(msg)
-    in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
+    in_dtype = _stream_dtype(uv, xv)
     uv = uv.astype(in_dtype)
     val_shape = xv.shape[1:]
     xv = xv.astype(in_dtype).reshape(uv.shape[0], -1)
@@ -435,7 +440,14 @@ def resample_central_comoments_fused(
     else:
         x_p = jnp.pad(xv, ((0, rp - r), (0, 0))).T.reshape(v, nb, lanes)
     freq = jnp.asarray(freq)
-    if freq.dtype not in (jnp.int32, jnp.float32, jnp.bfloat16):
+    # integer tables stream natively (int32) and convert in VMEM; FLOAT
+    # tables (fractional weights, e.g. Bayesian-bootstrap Dirichlet * R)
+    # must stay floating — truncating them to int would silently corrupt
+    # the replicate moments
+    if jnp.issubdtype(freq.dtype, jnp.floating):
+        if freq.dtype not in (jnp.float32, jnp.bfloat16):
+            freq = freq.astype(jnp.float32)
+    elif freq.dtype != jnp.int32:
         freq = freq.astype(jnp.int32)  # e.g. x64-mode int64 tables
     if r % lanes == 0:
         f_p = freq.reshape(nrep, nb, lanes)  # bitcast, zero copy, no cast
@@ -949,13 +961,7 @@ def reduce_central_comoments_batched(
     """
     uv = jnp.asarray(uv)
     xv = jnp.asarray(xv)
-    if (uv.dtype == jnp.bfloat16) != (xv.dtype == jnp.bfloat16):
-        msg = (
-            f"mixed input dtypes {uv.dtype}/{xv.dtype}: cast both uv and xv "
-            "to bfloat16 to opt into the half-traffic stream, or neither"
-        )
-        raise ValueError(msg)
-    in_dtype = jnp.bfloat16 if uv.dtype == jnp.bfloat16 else jnp.float32
+    in_dtype = _stream_dtype(uv, xv)
     uv = uv.astype(in_dtype)
     batch_shape = uv.shape[:-1]
     r = uv.shape[-1]
