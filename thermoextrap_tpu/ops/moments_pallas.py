@@ -7,8 +7,14 @@ These are the TPU-native replacements for cmomy's numba hot loops
 **Layout.** On this TPU backend a 2D f32 array is tiled ``T(8,128)`` in HBM,
 so an ``(R, 1)`` column is physically padded 128x.  All kernel operands are
 therefore laid out dense: samples packed into rows of ``B`` lanes
-(``u -> (R/B, B)``) and the observable transposed to ``(V, R/B, B)``.  No
-padded HBM traffic anywhere.
+(``u -> (R/B, B)``) and the observable transposed to ``(V, R/B, B)``.
+``B`` is chosen from the divisors of ``R`` (1024/512/256/128) so the
+packing reshape is a pure **bitcast** — padding R up to a block multiple
+would force XLA to materialize a full padded copy of the input on every
+call, costing more HBM traffic than the reduction itself; only
+``R % 128 != 0`` falls back to a pad copy.  The grid takes a partial final
+block, masked with ``jnp.where`` (the overrun region is undefined memory;
+multiply-masking would propagate NaNs).
 
 **Single-pass shifted reduction** (:func:`reduce_central_comoments_fused`):
 the XLA implementation (ops/moments.py) streams the data twice (means pass +
@@ -25,8 +31,12 @@ moments as ``freq @ per-sample-contributions`` with the contribution rows
 ``(nrep, R) @ (R, (order+1)(V+1))`` MXU matmul without materializing the
 contribution matrix in HBM.
 
-Both kernels accumulate in float32 (inputs upcast) and mask the padded tail
-with a global-index iota.
+All kernels accumulate in float32 (bf16 inputs upcast on load — bf16
+streams halve HBM traffic and are accuracy-gated at R=1e8, see
+benches/bench_accuracy_1e8.py) and mask the real-data tail with a
+global-index iota.  Batched variants (``reduce_central_umoments_batched``,
+``reduce_central_comoments_batched``) run the same shifted single pass
+over a ``(batch, rec-block)`` grid with per-batch shifts in SMEM.
 """
 
 from __future__ import annotations
