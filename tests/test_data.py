@@ -161,3 +161,52 @@ def test_reduce_merges_blocks(vals):
         np.asarray(pooled.dxdu), np.asarray(d_all.dxdu), rtol=1e-10, atol=1e-14
     )
     assert float(pooled.wsum) == nblock * blk
+
+
+def test_from_data_matches_from_vals(vals):
+    """Reference-layout (trailing (xmom, umom)) constructor parity
+    (reference data.py:1216-1283)."""
+    u, x = vals
+    d_ref = xtpu.DataCentralMoments.from_vals(x, u, ORDER)
+    v = x.shape[1]
+    # assemble the cmomy-layout tensor: (val, 2, order+1)
+    data = np.zeros((v, 2, ORDER + 1))
+    data[:, 0, 0] = len(u)
+    data[:, 1, 0] = np.asarray(d_ref.xave)
+    data[:, 0, 1] = float(d_ref.uave)
+    for j in range(2, ORDER + 1):
+        data[:, 0, j] = float(np.asarray(d_ref.du).reshape(ORDER + 1, -1)[j, 0])
+    for j in range(1, ORDER + 1):
+        data[:, 1, j] = np.asarray(d_ref.dxdu)[j]
+    d = xtpu.DataCentralMoments.from_data(data, val_ndim=1, central=True)
+    for a, b in zip(d.derivs_args, d_ref.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-12)
+    # raw view agrees too
+    np.testing.assert_allclose(np.asarray(d.xu), np.asarray(d_ref.xu), rtol=1e-6)
+    assert int(d.wsum) == len(u)
+
+
+def test_from_data_x_is_u(vals):
+    """x_is_u from_data = the reference's moments_to_comoments shift."""
+    u, _ = vals
+    d_ref = xtpu.DataCentralMoments.from_vals(None, u, ORDER, x_is_u=True)
+    data = np.zeros(ORDER + 2)  # [w, <u>, <du^2> .. <du^{ORDER+1}>]
+    data[0] = len(u)
+    data[1] = float(d_ref.uave)
+    du_full = np.asarray(
+        xtpu.DataValues.from_vals(None, u, ORDER + 1, x_is_u=True, central=True).du
+    )
+    data[2:] = du_full[2 : ORDER + 2]
+    d = xtpu.DataCentralMoments.from_data(data, x_is_u=True, central=True)
+    assert d.order == ORDER
+    for a, b in zip(d.derivs_args, d_ref.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-12)
+
+
+def test_alcbrute_bounded_default():
+    """UpdateALCbrute must default to a bounded candidate scan (the full
+    O(grid^2) sweep is opt-in via n_candidates=None)."""
+    from thermoextrap_tpu.gpr_active import active_utils as au
+
+    assert au.UpdateALCbrute(rng=0).n_candidates == 20
+    assert au.UpdateALCbrute(rng=0, n_candidates=None).n_candidates is None

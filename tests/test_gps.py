@@ -38,10 +38,86 @@ def fd_mixed_partial(f, x1, x2, d1, d2, h=1e-4):
     ) / (2 * h)
 
 
+def rbf_deriv_closed_form(x1, x2, d1, d2, var, ell):
+    r"""Exact mixed partial of the RBF kernel (independent oracle).
+
+    With :math:`z = (x_1 - x_2)/\ell` and :math:`g(z) = e^{-z^2/2}`, the
+    chain rule gives :math:`\partial_{x_1}^{d_1}\partial_{x_2}^{d_2} k =
+    \mathrm{var}\,\ell^{-(d_1+d_2)} (-1)^{d_2} g^{(d_1+d_2)}(z)`, and the
+    Gaussian derivative identity :math:`g^{(n)}(z) = (-1)^n He_n(z) g(z)`
+    (probabilists' Hermite polynomials, :math:`He_{n+1} = z He_n - n
+    He_{n-1}`) closes the form — the reference's hand-chained version is
+    tests/test_gps.py:27-113; this derivation is exact to f64 roundoff at
+    any order."""
+    z = (x1 - x2) / ell
+    n = d1 + d2
+    he_prev, he = 1.0, z  # He_0, He_1
+    if n == 0:
+        he_n = he_prev
+    elif n == 1:
+        he_n = he
+    else:
+        for k in range(1, n):
+            he_prev, he = he, z * he - k * he_prev
+        he_n = he
+    return var * ell ** (-n) * (-1.0) ** d1 * he_n * np.exp(-0.5 * z * z)
+
+
 class TestDerivativeKernel:
     @pytest.fixture(scope="class")
     def rbf(self):
         return RBFDerivKernel()
+
+    def test_k_vs_closed_form(self, rbf):
+        """PRIMARY gate: kernel derivative covariances vs the exact
+        Hermite-form mixed partials, through 8th total order (d1, d2 <= 4)
+        at <= 1e-10 — the entries the heteroscedastic model leans on."""
+        var, ell = 1.7, 0.9
+        xs = np.array([-0.3, 0.1, 0.5, 1.2])
+        for d1 in range(5):
+            for d2 in range(5):
+                X1 = np.stack([xs, np.full_like(xs, d1)], axis=1)
+                X2 = np.stack([xs, np.full_like(xs, d2)], axis=1)
+                got = np.asarray(rbf.K(X1, X2, params={"var": var, "l": ell}))
+                expected = rbf_deriv_closed_form(
+                    xs[:, None], xs[None, :], d1, d2, var, ell
+                )
+                np.testing.assert_allclose(
+                    got, expected, rtol=1e-10, atol=1e-12
+                )
+
+    def test_multidim_rbf_closed_form(self):
+        """Separable product closed form for the 2-D RBF with distinct
+        lengthscales, through 2nd derivatives per dimension."""
+        ells = (0.8, 1.6)
+        var = 1.3
+        expr, params = make_rbf_expr(2)
+        kern = DerivativeKernel(expr, 2, kernel_params=params)
+        pts = np.array([[0.0, 0.4], [0.5, 0.2], [0.1, 0.9], [1.0, -0.3]])
+        pvals = {"var": var, "l_0": ells[0], "l_1": ells[1]}
+        for orders1 in [(0, 0), (1, 0), (0, 2), (2, 1), (1, 2), (2, 2)]:
+            for orders2 in [(0, 0), (0, 1), (2, 0), (1, 1), (2, 2)]:
+                X1 = np.concatenate(
+                    [pts, np.broadcast_to(orders1, pts.shape)], axis=1
+                )
+                X2 = np.concatenate(
+                    [pts, np.broadcast_to(orders2, pts.shape)], axis=1
+                )
+                got = np.asarray(kern.K(X1, X2, params=pvals))
+                expected = np.ones((len(pts), len(pts)))
+                for dim in range(2):
+                    v = var if dim == 0 else 1.0  # var enters once
+                    expected = expected * rbf_deriv_closed_form(
+                        pts[:, None, dim],
+                        pts[None, :, dim],
+                        orders1[dim],
+                        orders2[dim],
+                        v,
+                        ells[dim],
+                    )
+                np.testing.assert_allclose(
+                    got, expected, rtol=1e-10, atol=1e-12
+                )
 
     def test_k_vs_finite_difference(self, rbf):
         var, ell = 1.7, 0.9
@@ -442,3 +518,79 @@ class TestAnalyticalScaleGPR:
         assert isinstance(model, HeteroscedasticGPRAnalyticalScale)
         res = model.train(max_iter=50)
         assert np.isfinite(res.fun)
+
+
+class TestHetGaussianSimple:
+    """HetGaussianSimple: provided cov x one trainable scalar scale
+    (reference gp_models.py:479-567, the maintained rebuild)."""
+
+    def test_scaled_cov_is_scalar_multiple(self):
+        from thermoextrap_tpu.gpr_active.gp_models import HetGaussianSimple
+
+        rng = np.random.default_rng(3)
+        a = rng.normal(size=(5, 5))
+        cov = a @ a.T + 5 * np.eye(5)
+        lik = HetGaussianSimple(cov, obs_dims=1, init_scale=2.5)
+        # derivative orders must NOT affect the scaling
+        X = np.array(
+            [[0.0, 0.0], [0.1, 1.0], [0.2, 2.0], [0.3, 3.0], [0.4, 0.0]]
+        )
+        out = np.asarray(lik.build_scaled_cov_mat(X))[0]
+        expected = 2.5 * cov
+        np.testing.assert_allclose(
+            out, expected + np.diag(np.full(5, 1e-12)), rtol=1e-10
+        )
+        np.testing.assert_allclose(lik.scale_noise, 2.5, rtol=1e-12)
+
+    def test_lml_matches_deriv_special_case(self):
+        """== HetGaussianDeriv with p=0, s=log(scale) at the same params."""
+        from thermoextrap_tpu.gpr_active.gp_models import HetGaussianSimple
+
+        xs = np.linspace(0, 2, 5)
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        Y = np.sin(xs)[:, None]
+        cov = np.eye(5) * 1e-3
+        m_simple = HeteroscedasticGPR(
+            (X, Y, cov),
+            kernel=RBFDerivKernel(),
+            likelihood_class=HetGaussianSimple,
+            likelihood_kwargs={"init_scale": 1.7},
+        )
+        m_deriv = HeteroscedasticGPR(
+            (X, Y, cov),
+            kernel=RBFDerivKernel(),
+            likelihood_kwargs={
+                "p": 0.0,
+                "s": float(np.log(1.7)),
+                "constrain_p": True,
+                "constrain_s": True,
+                "transform_p": "none",
+                "transform_s": "none",
+            },
+        )
+        np.testing.assert_allclose(
+            float(m_simple.log_marginal_likelihood()),
+            float(m_deriv.log_marginal_likelihood()),
+            rtol=1e-10,
+        )
+
+    def test_trains(self):
+        from thermoextrap_tpu.gpr_active.gp_models import HetGaussianSimple
+
+        rng = np.random.default_rng(0)
+        xs = np.linspace(0.0, 2.0 * np.pi, 10)
+        y = (np.sin(xs) + rng.normal(0, 0.05, xs.shape))[:, None]
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        cov = np.eye(10) * 0.05**2
+        model = HeteroscedasticGPR(
+            (X, y, cov),
+            kernel=RBFDerivKernel(),
+            likelihood_class=HetGaussianSimple,
+        )
+        res = model.train()
+        assert np.isfinite(res.fun)
+        assert model.likelihood.scale_noise > 0
+        assert "likelihood/s" in model.trainable_names()
+        assert "likelihood/p" not in model.trainable_names()
+        mu, _ = model.predict_f(X)
+        np.testing.assert_allclose(np.asarray(mu), y, atol=0.2)

@@ -469,6 +469,94 @@ class DataCentralMoments:
     from_ave_raw = from_raw
 
     @classmethod
+    def from_data(
+        cls,
+        data,
+        *,
+        central: bool = False,
+        x_is_u: bool = False,
+        xalpha: bool = False,
+        val_ndim: int = 0,
+        meta: DataCallbackABC | None = None,
+    ):
+        """Migration-parity constructor from a pre-assembled cmomy-layout
+        central (co)moment tensor with TRAILING moment axes (reference
+        ``DataCentralMoments.from_data``, data.py:1216-1283):
+
+        - ``x_is_u=False``: ``data (*batch, *val, 2, order+1)`` with
+          ``data[..., 0, 0] = weight``, ``data[..., 1, 0] = <x>``,
+          ``data[..., 0, 1] = <u>``, ``data[..., 0, j>=2] = <du^j>``,
+          ``data[..., 1, j>=1] = <dx du^j>``.
+        - ``x_is_u=True``: ``data (*batch, K+1)`` u-moment array
+          ``[w, <u>, <du^2>, ...]`` treated as comoments of x=u with
+          ``order = K - 1`` (the reference's ``moments_to_comoments``
+          shift, cmomy role).
+
+        ``val_ndim`` counts trailing value axes of the batch part; the
+        u-moment slices must be constant along them (as any tensor built by
+        a (co)moment reduction is) — they are read at val index 0.
+        """
+        import numpy as _np
+
+        data = _np.asarray(data, dtype=_np.float64)
+        if xalpha:
+            msg = "from_data with a deriv axis is not supported; use from_ave_central"
+            raise NotImplementedError(msg)
+        if x_is_u:
+            order = int(data.shape[-1] - 2)
+            if order < 0:
+                msg = f"x_is_u data needs >= 2 moment entries, got {data.shape}"
+                raise ValueError(msg)
+            du_full = _np.moveaxis(data, -1, 0).copy()  # (K+1, *batch)
+            wsum = jnp.asarray(du_full[0])
+            uave = jnp.asarray(du_full[1])
+            du_full[0] = 1.0
+            du_full[1] = 0.0
+            du_full = jnp.asarray(du_full)
+            return cls(
+                xave=uave,
+                uave=uave,
+                du=du_full[: order + 1],
+                dxdu=du_full[1:],  # <du du^n> = du[n+1]
+                wsum=wsum,
+                meta=meta if meta is not None else DataCallback(),
+                order=order,
+                central=bool(central),
+                x_is_u=True,
+                xalpha=False,
+                val_ndim=0,
+            )
+        if data.shape[-2] != 2:
+            msg = f"expected trailing (xmom=2, umom) axes, got {data.shape}"
+            raise ValueError(msg)
+        order = int(data.shape[-1] - 1)
+        idx0 = (Ellipsis, *(0,) * val_ndim) if val_ndim else (Ellipsis,)
+        wsum = jnp.asarray(data[..., 0, 0][idx0])
+        uave = jnp.asarray(data[..., 0, 1][idx0])
+        xave = jnp.asarray(data[..., 1, 0])
+        du = _np.moveaxis(data[..., 0, :], -1, 0)[
+            (slice(None), *idx0)
+        ].copy()  # (order+1, *batch)
+        du[0] = 1.0
+        if order >= 1:
+            du[1] = 0.0
+        dxdu = _np.moveaxis(data[..., 1, :], -1, 0).copy()
+        dxdu[0] = 0.0
+        return cls(
+            xave=xave,
+            uave=uave,
+            du=_pad_val(jnp.asarray(du), val_ndim),
+            dxdu=jnp.asarray(dxdu),
+            wsum=wsum,
+            meta=meta if meta is not None else DataCallback(),
+            order=order,
+            central=bool(central),
+            x_is_u=False,
+            xalpha=False,
+            val_ndim=int(val_ndim),
+        )
+
+    @classmethod
     def from_resample_vals(
         cls,
         xv,

@@ -4,6 +4,7 @@ from . import active_utils, gp_models, ig_active, kernels, sine_active
 from .active_utils import active_learning, create_GPR, train_GPR
 from .gp_models import (
     DerivativeKernel,
+    HetGaussianSimple,
     HeteroscedasticGPR,
     HeteroscedasticGPRAnalyticalScale,
 )
@@ -12,6 +13,7 @@ from .kernels import CallableDerivativeKernel, RBFDerivKernel
 __all__ = [
     "CallableDerivativeKernel",
     "DerivativeKernel",
+    "HetGaussianSimple",
     "HeteroscedasticGPR",
     "HeteroscedasticGPRAnalyticalScale",
     "RBFDerivKernel",

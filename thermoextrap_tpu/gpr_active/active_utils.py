@@ -674,13 +674,14 @@ class UpdateALCbrute(UpdateFuncBase):
     active_utils.py:1418-1507, marked experimental there too).
 
     ``n_candidates`` limits the candidate set by striding the grid (each
-    candidate costs one GP rebuild + full-grid predict).  The default
-    ``None`` scans the full grid for reference parity — O(grid²) GP
-    predicts per update, expensive on large grids; pass e.g.
-    ``n_candidates=20`` for a cheap strided scan.
+    candidate costs one GP rebuild + full-grid predict).  The default is a
+    bounded stride of 20 candidates — the reference's default scans the
+    full grid, which is O(grid²) GP predicts per update (~10⁶ on the
+    default 1000-point grid); pass ``n_candidates=None`` to opt into that
+    full scan when you really want it.
     """
 
-    def __init__(self, n_candidates: int | None = None, **kws) -> None:
+    def __init__(self, n_candidates: int | None = 20, **kws) -> None:
         super().__init__(**kws)
         self.n_candidates = n_candidates
 

@@ -47,6 +47,7 @@ __all__ = [
     "ConstantMeanWithDerivs",
     "DerivativeKernel",
     "HetGaussianDeriv",
+    "HetGaussianSimple",
     "HeteroscedasticGPR",
     "HeteroscedasticGPRAnalyticalScale",
     "LinearWithDerivs",
@@ -341,6 +342,41 @@ class HetGaussianDeriv:
         return out * (1.0 - eye) + eye * diag[..., None, :] * eye
 
 
+class HetGaussianSimple(HetGaussianDeriv):
+    r"""Provided noise covariance with ONE trainable scalar scale and no
+    derivative-order dependence (reference gp_models.py:479-567, the "NOT
+    MAINTAINED" experimental variant):
+
+    .. math:: {\rm cov}_{\rm scaled} = {\rm scale\_noise} \cdot {\rm cov}
+
+    Implemented as the ``p=0`` (frozen) special case of the
+    :class:`HetGaussianDeriv` parameterization with ``s`` trainable —
+    ``scale_noise = e^s`` (positivity for free) — so it plugs into the
+    compiled GPR core unchanged.  Unlike the reference version this one IS
+    maintained: it trains through the same jitted LML path.
+    """
+
+    def __init__(self, cov, obs_dims: int, init_scale: float = 1.0) -> None:
+        if init_scale <= 0:
+            msg = f"init_scale must be positive, got {init_scale}"
+            raise ValueError(msg)
+        super().__init__(
+            cov,
+            obs_dims,
+            p=0.0,
+            s=float(np.log(init_scale)),
+            constrain_p=True,
+            constrain_s=False,
+            transform_p="none",
+            transform_s="none",
+        )
+
+    @property
+    def scale_noise(self) -> float:
+        """The learned covariance scale (reference ``scale_noise`` param)."""
+        return float(np.exp(self.params["s"].value))
+
+
 # ---------------------------------------------------------------------------
 # mean functions (reference gp_models.py:1178-1402)
 # ---------------------------------------------------------------------------
@@ -590,6 +626,7 @@ class HeteroscedasticGPR:
         mean_function=None,
         scale_fac=1.0,
         likelihood_kwargs=None,
+        likelihood_class=None,
     ) -> None:
         X, Y, noise_cov = data
         X = np.asarray(X, dtype=np.float64)
@@ -609,7 +646,8 @@ class HeteroscedasticGPR:
         noise_cov = noise_cov / (scale_fac.reshape(-1, 1, 1) ** 2)
 
         self.kernel = kernel
-        self.likelihood = HetGaussianDeriv(
+        lik_cls = HetGaussianDeriv if likelihood_class is None else likelihood_class
+        self.likelihood = lik_cls(
             noise_cov, kernel.obs_dims, **(likelihood_kwargs or {})
         )
         self.mean_function = mean_function

@@ -20,7 +20,7 @@ at :math:`\beta_0`, :math:`\delta u = u - \langle u\rangle`):
 the central-moment form numerically stable).  Expanding numerator and
 denominator and dividing the truncated series (ops/series.py) yields the
 *exact* derivatives — identical values to the reference's symbolic
-recursions (verified against a sympy oracle in tests/test_sympy_oracle.py).
+recursions (verified against a sympy oracle in tests/test_derivatives.py).
 
 Everything here is jit/vmap/pjit-compatible: static orders, unrolled
 coefficient recursions, pure array arithmetic.
