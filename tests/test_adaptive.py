@@ -153,3 +153,52 @@ class TestRecursiveInterp:
         assert len(ri.states) == 3
         pred = ri.predict([1.0])
         assert abs(float(np.squeeze(pred)) - float(idealgas.x_ave(1.0))) < 0.05
+
+
+class TestPlottingCallbacks:
+    """Canned matplotlib demo callbacks (reference adaptive_interp.py:550-635)."""
+
+    def test_callback_plot_progress(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        alphas = np.linspace(0.5, 2.0, 11)
+        _fig, ax = plt.subplots()
+        model, info = adaptive_interp.train_iterative(
+            alphas,
+            factory_state=small_state,
+            factory_statecollection=InterpModel,
+            maxiter=2,
+            callback=adaptive_interp.callback_plot_progress,
+            callback_kws={
+                "ax": ax,
+                "verbose": False,
+                "exact": idealgas.x_ave,
+                "maxdepth_stop": 0,
+            },
+            state_kws={"rng": 5},
+        )
+        assert model is not None
+        assert len(ax.lines) >= 2  # prediction + exact overlay
+        # maxdepth_stop=0 stops via the callback at depth 1 at the latest
+        assert len(info) <= 2
+        plt.close("all")
+
+    def test_plot_polynomial_consistency(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        alphas = np.linspace(0.5, 2.0, 16)
+        states = [small_state(b, rng=i) for i, b in enumerate((0.5, 1.2, 2.0))]
+        _fig, ax = plt.subplots()
+        ps, models = adaptive_interp.plot_polynomial_consistency(
+            alphas, states, InterpModel, ax=ax, verbose=False
+        )
+        assert len(ps) == 3  # (01,12), (01,02), (12,02)
+        assert all(np.all((0 <= np.asarray(p)) & (np.asarray(p) <= 1)) for p in ps.values())
+        assert len(ax.lines) >= 3
+        plt.close("all")

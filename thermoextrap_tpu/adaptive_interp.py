@@ -14,8 +14,10 @@ from itertools import chain, islice
 import numpy as np
 
 __all__ = [
+    "callback_plot_progress",
     "check_polynomial_consistency",
     "factory_state_idealgas",
+    "plot_polynomial_consistency",
     "train_iterative",
     "train_recursive",
     "window",
@@ -264,6 +266,113 @@ def check_polynomial_consistency(states, factory_statecollection):
                 )
                 ps[key] = stats.norm.cdf(np.abs(z)) - stats.norm.cdf(-np.abs(z))
     return ps, models
+
+
+def callback_plot_progress(
+    model,
+    alphas,
+    info_dict,
+    verbose: bool = True,
+    maxdepth_stop: int | None = None,
+    ax=None,
+    exact=None,
+    show: bool | None = None,
+):
+    """Demo iteration callback: plot the current model prediction each
+    depth (reference adaptive_interp.py:550-605).  Pass via
+    ``train_iterative(..., callback=callback_plot_progress)``.
+
+    Parameters
+    ----------
+    verbose : print depth / training alphas / new alpha.
+    maxdepth_stop : return ``True`` (stop training) past this depth —
+        redundant with ``maxiter``, kept as the reference's demonstration
+        of coding a stop criterion into the callback.
+    ax : optional :class:`matplotlib.axes.Axes` to draw into.
+    exact : optional callable ``alpha -> value`` overlaid as a dotted
+        black line (e.g. ``idealgas.x_ave``).
+    show : call ``plt.show()``; defaults to True only when ``ax`` is None
+        (the reference always shows; headless callers pass an axis).
+    """
+    import matplotlib.pyplot as plt
+
+    if verbose:
+        print("depth:", info_dict["depth"])
+        print("alphas:", model.alpha0)
+
+    if show is None:
+        show = ax is None
+    if ax is None:
+        _, ax = plt.subplots()
+
+    alphas = np.asarray(alphas, dtype=float)
+    ave = np.asarray(info_dict["ave"]).reshape(len(alphas), -1)
+    ax.plot(alphas, ave, label=f"depth {info_dict['depth']}")
+    if exact is not None:
+        ax.plot(alphas, np.asarray(exact(alphas)).reshape(len(alphas), -1),
+                ls=":", color="k")
+
+    alpha_new = info_dict.get("alpha_new")
+    if alpha_new is not None:
+        if verbose:
+            print("alpha_new:", alpha_new)
+        ax.axvline(x=alpha_new, ls=":")
+    if show:
+        plt.show()
+
+    stop = False
+    if maxdepth_stop is not None:
+        stop = info_dict["depth"] > maxdepth_stop
+        if stop and verbose:
+            print("reached maxdepth_stop in callback")
+    return stop
+
+
+def plot_polynomial_consistency(
+    alphas, states, factory_statecollection, ax=None, verbose: bool = True
+):
+    """Plotter for :func:`check_polynomial_consistency` (reference
+    adaptive_interp.py:608-635): prints the pairwise segment p-values and
+    plots each segment model's bootstrap-mean prediction over the union of
+    the two segment ranges.  Returns ``(p_values, models_dict)``."""
+    import matplotlib.pyplot as plt
+
+    show = ax is None
+    if ax is None:
+        _, ax = plt.subplots()
+    alphas = np.asarray(alphas, dtype=float)
+
+    p_values, models_dict = check_polynomial_consistency(
+        states, factory_statecollection
+    )
+
+    hit = set()
+    for (key0, key1), p in p_values.items():
+        if verbose:
+            print(
+                "range0: {} range1: {} p01: {}".format(
+                    *(np.round(x, 3) for x in (key0, key1, p))
+                )
+            )
+        lb = min(k[0] for k in (key0, key1))
+        ub = max(k[1] for k in (key0, key1))
+        alphas_lim = alphas[(lb <= alphas) & (alphas <= ub)]
+        if len(alphas_lim) == 0:
+            continue
+        for key in (key0, key1):
+            if key not in hit:
+                pred = np.asarray(models_dict[key].predict(alphas_lim))
+                ax.plot(
+                    alphas_lim,
+                    pred.mean(axis=1).reshape(len(alphas_lim), -1),
+                    label=str(np.round(key, 3)),
+                )
+                hit.add(key)
+
+    ax.legend()
+    if show:
+        plt.show()
+    return p_values, models_dict
 
 
 def factory_state_idealgas(

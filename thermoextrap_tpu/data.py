@@ -495,6 +495,17 @@ class DataCentralMoments:
         ``val_ndim`` counts trailing value axes of the batch part; the
         u-moment slices must be constant along them (as any tensor built by
         a (co)moment reduction is) — they are read at val index 0.
+
+        Examples
+        --------
+        >>> import numpy as np
+        >>> d = DataCentralMoments.from_data(
+        ...     np.array([10.0, 2.0, 0.5, 0.1]), x_is_u=True, central=True
+        ... )  # [w, <u>, <du^2>, <du^3>] -> order 2
+        >>> d.order
+        2
+        >>> float(d.uave), [float(v) for v in d.du]
+        (2.0, [1.0, 0.0, 0.5])
         """
         import numpy as _np
 
@@ -734,7 +745,19 @@ def factory_data_values(
     meta=None,
     **_kws,
 ):
-    """Dispatch DataValues vs DataValuesCentral (reference data.py:659-730)."""
+    """Dispatch DataValues vs DataValuesCentral (reference data.py:659-730).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> uv = np.array([1.0, 2.0, 3.0, 4.0])
+    >>> xv = np.array([2.0, 4.0, 6.0, 8.0])
+    >>> d = factory_data_values(uv=uv, xv=xv, order=2, central=True)
+    >>> float(d.uave), float(d.xave)
+    (2.5, 5.0)
+    >>> [float(v) for v in d.du]  # du[0]=1, du[1]=0, du[2]=Var[u]
+    [1.0, 0.0, 1.25]
+    """
     cls = DataValuesCentral if central else DataValues
     return cls.from_vals(
         xv,

@@ -54,7 +54,16 @@ def _broadcast_terms(terms):
 
 
 def series_mul(a, b, order: int | None = None):
-    """Cauchy product ``c[n] = sum_k a[k] b[n-k]``, truncated at ``order``."""
+    """Cauchy product ``c[n] = sum_k a[k] b[n-k]``, truncated at ``order``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> a = jnp.array([1.0, 2.0])  # 1 + 2x
+    >>> b = jnp.array([1.0, 1.0, 1.0])  # 1 + x + x^2
+    >>> [float(c) for c in series_mul(a, b)]
+    [1.0, 3.0, 3.0, 2.0]
+    """
     ka, kb = a.shape[0] - 1, b.shape[0] - 1
     if order is None:
         order = ka + kb
@@ -69,7 +78,16 @@ def series_mul(a, b, order: int | None = None):
 
 
 def series_div(a, b, order: int | None = None):
-    """Series division ``c = a / b``: ``c[n] = (a[n] - sum_{k>=1} b[k] c[n-k]) / b[0]``."""
+    """Series division ``c = a / b``: ``c[n] = (a[n] - sum_{k>=1} b[k] c[n-k]) / b[0]``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> a = jnp.array([1.0, 3.0, 3.0, 2.0])  # (1 + 2x)(1 + x + x^2)
+    >>> b = jnp.array([1.0, 1.0, 1.0])
+    >>> [float(c) for c in series_div(a, b)]
+    [1.0, 2.0, 0.0, 0.0]
+    """
     if order is None:
         order = a.shape[0] - 1
     kb = b.shape[0] - 1

@@ -72,6 +72,16 @@ def make_extrap_pipeline(
     ``run(uv, xv, betas, seed=0)`` where ``uv (R,)``, ``xv (R, *val)``,
     ``betas (A,)`` → ``pred (A, *val)`` or ``(pred, std)`` with
     ``std (A, *val)``.  ``seed`` only matters when ``nrep > 0``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> run = make_extrap_pipeline(order=2, beta0=1.0)
+    >>> uv = np.array([1.0, 2.0, 3.0, 4.0])
+    >>> xv = np.array([[2.0], [4.0], [6.0], [8.0]])
+    >>> pred = run(uv, xv, np.array([1.0]))  # at beta0: <x>
+    >>> float(np.asarray(pred)[0, 0])
+    5.0
     """
     # backend decided when the pipeline is built: Pallas bootstrap kernels
     # only lower on an accelerator
