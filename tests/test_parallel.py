@@ -544,3 +544,104 @@ def test_bf16_reduce_accuracy(rng_np):
         assert abs(dx16[n] - dx32[n]) < 5.0 * bias_x + 3.0 * sigma_x + np.sqrt(
             q2_x
         ) * sigma_u, n
+
+
+def test_reduce_umoments_batched_sharded(mesh, rng_np):
+    """Batched sharded u-moment reduce == single-device two-pass, exactly."""
+    from thermoextrap_tpu.parallel import reduce_central_umoments_batched_sharded
+
+    order, nbatch, R = 5, 6, 2048
+    u = rng_np.normal(3.0, 1.0, (nbatch, R))
+    w = rng_np.uniform(0.5, 1.5, (nbatch, R))
+
+    # independent per-batch two-pass reference
+    ref_uave = (w * u).sum(-1) / w.sum(-1)
+    d = u - ref_uave[:, None]
+    ref_du = [np.ones(nbatch), np.zeros(nbatch)]
+    for n in range(2, order + 1):
+        ref_du.append((w * d**n).sum(-1) / w.sum(-1))
+    ref_du = np.stack(ref_du)
+
+    uave, du = reduce_central_umoments_batched_sharded(
+        jax.numpy.asarray(u), order, mesh, weight=jax.numpy.asarray(w)
+    )
+    np.testing.assert_allclose(np.asarray(uave), ref_uave, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(du), ref_du, rtol=1e-11, atol=1e-14)
+
+
+def test_resample_umoments_batched_sharded(mesh2d, rng_np):
+    """Batched sharded u-moment bootstrap == the XLA freq-table path."""
+    from thermoextrap_tpu.ops.resample import resample_central_umoments_batched
+    from thermoextrap_tpu.parallel import (
+        resample_central_umoments_batched_sharded,
+    )
+
+    order, nbatch, R, nrep = 4, 5, 1024, 8
+    u = rng_np.normal(2.0, 1.0, (nbatch, R))
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = freq_from_indices(idx, R)
+
+    ref_u, ref_du = resample_central_umoments_batched(u, freq, order)
+    got_u, got_du = resample_central_umoments_batched_sharded(
+        jax.numpy.asarray(u), freq, order, mesh2d
+    )
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(got_du), np.asarray(ref_du), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_resample_umoments_batched_xla(rng_np):
+    """Freq-table batched u-moment bootstrap == per-replicate direct
+    two-pass over explicitly materialized resampled values."""
+    from thermoextrap_tpu.ops.resample import resample_central_umoments_batched
+
+    order, nbatch, R, nrep = 4, 3, 256, 6
+    u = rng_np.normal(1.0, 2.0, (nbatch, R))
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = np.asarray(freq_from_indices(idx, R))
+
+    got_u, got_du = resample_central_umoments_batched(u, freq, order)
+    for p in range(nrep):
+        res = u[:, idx[p]]  # (nbatch, R) resampled values
+        ref_uave = res.mean(-1)
+        d = res - ref_uave[:, None]
+        np.testing.assert_allclose(np.asarray(got_u[p]), ref_uave, rtol=1e-10)
+        for n in range(2, order + 1):
+            np.testing.assert_allclose(
+                np.asarray(got_du[n, p]), (d**n).mean(-1), rtol=1e-8, atol=1e-12
+            )
+
+
+def test_poisson_umoments_batched_interpret(rng_np):
+    """Batched in-kernel Poisson u-moment bootstrap (interpret mode):
+    frequencies are shared across batch rows and statistically sane."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_umoments_batched_poisson,
+    )
+
+    order, nbatch, R, nrep = 4, 3, 1024, 64
+    base = rng_np.normal(2.0, 1.0, R)
+    # identical sample streams in every batch row: shared frequencies must
+    # then give IDENTICAL replicate moments across the batch axis
+    u = np.broadcast_to(base, (nbatch, R)).copy()
+    try:
+        uave, du = resample_central_umoments_batched_poisson(
+            u, nrep, order, seed=7, interpret=True
+        )
+    except Exception:
+        pytest.skip("Pallas PRNG unsupported in interpret mode on this host")
+    uave = np.asarray(uave)
+    du = np.asarray(du)
+    assert uave.shape == (nrep, nbatch)
+    assert du.shape == (order + 1, nrep, nbatch)
+    for b in range(1, nbatch):
+        np.testing.assert_allclose(uave[:, b], uave[:, 0], rtol=1e-6)
+        np.testing.assert_allclose(du[2:, :, b], du[2:, :, 0], rtol=1e-5)
+    # bootstrap means track the full-sample moments
+    np.testing.assert_allclose(uave[:, 0].mean(), base.mean(), atol=0.15)
+    np.testing.assert_allclose(
+        du[2, :, 0].mean(), base.var(), rtol=0.2
+    )
+    # replicate scatter is plausibly positive (not degenerate)
+    assert uave[:, 0].std() > 1e-4

@@ -179,3 +179,59 @@ def test_pipeline_is_differentiable(rng_np):
     g = jax.grad(lambda uu: run(uu, x, jnp.asarray([1.2])).sum())(u)
     assert g.shape == u.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_lnpi_pipeline_bootstrap_std(rng_np):
+    """nrep>0: CI from the shared-freq grid bootstrap; std positive, scales
+    like 1/sqrt(R), and the mean path is unchanged."""
+    order, beta0, n_grid, R = 3, 1.4, 5, 2000
+    uv = np.linspace(-1, 1, n_grid)[:, None] + rng_np.normal(
+        -10.0, 1.5, (n_grid, R)
+    )
+    lnpi0 = rng_np.normal(0.0, 1.0, n_grid)
+    mudotn = 0.7 * np.arange(n_grid, dtype=float)
+    betas = np.array([1.2, 1.6])
+
+    run0 = make_lnpi_pipeline(order, beta0)
+    run = make_lnpi_pipeline(order, beta0, nrep=64)
+    pred0 = np.asarray(run0(uv, lnpi0, mudotn, betas))
+    pred, std = run(uv, lnpi0, mudotn, betas, seed=1)
+    pred, std = np.asarray(pred), np.asarray(std)
+    np.testing.assert_allclose(pred, pred0, rtol=1e-12)
+    assert std.shape == pred.shape
+    assert np.all(std > 0)
+    # lnΠ at β0 has zero-variance coefficient 0 only; extrapolated points
+    # carry moment noise ~ 1/sqrt(R): crude magnitude sanity
+    assert np.all(std < 1.0)
+
+
+def test_lnpi_pipeline_sharded(rng_np):
+    """mesh= lnPi pipeline == unsharded freq-table path exactly (same seed
+    -> same freq table on both paths)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from thermoextrap_tpu.parallel import make_mesh
+
+    order, beta0, n_grid, R, nrep = 3, 1.4, 5, 1024, 16
+    uv = np.linspace(-1, 1, n_grid)[:, None] + rng_np.normal(
+        -10.0, 1.5, (n_grid, R)
+    )
+    lnpi0 = rng_np.normal(0.0, 1.0, n_grid)
+    mudotn = 0.7 * np.arange(n_grid, dtype=float)
+    betas = np.array([1.2, 1.6])
+
+    mesh = make_mesh(8, axis_names=("rep", "rec"))
+    run_m = make_lnpi_pipeline(order, beta0, nrep=nrep, mesh=mesh)
+    run_u = make_lnpi_pipeline(order, beta0, nrep=nrep)
+
+    uv_s = jax.device_put(
+        jnp.asarray(uv), NamedSharding(mesh, P(None, "rec"))
+    )
+    pm, sm = run_m(uv_s, lnpi0, mudotn, betas, seed=3)
+    pu, su = run_u(uv, lnpi0, mudotn, betas, seed=3)
+    np.testing.assert_allclose(np.asarray(pm), np.asarray(pu), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sm), np.asarray(su), rtol=1e-8)

@@ -60,6 +60,7 @@ __all__ = [
     "resample_central_comoments_fused",
     "resample_central_comoments_fused_ad",
     "resample_central_comoments_poisson",
+    "resample_central_umoments_batched_poisson",
 ]
 
 _LANES = 1024  # lane width of the packed sample rows
@@ -697,6 +698,154 @@ def resample_central_comoments_poisson(
 
     return _resample_epilogue(
         out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
+    )
+
+
+def _poisson_resample_u_batched_kernel(
+    su_ref, seed_ref, u_ref, *rest, order, use_w, n_real
+):
+    """Batched-grid Poisson bootstrap of u-moments.  Grid ``(b, i, j)`` =
+    (batch row, rep block, rec block).  The PRNG seed EXCLUDES the batch
+    id, so every batch row sees the IDENTICAL frequency tile: a bootstrap
+    replicate resamples whole configurations, which are joint across the
+    macrostate grid (reference lnpi resampling along ``rec``,
+    lnpi.py:258-286)."""
+    if use_w:
+        w_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0, 0], i * nj + j)  # batch-independent stream
+
+    rep_block = out_ref.shape[1]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    acc = jnp.zeros_like(out_ref[0])
+    for s in range(_SUBROWS):
+        du = u_ref[0, s : s + 1, :].astype(jnp.float32) - su_ref[b, 0]
+        base = (j * _SUBROWS + s) * _LANES
+        mask = (base + lane_ids < n_real).astype(du.dtype)
+        p0 = w_ref[0, s : s + 1, :] * mask if use_w else mask
+
+        prows = [p0]
+        for _ in range(order):
+            prows.append(prows[-1] * du)
+        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+
+        bits = pltpu.prng_random_bits((rep_block, _LANES))
+        bits = pltpu.bitcast(bits, jnp.uint32)
+        f = jnp.zeros((rep_block, _LANES), jnp.float32)
+        for cdf in _POISSON1_CDF:
+            thr = jnp.uint32(int(cdf * 4294967296.0))
+            f = f + (bits > thr).astype(jnp.float32)
+
+        acc += jax.lax.dot_general(
+            f, p, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[0] += acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
+)
+def resample_central_umoments_batched_poisson(
+    uv,
+    nrep: int,
+    order: int,
+    weight=None,
+    *,
+    seed: int = 0,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    r"""On-chip Poisson bootstrap of BATCHED central u-moments (the lnΠ
+    macrostate-grid uncertainty path): frequencies generated in-kernel
+    from the Pallas PRNG, shared across all batch rows, zero HBM traffic
+    for the ``(nrep, R)`` table.
+
+    ``uv (*batch, R)`` → ``(uave (nrep, *batch), du (order+1, nrep,
+    *batch))``, matching :func:`ops.resample.resample_central_umoments_batched`.
+    """
+    uv = jnp.asarray(uv, jnp.float32)
+    batch_shape = uv.shape[:-1]
+    r = uv.shape[-1]
+    u2 = uv.reshape(-1, r)
+    nbatch = u2.shape[0]
+
+    w2 = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), uv.shape).reshape(
+            -1, r
+        )
+    )
+
+    head = min(8192, r)
+    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
+    s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
+
+    chunk = _SUBROWS * _LANES
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb = rp // _LANES
+    pp = ((nrep + rep_block - 1) // rep_block) * rep_block
+
+    def packb(a):
+        if r == rp:
+            return a.reshape(nbatch, nb, _LANES)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb, _LANES)
+
+    operands = [
+        s_u.reshape(nbatch, 1),
+        jnp.full((1, 1), seed, dtype=jnp.int32),
+        packb(u2),
+    ]
+    in_specs = [
+        pl.BlockSpec((nbatch, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, _SUBROWS, _LANES), lambda b, i, j: (b, j, 0)),
+    ]
+    use_w = w2 is not None
+    if use_w:
+        operands.append(packb(w2))
+        in_specs.append(
+            pl.BlockSpec((1, _SUBROWS, _LANES), lambda b, i, j: (b, j, 0))
+        )
+
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _poisson_resample_u_batched_kernel,
+            order=order,
+            use_w=use_w,
+            n_real=r,
+        ),
+        grid=(nbatch, pp // rep_block, nb // _SUBROWS),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, rep_block, order + 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nbatch, pp, order + 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    sums = jnp.moveaxis(out[:, :nrep], 2, 0)  # (order+1, nbatch, nrep)
+    m = sums / sums[0]
+    uave_r = (m[1] + s_u[:, None]).T  # (nrep, nbatch)
+    du_r = shift_raw_moments(m, m[1])  # (order+1, nbatch, nrep)
+    du_r = jnp.swapaxes(du_r, 1, 2).at[0].set(1.0).at[1].set(0.0)
+    return (
+        uave_r.reshape((nrep, *batch_shape)),
+        du_r.reshape((order + 1, nrep, *batch_shape)),
     )
 
 

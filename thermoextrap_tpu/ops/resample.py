@@ -33,6 +33,7 @@ __all__ = [
     "random_freq",
     "random_indices",
     "resample_central_comoments",
+    "resample_central_umoments_batched",
     "resample_raw_comoments",
     "resample_values",
 ]
@@ -148,3 +149,43 @@ def resample_central_comoments(uv, xv, freq, order: int, weight=None):
     xave = xave_flat.reshape((freq.shape[0], *val_shape))
     dxdu = dxdu.reshape((order + 1, freq.shape[0], *val_shape))
     return xave, uave, du, dxdu
+
+
+def resample_central_umoments_batched(uv, freq, order: int, weight=None):
+    r"""Per-replicate batched central u-moments (lnΠ grid bootstrap).
+
+    ``uv (*batch, R)``; ``freq (nrep, R)`` SHARED across the batch axes —
+    a bootstrap replicate resamples whole configurations, which are joint
+    across the macrostate grid (reference lnpi resampling along ``rec``,
+    lnpi.py:258-286 / cmomy semantics).  Numerically stabilized like
+    :func:`resample_central_comoments`: shifted raw sums about the global
+    per-batch means, recentered exactly per replicate.
+
+    Returns ``(uave (nrep, *batch), du (order+1, nrep, *batch))`` with
+    ``du[0]=1, du[1]=0``.
+    """
+    uv = jnp.asarray(uv)
+    w = (
+        jnp.ones_like(uv)
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, uv.dtype), uv.shape)
+    )
+    f = jnp.asarray(freq).astype(uv.dtype)  # (nrep, R)
+
+    # global per-batch means as the common shift
+    wtot = w.sum(-1)
+    ubar = (w * uv).sum(-1) / wtot  # (*batch,)
+
+    du = uv - ubar[..., None]
+    p = w
+    rows = [jnp.einsum("pr,...r->p...", f, p)]
+    for _ in range(order):
+        p = p * du
+        rows.append(jnp.einsum("pr,...r->p...", f, p))
+    sums = jnp.stack(rows)  # (order+1, nrep, *batch)
+
+    m = sums / sums[0]
+    uave_r = m[1] + ubar[None]  # (nrep, *batch)
+    du_r = shift_raw_moments(m, m[1])
+    du_r = du_r.at[0].set(1.0).at[1].set(0.0)
+    return uave_r, du_r

@@ -25,7 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "reduce_central_comoments_sharded",
+    "reduce_central_umoments_batched_sharded",
     "resample_central_comoments_sharded",
+    "resample_central_umoments_batched_sharded",
     "shard_rec",
 ]
 
@@ -131,6 +133,129 @@ def reduce_central_comoments_sharded(
         du,
         dxdu.reshape((order + 1, *val_shape)),
     )
+
+
+def reduce_central_umoments_batched_sharded(
+    uv,
+    order: int,
+    mesh: Mesh,
+    weight=None,
+    axis_name: str = "rec",
+):
+    r"""Exact batched central u-moment reduction with the SAMPLE axis
+    sharded over ``mesh`` (the lnΠ macrostate-grid workload: ``uv
+    (*batch, R)`` with the grid in the batch axes, x_is_u so only
+    u-moments are needed — reference lnpi.py:372-438 data path).
+
+    Same contract as the Pallas
+    :func:`ops.moments_pallas.reduce_central_umoments_batched`:
+    ``(uave (*batch,), du (order+1, *batch))`` with ``du[0]=1, du[1]=0``.
+    Two psums of ``O(order * batch)`` numbers; bitwise-exact two-pass math.
+    """
+    uv = jnp.asarray(uv)
+    nb = uv.ndim - 1
+    w = (
+        jnp.ones_like(uv)
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, uv.dtype), uv.shape)
+    )
+    rec_spec = P(*([None] * nb), axis_name)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(rec_spec, rec_spec),
+        out_specs=(P(), P()),
+    )
+    def _reduce(u_l, w_l):
+        # pass 1: exact global per-batch means
+        wsum = jax.lax.psum(w_l.sum(-1), axis_name)
+        ubar = jax.lax.psum((w_l * u_l).sum(-1), axis_name) / wsum
+
+        # pass 2: centered partial sums about the exact global means
+        du = u_l - ubar[..., None]
+        p = w_l
+        rows = [p.sum(-1)]
+        for _ in range(order):
+            p = p * du
+            rows.append(p.sum(-1))
+        sums = jax.lax.psum(jnp.stack(rows), axis_name)  # (order+1, *batch)
+
+        du_n = sums / wsum
+        du_n = du_n.at[0].set(1.0).at[1].set(0.0)
+        return ubar, du_n
+
+    return _reduce(uv, w)
+
+
+def resample_central_umoments_batched_sharded(
+    uv,
+    freq,
+    order: int,
+    mesh: Mesh,
+    weight=None,
+    rec_axis: str = "rec",
+    rep_axis: str | None = "rep",
+):
+    r"""Sharded batched u-moment bootstrap for grid workloads.
+
+    ``uv (*batch, R)`` sharded over ``rec`` (last axis); ``freq (nrep, R)``
+    sharded over ``(rep, rec)`` and SHARED across the batch axes — each
+    bootstrap replicate resamples whole configurations, which are joint
+    across the macrostate grid (the reference resamples the lnΠ rec
+    dimension once for all macrostates, lnpi.py:258-286 / cmomy
+    resample-along-rec semantics).
+
+    Returns ``(uave (nrep, *batch), du (order+1, nrep, *batch))``.
+    """
+    uv = jnp.asarray(uv)
+    nb = uv.ndim - 1
+    nrep = freq.shape[0]
+    w = (
+        jnp.ones_like(uv)
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, uv.dtype), uv.shape)
+    )
+    fdtype = uv.dtype
+    rep_spec = rep_axis if rep_axis in mesh.axis_names else None
+    rec_spec = P(*([None] * nb), rec_axis)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(rec_spec, rec_spec, P(rep_spec, rec_axis)),
+        out_specs=(
+            P(rep_spec, *([None] * nb)),
+            P(None, rep_spec, *([None] * nb)),
+        ),
+    )
+    def _resample(u_l, w_l, f_l):
+        # global per-batch means as the common shift (exact, one psum)
+        wsum = jax.lax.psum(w_l.sum(-1), rec_axis)
+        ubar = jax.lax.psum((w_l * u_l).sum(-1), rec_axis) / wsum
+
+        du = u_l - ubar[..., None]  # (*batch, r_local)
+        f = f_l.astype(fdtype)  # (nrep_local, r_local)
+        p = w_l
+        rows = [jnp.einsum("pr,...r->p...", f, p)]
+        for _ in range(order):
+            p = p * du
+            rows.append(jnp.einsum("pr,...r->p...", f, p))
+        sums = jax.lax.psum(
+            jnp.stack(rows), rec_axis
+        )  # (order+1, nrep_local, *batch)
+
+        m = sums / sums[0]
+        uave_r = m[1] + ubar[None]  # (nrep_local, *batch)
+        from ..ops.convert import shift_raw_moments
+
+        du_r = shift_raw_moments(m, m[1])
+        du_r = du_r.at[0].set(1.0).at[1].set(0.0)
+        return uave_r, du_r
+
+    uave, du = _resample(uv, w, jnp.asarray(freq))
+    assert uave.shape[0] == nrep
+    return uave, du
 
 
 def resample_central_comoments_sharded(

@@ -178,9 +178,16 @@ def _u_central_moments_xla(uv, order: int):
     return uave, jnp.stack(rows)
 
 
-def make_lnpi_pipeline(order: int, beta0: float):
-    r"""Build a jitted ``run(uv, lnpi0, mudotn, betas)`` for macrostate-grid
-    lnΠ temperature extrapolation (reference lnpi.py:372-438 workflow).
+def make_lnpi_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    nrep: int = 0,
+    mesh=None,
+):
+    r"""Build a jitted ``run(uv, lnpi0, mudotn, betas, seed=0)`` for
+    macrostate-grid lnΠ temperature extrapolation (reference
+    lnpi.py:372-438 workflow).
 
     One dispatch covers the whole grid: the batched u-moment Pallas kernel
     reduces every macrostate's energy stream at once (``uv (*grid, R)``,
@@ -189,24 +196,92 @@ def make_lnpi_pipeline(order: int, beta0: float):
 
     ``lnpi0 (*grid,)`` is the reference-β distribution, ``mudotn (*grid,)``
     the per-macrostate ``μ·N`` coupling; returns ``(A, *grid)``.
+
+    Parameters
+    ----------
+    nrep : if > 0, also return the bootstrap standard deviation of the
+        extrapolated lnΠ — the same uncertainty path the flagship extrap
+        pipeline has (the reference resamples lnΠ data along ``rec``,
+        lnpi.py:258-286).  The frequency table is SHARED across the grid
+        (replicates resample whole configurations).  On an accelerator the
+        replicates come from the in-kernel Poisson bootstrap (no
+        ``(nrep, R)`` table in HBM); on CPU/mesh from the freq-table path.
+    mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis (and
+        optionally ``"rep"``): the grid reduction and bootstrap run
+        sharded over devices (``parallel/sharded.py`` batched variants);
+        shard ``uv`` on its LAST (rec) axis.
+
+    Returns ``(A, *grid)`` or ``(pred, std)`` with ``std (A, *grid)``.
     """
     if order < 1:
         msg = f"lnPi order must be >= 1, got {order}"
         raise ValueError(msg)
     on_accel = jax.default_backend() != "cpu"
 
+    def _coefs(uave, du, lnpi0, mudotn):
+        u_c = central_u_ave_coefs(uave, du, order - 1)
+        return lnpi_coefs(u_c, lnpi0, mudotn, order)
+
     @jax.jit
-    def run(uv, lnpi0, mudotn, betas):
+    def _run(uv, lnpi0, mudotn, betas, seed):
         uv = jnp.asarray(uv)
+        lnpi0 = jnp.asarray(lnpi0)
+        mudotn = jnp.asarray(mudotn)
         betas = jnp.atleast_1d(jnp.asarray(betas))
-        if on_accel:
+        dalpha = betas - beta0
+
+        if mesh is not None:
+            from .parallel import reduce_central_umoments_batched_sharded
+
+            uave, du = reduce_central_umoments_batched_sharded(uv, order, mesh)
+        elif on_accel:
             from .ops.moments_pallas import reduce_central_umoments_batched_ad
 
             uave, du = reduce_central_umoments_batched_ad(uv, None, order)
         else:
             uave, du = _u_central_moments_xla(uv, order)
-        u_c = central_u_ave_coefs(uave, du, order - 1)
-        c = lnpi_coefs(u_c, jnp.asarray(lnpi0), jnp.asarray(mudotn), order)
-        return _poly_eval(c, betas - beta0)
+        pred = _poly_eval(_coefs(uave, du, lnpi0, mudotn), dalpha)
+        if not nrep:
+            return pred
+
+        if mesh is not None:
+            from .ops.resample import freq_from_indices, random_indices
+            from .parallel import resample_central_umoments_batched_sharded
+
+            r = uv.shape[-1]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bu, bdu = resample_central_umoments_batched_sharded(
+                uv, freq, order, mesh
+            )
+        elif on_accel:
+            from .ops.moments_pallas import (
+                resample_central_umoments_batched_poisson,
+            )
+
+            bu, bdu = resample_central_umoments_batched_poisson(
+                uv, nrep, order, seed=seed
+            )
+        else:
+            from .ops.resample import (
+                freq_from_indices,
+                random_indices,
+                resample_central_umoments_batched,
+            )
+
+            r = uv.shape[-1]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bu, bdu = resample_central_umoments_batched(uv, freq, order)
+
+        # replicate axis rides as a leading batch axis of the coef engine
+        bpred = _poly_eval(_coefs(bu, bdu, lnpi0[None], mudotn[None]), dalpha)
+        std = bpred.std(axis=1)  # (A, *grid)
+        return pred, std
+
+    def run(uv, lnpi0, mudotn, betas, seed=0):
+        return _run(uv, lnpi0, mudotn, betas, seed)
 
     return run
