@@ -645,3 +645,44 @@ def test_poisson_umoments_batched_interpret(rng_np):
     )
     # replicate scatter is plausibly positive (not degenerate)
     assert uave[:, 0].std() > 1e-4
+
+
+def test_bf16_bootstrap_interpret(rng_np):
+    """bf16 sample streams through the freq-matmul bootstrap kernel
+    (interpret mode): replicate moments match the f32 kernel run on the
+    pre-quantized data exactly (accumulation is f32 either way), and match
+    the unquantized f32 path to bf16-quantization accuracy."""
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_comoments_fused,
+    )
+
+    order, R, nrep = 4, 1000, 6
+    u = rng_np.normal(3.0, 1.0, R).astype(np.float32)
+    x = rng_np.normal(1.0, 0.5, (R, 2)).astype(np.float32)
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = np.asarray(freq_from_indices(idx, R))
+
+    u16 = jnp.asarray(u).astype(jnp.bfloat16)
+    x16 = jnp.asarray(x).astype(jnp.bfloat16)
+    got = resample_central_comoments_fused(u16, x16, freq, order, interpret=True)
+    ref_q = resample_central_comoments_fused(
+        u16.astype(jnp.float32), x16.astype(jnp.float32), freq, order,
+        interpret=True,
+    )
+    for a, b in zip(got, ref_q):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+    ref = resample_central_comoments_fused(u, x, freq, order, interpret=True)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-2, atol=2e-2
+        )
+
+    # mixed dtypes must be rejected, not silently downcast
+    with pytest.raises(ValueError, match="mixed input dtypes"):
+        resample_central_comoments_fused(
+            u16, jnp.asarray(x), freq, order, interpret=True
+        )

@@ -4,17 +4,20 @@ These are the TPU-native replacements for cmomy's numba hot loops
 (SURVEY.md §2a; reference usage /root/reference/src/thermoextrap/data.py:
 485-536, 1285-1392, 1750-1813).  Design notes:
 
-**Layout.** On this TPU backend a 2D f32 array is tiled ``T(8,128)`` in HBM,
-so an ``(R, 1)`` column is physically padded 128x.  All kernel operands are
-therefore laid out dense: samples packed into rows of ``B`` lanes
-(``u -> (R/B, B)``) and the observable transposed to ``(V, R/B, B)``.
-``B`` is chosen from the divisors of ``R`` (1024/512/256/128) so the
-packing reshape is a pure **bitcast** — padding R up to a block multiple
-would force XLA to materialize a full padded copy of the input on every
-call, costing more HBM traffic than the reduction itself; only
-``R % 128 != 0`` falls back to a pad copy.  The grid takes a partial final
-block, masked with ``jnp.where`` (the overrun region is undefined memory;
-multiply-masking would propagate NaNs).
+**Layout.** On this TPU backend a 2D f32 array is tiled ``T(8,128)`` in
+HBM, so an ``(R, 1)`` column is physically padded 128x.  All kernel
+operands are therefore laid out dense: samples packed into rows of ``B``
+lanes (``u -> (R/B, B)``) and the observable transposed to
+``(V, R/B, B)``.  ``B = 128`` is the ONLY width for which the packing
+reshape is a true layout-preserving **bitcast**: an ``(8,128)`` tile
+covers 1024 consecutive elements exactly when each 8-row band holds one
+tile, while wider rows interleave tiles across the band and force XLA to
+materialize a full relayout copy of the input on every call (measured
+3.3x end-to-end cost at R~1e8 — HBM_ROOF.json; this replaced the round-2
+"divisors of R" packing).  ``R % 128 != 0`` falls back to a pad copy.
+The grid takes a partial final block, masked with ``jnp.where`` (the
+overrun region is undefined memory; multiply-masking would propagate
+NaNs).
 
 **Single-pass shifted reduction** (:func:`reduce_central_comoments_fused`):
 the XLA implementation (ops/moments.py) streams the data twice (means pass +
@@ -22,8 +25,10 @@ central pass).  Here one pass accumulates *shifted* raw moments about a
 cheap pre-estimated shift (mean of the first chunk), and an exact
 O(order^2) binomial recentering recovers central moments.  Central moments
 are shift-invariant, so the result is exact up to f32 accumulation roundoff
-while halving HBM traffic.  Per-lane partial sums accumulate in VMEM and the
-lane axis is reduced in a tiny XLA epilogue.
+while halving HBM traffic.  The accumulation is written as row-group FMA
+chains (see :func:`_reduce_kernel`) — ~20 single-issue VPU ops per sample
+for order 6 — and partial sums accumulate in VMEM with the lane axis
+reduced in a tiny XLA epilogue.
 
 **Bootstrap** (:func:`resample_central_comoments_fused`): per-replicate
 moments as ``freq @ per-sample-contributions`` with the contribution rows
@@ -63,7 +68,7 @@ __all__ = [
     "resample_central_umoments_batched_poisson",
 ]
 
-_LANES = 1024  # lane width of the packed sample rows
+_LANES = 128  # lane width of the packed sample rows (layout-preserving)
 
 
 def _pad_flat(a, n):
@@ -108,6 +113,18 @@ def _reduce_kernel(
     sums accumulate into per-(sublane, lane) tiles ``(order+1, 8, B)`` /
     ``(v*(order+1), 8, B)`` reduced by the XLA epilogue.
 
+    **FMA row-group formulation** (round-3 rewrite, 3.3x on-chip): the
+    block streams through in groups of 8 sublane rows with per-group
+    ``(8, B)`` accumulators, written so every x-comoment step is a single
+    multiply-add expression (``p * x + acc``) that Mosaic lowers to one
+    VPU FMA issue, and the trivial n=0 terms are free (the unweighted
+    count is a compile-time constant; ``p1 = du`` needs no multiply).
+    That cuts the issue count from ~29 to ~20 per sample for order 6/V=1
+    — the old ``mult -> tile-reduce`` form measured at exactly the VPU
+    issue rate (HBM_ROOF.json), so fewer issues is the whole speedup:
+    f32 27.6 -> 92 Gs/s (~83%% of the measured 890 GB/s read roof),
+    bf16 46.5 -> 115 Gs/s (then VPU-bound again at ~2.3 T issue/s).
+
     Inputs may be bfloat16 (upcast on load; accumulation always f32): the
     stream is HBM-bandwidth-sensitive and bf16 halves the traffic, while
     the quantization noise is statistically negligible against sampling
@@ -130,19 +147,70 @@ def _reduce_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    du = u_ref[:].astype(jnp.float32) - su_ref[0, 0]  # (rows, B)
-    xs = [
-        x_ref[k].astype(jnp.float32) - sx_ref[0, k] for k in range(v)
-    ]  # each (rows, B)
+    su = su_ref[0, 0]
+    sx = [sx_ref[0, k] for k in range(v)]
+    u = u_ref[:].astype(jnp.float32)
+    xs = [x_ref[k].astype(jnp.float32) for k in range(v)]
+    w = w_ref[:].astype(jnp.float32) if use_w else None
+    g_count = rows // 8
 
-    def body(p0, du, xs):
-        p = p0
-        for n in range(order + 1):
-            out_u_ref[n, :, :] += _tile_sum(p, rows)
+    def body(masked: bool):
+        acc_w = jnp.zeros((8, lanes), jnp.float32)
+        acc_u = [jnp.zeros((8, lanes), jnp.float32) for _ in range(order)]
+        acc_x = [
+            jnp.zeros((8, lanes), jnp.float32) for _ in range(v * (order + 1))
+        ]
+        for g in range(g_count):
+            sl = slice(g * 8, (g + 1) * 8)
+            du = u[sl] - su
+            xt = [xs[k][sl] - sx[k] for k in range(v)]
+            if masked:
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+                lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+                flat = (i * rows + g * 8 + row_ids) * lanes + lane_ids
+                mask = flat < n_real
+                zero = jnp.zeros_like(du)
+                du = jnp.where(mask, du, zero)
+                xt = [jnp.where(mask, xk, zero) for xk in xt]
+                wg = (
+                    jnp.where(mask, w[sl], zero)
+                    if use_w
+                    else mask.astype(jnp.float32)
+                )
+            else:
+                wg = w[sl] if use_w else None
+
+            if wg is None:
+                # unweighted full block: count is static, p1 = du is free
+                p = du
+            else:
+                acc_w = acc_w + wg
+                p = wg * du
             for k in range(v):
-                out_xu_ref[k * (order + 1) + n, :, :] += _tile_sum(p * xs[k], rows)
-            if n < order:
-                p = p * du
+                acc_x[k * (order + 1)] = (
+                    (xt[k] + acc_x[k * (order + 1)])
+                    if wg is None
+                    else (wg * xt[k] + acc_x[k * (order + 1)])
+                )
+            for n in range(1, order + 1):
+                acc_u[n - 1] = acc_u[n - 1] + p
+                for k in range(v):
+                    # single-issue VPU FMA
+                    acc_x[k * (order + 1) + n] = (
+                        p * xt[k] + acc_x[k * (order + 1) + n]
+                    )
+                if n < order:
+                    p = p * du
+        if use_w or masked:
+            out_u_ref[0, :, :] += acc_w
+        else:
+            out_u_ref[0, :, :] += jnp.full(
+                (8, lanes), float(g_count), jnp.float32
+            )
+        for n in range(1, order + 1):
+            out_u_ref[n, :, :] += acc_u[n - 1]
+        for j in range(v * (order + 1)):
+            out_xu_ref[j, :, :] += acc_x[j]
 
     last = pl.num_programs(0) - 1
     has_tail = n_real % (rows * lanes) != 0
@@ -151,22 +219,14 @@ def _reduce_kernel(
 
         @pl.when(i < last)
         def _():
-            body(w_ref[:] if use_w else jnp.ones_like(du), du, xs)
+            body(False)
 
         @pl.when(i == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-            flat = (i * rows + row_ids) * lanes + lane_ids
-            mask = flat < n_real
-            zero = jnp.zeros_like(du)
-            du_s = jnp.where(mask, du, zero)
-            xs_s = [jnp.where(mask, xk, zero) for xk in xs]
-            p0 = jnp.where(mask, w_ref[:] if use_w else jnp.ones_like(du), zero)
-            body(p0, du_s, xs_s)
+            body(True)
 
     else:
-        body(w_ref[:] if use_w else jnp.ones_like(du), du, xs)
+        body(False)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -176,14 +236,16 @@ def reduce_central_comoments_fused(
     order: int,
     weight=None,
     *,
-    block: int = 262144,
+    block: int = 131072,
     interpret: bool = False,
 ):
     r"""Fused single-pass central comoment reduction for the flat hot path.
 
     ``uv``: ``(R,)``; ``xv``: ``(R, *val)``; returns ``(xave, uave, du, dxdu)``
     with the contract of :func:`ops.moments.reduce_central_comoments`
-    (``batch=()``).  ``block`` = samples per grid step.
+    (``batch=()``).  ``block`` = samples per grid step (the default 128
+    rows x 1024 lanes per stream measured fastest on-chip — smaller
+    blocks pipeline the DMA better than the VMEM-limit-sized ones).
 
     bfloat16 inputs stream at half the HBM traffic (compute stays f32
     in-kernel); pass bf16 arrays to opt in.
@@ -209,17 +271,20 @@ def reduce_central_comoments_fused(
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8  # min sublane tile
-    # pick the lane width from the divisors of R so the (R,) -> (rows, lanes)
-    # reshape is a pure BITCAST — padding to a chunk multiple would force
-    # XLA to materialize a full padded copy of the input on every call
-    # (~3x the HBM traffic of the reduction itself at R=1e8)
-    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
-    # ``block`` is calibrated for the (u, x) V=1 pair (2 streams); scale the
-    # rows down as the stream count grows so the double-buffered VMEM
-    # footprint stays constant (V=4 with the default block would otherwise
-    # exceed the 16 MB scoped limit)
+    # 128 lanes is the ONLY row width for which (R,) -> (rows, lanes) is a
+    # true layout-preserving bitcast: an (8,128) HBM tile spans 1024
+    # CONSECUTIVE elements exactly when each 8-row band holds one tile.
+    # Wider rows (the round-2 1024/512/256 "divisor" packing) interleave
+    # tiles across the band, so XLA materializes a full relayout copy of
+    # both input streams on every call — measured 3.3x slower end to end
+    # (HBM_ROOF.json; 27 -> 92 Gs/s f32 at R~1e8 from this one change).
+    lanes = 128
+    # ``block`` = per-stream f32-equivalent elements per grid step; bf16
+    # streams double it (half the bytes).  Scale rows down as the stream
+    # count grows so the double-buffered VMEM footprint stays constant.
     streams = 1 + v + (1 if weight is not None else 0)
-    rows = max(2 * block // (lanes * streams), sub) // sub * sub
+    base = block * (2 if in_dtype == jnp.bfloat16 else 1)
+    rows = max(2 * base // (lanes * streams), sub) // sub * sub
     # clamp the block for small inputs so padding stays bounded
     rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
@@ -313,18 +378,31 @@ def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
 # ---------------------------------------------------------------------------
 
 
-_SUBROWS = 8  # sample rows handled per resample grid step
+_SUBROWS = 8  # sample rows per resample grid step at the legacy 1024-lane
+_REC_CHUNK = 8192  # samples per resample grid step (subrows * lanes)
 
 
 def _resample_kernel(
-    su_ref, sx_ref, f_ref, u_ref, x_ref, *rest, order, use_w, n_real, v, lanes
+    su_ref,
+    sx_ref,
+    f_ref,
+    u_ref,
+    x_ref,
+    *rest,
+    order,
+    use_w,
+    n_real,
+    v,
+    lanes,
+    subrows,
 ):
     """Freq blocks stream in their NATIVE int dtype (no host-side cast —
     casting the (nrep, R) table to f32 before the call would materialize a
     full copy costing more HBM traffic than the kernel itself); conversion
-    to f32 happens per block in VMEM.  Tail blocks use ``jnp.where`` masks
-    on every operand that may alias undefined memory (bitcast packing +
-    partial final grid blocks)."""
+    to f32 happens per block in VMEM.  Sample streams may be bfloat16
+    (upcast on load — half HBM traffic, accuracy-gated like the fused
+    reduce).  Tail blocks use ``jnp.where`` masks on every operand that may
+    alias undefined memory (bitcast packing + partial final grid blocks)."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -341,12 +419,16 @@ def _resample_kernel(
     def body(masked: bool):
         acc_u = jnp.zeros_like(out_u_ref)
         acc_xu = jnp.zeros_like(out_xu_ref)
-        for s in range(_SUBROWS):
-            du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
+        for s in range(subrows):
+            du = u_ref[s : s + 1, :].astype(jnp.float32) - su_ref[0, 0]  # (1, B)
             f = f_ref[:, s, :].astype(jnp.float32)  # (RB, B)
-            p0 = w_ref[s : s + 1, :] if use_w else jnp.ones_like(du)
+            p0 = (
+                w_ref[s : s + 1, :].astype(jnp.float32)
+                if use_w
+                else jnp.ones_like(du)
+            )
             if masked:
-                base = (j * _SUBROWS + s) * lanes
+                base = (j * subrows + s) * lanes
                 mask = base + lane_ids < n_real
                 zero = jnp.zeros_like(du)
                 du = jnp.where(mask, du, zero)
@@ -358,7 +440,10 @@ def _resample_kernel(
                 prows.append(prows[-1] * du)
             p = jnp.concatenate(prows, axis=0)  # (order+1, B)
 
-            xs = [x_ref[k, s : s + 1, :] - sx_ref[0, k] for k in range(v)]
+            xs = [
+                x_ref[k, s : s + 1, :].astype(jnp.float32) - sx_ref[0, k]
+                for k in range(v)
+            ]
             if masked:
                 xs = [jnp.where(mask, xk, zero) for xk in xs]
             crows = [p * xk for xk in xs]
@@ -378,7 +463,7 @@ def _resample_kernel(
         out_xu_ref[:] += acc_xu
 
     last = pl.num_programs(1) - 1
-    has_tail = n_real % (_SUBROWS * lanes) != 0
+    has_tail = n_real % (subrows * lanes) != 0
     if has_tail:
 
         @pl.when(j < last)
@@ -410,11 +495,16 @@ def resample_central_comoments_fused(
 
     Same contract as :func:`ops.resample.resample_central_comoments`:
     returns ``(xave (nrep, *val), uave (nrep,), du (order+1, nrep),
-    dxdu (order+1, nrep, *val))``.
+    dxdu (order+1, nrep, *val))``.  bfloat16 sample streams (both ``uv``
+    and ``xv``) halve their HBM traffic; the freq table streams in its
+    native int dtype either way.
     """
-    uv = jnp.asarray(uv, jnp.float32)
+    uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    in_dtype = _stream_dtype(uv, xv)
+    uv = uv.astype(in_dtype)
     val_shape = xv.shape[1:]
-    xv = jnp.asarray(xv, jnp.float32).reshape(uv.shape[0], -1)
+    xv = xv.astype(in_dtype).reshape(uv.shape[0], -1)
     r, v = xv.shape
     nrep = freq.shape[0]
 
@@ -429,14 +519,16 @@ def resample_central_comoments_fused(
     s_u = (w_head * uv[:head]).sum() / w_head.sum()
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
-    # zero-copy packing: lanes from the divisors of R so every stream
-    # (including the big (nrep, R) freq table, kept in its NATIVE int dtype)
-    # reshapes as a bitcast; partial final grid blocks in both the rep and
-    # the rec dimension are handled by output slicing / where-masked tails
-    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    # zero-copy packing at the layout-preserving 128-lane width (see the
+    # module docstring) so every stream — including the big (nrep, R) freq
+    # table, kept in its NATIVE int dtype — reshapes as a bitcast; partial
+    # final grid blocks in both the rep and the rec dimension are handled
+    # by output slicing / where-masked tails
+    lanes = _LANES
+    subrows = _REC_CHUNK // lanes
     nb = (r + lanes - 1) // lanes
     grid_i = (nrep + rep_block - 1) // rep_block
-    grid_j = (nb + _SUBROWS - 1) // _SUBROWS
+    grid_j = (nb + subrows - 1) // subrows
     rp = nb * lanes
     pp = grid_i * rep_block
 
@@ -475,14 +567,14 @@ def resample_central_comoments_fused(
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((rep_block, _SUBROWS, lanes), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((_SUBROWS, lanes), lambda i, j: (j, 0)),
-        pl.BlockSpec((v, _SUBROWS, lanes), lambda i, j: (0, j, 0)),
+        pl.BlockSpec((rep_block, subrows, lanes), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
     ]
     use_w = w_flat is not None
     if use_w:
         operands.append(pack1(w_flat))
-        in_specs.append(pl.BlockSpec((_SUBROWS, lanes), lambda i, j: (j, 0)))
+        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
@@ -492,6 +584,7 @@ def resample_central_comoments_fused(
             n_real=r,
             v=v,
             lanes=lanes,
+            subrows=subrows,
         ),
         grid=(grid_i, grid_j),
         in_specs=in_specs,
@@ -578,12 +671,14 @@ def _poisson_resample_kernel(
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
 
     rep_block = out_u_ref.shape[0]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lanes = u_ref.shape[-1]
+    subrows = u_ref.shape[0]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc_u = jnp.zeros_like(out_u_ref)
     acc_xu = jnp.zeros_like(out_xu_ref)
-    for s in range(_SUBROWS):
-        du = u_ref[s : s + 1, :] - su_ref[0, 0]  # (1, B)
-        base = (j * _SUBROWS + s) * _LANES
+    for s in range(subrows):
+        du = u_ref[s : s + 1, :].astype(jnp.float32) - su_ref[0, 0]  # (1, B)
+        base = (j * subrows + s) * lanes
         mask = (base + lane_ids < n_real).astype(du.dtype)
         p0 = w_ref[s : s + 1, :] * mask if use_w else mask
 
@@ -592,9 +687,9 @@ def _poisson_resample_kernel(
             prows.append(prows[-1] * du)
         p = jnp.concatenate(prows, axis=0)  # (order+1, B)
 
-        bits = pltpu.prng_random_bits((rep_block, _LANES))
+        bits = pltpu.prng_random_bits((rep_block, lanes))
         bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, _LANES), jnp.float32)
+        f = jnp.zeros((rep_block, lanes), jnp.float32)
         for cdf in _POISSON1_CDF:
             thr = jnp.uint32(int(cdf * 4294967296.0))
             f = f + (bits > thr).astype(jnp.float32)
@@ -603,7 +698,10 @@ def _poisson_resample_kernel(
             f, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        crows = [p * (x_ref[k, s : s + 1, :] - sx_ref[0, k]) for k in range(v)]
+        crows = [
+            p * (x_ref[k, s : s + 1, :].astype(jnp.float32) - sx_ref[0, k])
+            for k in range(v)
+        ]
         contrib = jnp.concatenate(crows, axis=0)
         acc_xu += jax.lax.dot_general(
             f, contrib, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -632,10 +730,15 @@ def resample_central_comoments_poisson(
     kernel.  Scales to huge ``R`` (the ``(nrep, R)`` table never exists).
 
     Same return contract as :func:`resample_central_comoments_fused`.
+    bfloat16 sample streams (both ``uv`` and ``xv``) halve HBM traffic —
+    and this kernel's only HBM traffic IS the sample stream.
     """
-    uv = jnp.asarray(uv, jnp.float32)
+    uv = jnp.asarray(uv)
+    xv = jnp.asarray(xv)
+    in_dtype = _stream_dtype(uv, xv)
+    uv = uv.astype(in_dtype)
     val_shape = xv.shape[1:]
-    xv = jnp.asarray(xv, jnp.float32).reshape(uv.shape[0], -1)
+    xv = xv.astype(in_dtype).reshape(uv.shape[0], -1)
     r, v = xv.shape
 
     w_flat = (
@@ -649,16 +752,18 @@ def resample_central_comoments_poisson(
     s_u = (w_head * uv[:head]).sum() / w_head.sum()
     s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
 
-    chunk = _SUBROWS * _LANES
+    lanes = _LANES
+    subrows = _REC_CHUNK // lanes
+    chunk = subrows * lanes
     rp = ((r + chunk - 1) // chunk) * chunk
-    nb = rp // _LANES
+    nb = rp // lanes
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     u_p = _pack(uv, nb)
     if v == 1:
         x_p = _pack(xv[:, 0], nb)[None]
     else:
-        x_p = jnp.pad(xv, ((0, nb * _LANES - r), (0, 0))).T.reshape(v, nb, _LANES)
+        x_p = jnp.pad(xv, ((0, nb * lanes - r), (0, 0))).T.reshape(v, nb, lanes)
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
@@ -671,19 +776,19 @@ def resample_central_comoments_poisson(
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)),
-        pl.BlockSpec((v, _SUBROWS, _LANES), lambda i, j: (0, j, 0)),
+        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
     ]
     use_w = w_flat is not None
     if use_w:
         operands.append(_pack(w_flat, nb))
-        in_specs.append(pl.BlockSpec((_SUBROWS, _LANES), lambda i, j: (j, 0)))
+        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
             _poisson_resample_kernel, order=order, use_w=use_w, n_real=r, v=v
         ),
-        grid=(pp // rep_block, nb // _SUBROWS),
+        grid=(pp // rep_block, nb // subrows),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((rep_block, order + 1), lambda i, j: (i, 0)),
@@ -726,11 +831,13 @@ def _poisson_resample_u_batched_kernel(
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)  # batch-independent stream
 
     rep_block = out_ref.shape[1]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    lanes = u_ref.shape[-1]
+    subrows = u_ref.shape[1]
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros_like(out_ref[0])
-    for s in range(_SUBROWS):
+    for s in range(subrows):
         du = u_ref[0, s : s + 1, :].astype(jnp.float32) - su_ref[b, 0]
-        base = (j * _SUBROWS + s) * _LANES
+        base = (j * subrows + s) * lanes
         mask = (base + lane_ids < n_real).astype(du.dtype)
         p0 = w_ref[0, s : s + 1, :] * mask if use_w else mask
 
@@ -739,9 +846,9 @@ def _poisson_resample_u_batched_kernel(
             prows.append(prows[-1] * du)
         p = jnp.concatenate(prows, axis=0)  # (order+1, B)
 
-        bits = pltpu.prng_random_bits((rep_block, _LANES))
+        bits = pltpu.prng_random_bits((rep_block, lanes))
         bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, _LANES), jnp.float32)
+        f = jnp.zeros((rep_block, lanes), jnp.float32)
         for cdf in _POISSON1_CDF:
             thr = jnp.uint32(int(cdf * 4294967296.0))
             f = f + (bits > thr).astype(jnp.float32)
@@ -775,7 +882,9 @@ def resample_central_umoments_batched_poisson(
     ``uv (*batch, R)`` → ``(uave (nrep, *batch), du (order+1, nrep,
     *batch))``, matching :func:`ops.resample.resample_central_umoments_batched`.
     """
-    uv = jnp.asarray(uv, jnp.float32)
+    uv = jnp.asarray(uv)
+    if uv.dtype != jnp.bfloat16:
+        uv = uv.astype(jnp.float32)  # bf16 opt-in streams at half traffic
     batch_shape = uv.shape[:-1]
     r = uv.shape[-1]
     u2 = uv.reshape(-1, r)
@@ -793,31 +902,33 @@ def resample_central_umoments_batched_poisson(
     w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
     s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
 
-    chunk = _SUBROWS * _LANES
+    lanes = _LANES
+    subrows = _REC_CHUNK // lanes
+    chunk = subrows * lanes
     rp = ((r + chunk - 1) // chunk) * chunk
-    nb = rp // _LANES
+    nb = rp // lanes
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     def packb(a):
         if r == rp:
-            return a.reshape(nbatch, nb, _LANES)  # bitcast, zero copy
-        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb, _LANES)
+            return a.reshape(nbatch, nb, lanes)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb, lanes)
 
     operands = [
-        s_u.reshape(nbatch, 1),
+        s_u.reshape(nbatch, 1).astype(jnp.float32),
         jnp.full((1, 1), seed, dtype=jnp.int32),
         packb(u2),
     ]
     in_specs = [
         pl.BlockSpec((nbatch, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, _SUBROWS, _LANES), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, subrows, lanes), lambda b, i, j: (b, j, 0)),
     ]
     use_w = w2 is not None
     if use_w:
         operands.append(packb(w2))
         in_specs.append(
-            pl.BlockSpec((1, _SUBROWS, _LANES), lambda b, i, j: (b, j, 0))
+            pl.BlockSpec((1, subrows, lanes), lambda b, i, j: (b, j, 0))
         )
 
     (out,) = pl.pallas_call(
@@ -827,7 +938,7 @@ def resample_central_umoments_batched_poisson(
             use_w=use_w,
             n_real=r,
         ),
-        grid=(nbatch, pp // rep_block, nb // _SUBROWS),
+        grid=(nbatch, pp // rep_block, nb // subrows),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, rep_block, order + 1), lambda b, i, j: (b, i, 0)),
@@ -933,10 +1044,11 @@ def reduce_central_umoments_batched(
     w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
     s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
 
-    # zero-copy (nbatch, R) -> (nbatch, rows, lanes) bitcast when a lane
-    # width divides R (see reduce_central_comoments_fused); pad fallback
-    # otherwise.  Partial final rec-block handled by the where-masked tail.
-    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    # zero-copy (nbatch, R) -> (nbatch, rows, 128) bitcast (128 lanes is
+    # the only layout-preserving width — see the module docstring); pad
+    # fallback only when R % 128 != 0.  Partial final rec-block handled by
+    # the where-masked tail.
+    lanes = _LANES
     rows = max(block // lanes, 8) // 8 * 8
     rows_needed = ((r + lanes - 1) // lanes + 7) // 8 * 8
     rows = min(rows, rows_needed)
@@ -1145,9 +1257,10 @@ def reduce_central_comoments_batched(
     s_x = (w_head[:, :, None] * x3[:, :head]).sum(1) / hsum[:, None]  # (nbatch, v)
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8
-    # zero-copy bitcast packing when a lane width divides R (v==1 x stream
-    # included); the v>1 x stream pays its transposed copy regardless
-    lanes = next((c for c in (1024, 512, 256, 128) if r % c == 0), _LANES)
+    # zero-copy bitcast packing at the layout-preserving 128-lane width
+    # (v==1 x stream included); the v>1 x stream pays its transposed copy
+    # regardless
+    lanes = _LANES
     rows = max(block // (lanes * max(v, 1)), sub) // sub * sub
     rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
