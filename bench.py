@@ -9,28 +9,33 @@ Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Methodology (all documented in the extras):
 
 - ``value`` is the **device throughput** of the bf16-input fused kernel,
-  measured by chaining K kernel invocations inside ONE jitted program
-  (``lax.optimization_barrier`` between calls prevents CSE) and
-  differencing two chain lengths: ``8 R / (t(K=12) - t(K=4))``.  This
-  removes the ~4-7 ms *fixed and noisy* remote-dispatch overhead of this
-  measurement tunnel (per-call HTTP round trip of the axon backend) with
-  ~25 ms deltas, far above timing noise — the earlier single-call marginal
-  method (ΔR/Δt) hit its resolution floor once the kernel dropped to ~2 ms
-  per 1e8 samples.  A production pipeline embeds the reduction inside one
-  jitted program, where the per-call cost does not exist.  Apparent
-  single-call rates at 1e8 are reported alongside (``apparent_*``) for
-  continuity with BENCH_r01.
+  measured by chaining K kernel invocations inside ONE jitted
+  ``lax.fori_loop`` (an ``optimization_barrier`` on the carried arrays
+  prevents CSE; the trip count is a traced argument so one compile serves
+  every K) and differencing two chain lengths: ``(K_HI-K_LO) R /
+  (t(K_HI) - t(K_LO))``.  This removes the ~4-7 ms *fixed and noisy*
+  remote-dispatch overhead of this measurement tunnel (per-call HTTP round
+  trip of the axon backend); the wide K spread (4 vs 20) keeps the
+  differenced interval (tens of ms) far above the tunnel timing noise.
+  A production pipeline embeds the reduction inside one jitted program,
+  where the per-call cost does not exist.  Apparent single-call rates at
+  1e8 are reported alongside (``apparent_*``) for continuity with
+  BENCH_r01.
 - bf16 inputs halve HBM traffic; the quantization effect on the moments is
   bounded well below (R<=1e7) or at (R=1e8) one sampling-noise sigma — see
   tests/test_parallel.py::test_bf16_reduce_accuracy and
-  benches/bench_accuracy_1e8.py for the measured gates.  The f32 marginal
-  rate is reported as ``device_f32_gsps``.
+  benches/bench_accuracy_1e8.py for the measured gates.  The f32 rate is
+  reported as ``device_f32_gsps``.
+- ``hbm_roof_gbps`` / ``pct_of_roof``: the chip's measured achievable
+  read bandwidth (pure-stream sum kernel, benches/bench_hbm_roof.py) and
+  the f32 kernel's fraction of it — the f32 kernel streams 8 B/sample, so
+  ``pct_of_roof = 8 * device_f32_gsps / roof``.  (bf16 streams 4 B/sample
+  and is VPU-bound, not bandwidth-bound, at its higher rate.)
 - ``vs_baseline``: this host has a SINGLE CPU core (nproc=1), so a measured
   multicore baseline is impossible here.  The baseline is the best of
   vectorized-numpy and torch single-core two-pass rates, projected to the
   reference's 64-core node assuming PERFECT linear scaling (maximally
   conservative: real scaling of a memory-bound reduction is sublinear).
-  ``baseline_single_core_gsps`` and the projection factor are in the extras.
 
 Timing: on the axon backend ``block_until_ready`` does not reliably wait;
 runs are synchronized by fetching a scalar.  Best-of-repeats filters the
@@ -39,15 +44,17 @@ runs are synchronized by fetching a scalar.  Best-of-repeats filters the
 
 from __future__ import annotations
 
+import functools
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
 ORDER = 6
-R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md)
+R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md); 1e8 % 128 == 0
 REPEATS = 4
-ITERS = 5
+K_LO, K_HI = 4, 20
 BASELINE_R = 20_000_000
 BASELINE_CORES = 64  # reference hardware (BASELINE.md row 1)
 
@@ -68,7 +75,7 @@ def numpy_two_pass(u, x, order):
 
 
 def torch_two_pass_rate(r):
-    """Single-core torch two-pass rate (Gs/s); None if torch is missing."""
+    """Single-core torch two-pass rate (samples/s); None if torch is missing."""
     try:
         import torch
     except Exception:  # pragma: no cover
@@ -120,25 +127,24 @@ def main() -> None:
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            for _ in range(ITERS):
-                out = fn()
+            out = fn()
             sync(out)
-            best = min(best, (time.perf_counter() - t0) / ITERS)
+            best = min(best, time.perf_counter() - t0)
         return best
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=("k",))
+    @jax.jit
     def _chain(u, x, k):
-        acc = 0.0
-        for _ in range(k):
-            u, x = jax.lax.optimization_barrier((u, x))
-            out = reduce_central_comoments_fused(u, x, ORDER)
-            acc = acc + out[2][2]
+        def body(_, carry):
+            acc, uu, xx = carry
+            uu, xx = jax.lax.optimization_barrier((uu, xx))
+            out = reduce_central_comoments_fused(uu, xx, ORDER)
+            return acc + out[2][2], uu, xx
+
+        acc, _, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), u, x))
         return acc
 
     def _chain_time(u, x, k):
-        float(_chain(u, x, k))  # compile + warm
+        float(_chain(u, x, k))  # warm (single compile; k is traced)
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
@@ -152,16 +158,16 @@ def main() -> None:
 
             t = best_time(lambda: reduce_central_comoments(u, x, ORDER))
             return r_full / t, r_full / t
-        t4 = _chain_time(u, x, 4)
-        t12 = _chain_time(u, x, 12)
+        t_lo = _chain_time(u, x, K_LO)
+        t_hi = _chain_time(u, x, K_HI)
         t_single = best_time(
             lambda: reduce_central_comoments_fused(u, x, ORDER)
         )
-        if t12 <= t4:
+        if t_hi <= t_lo:
             # degenerate timing (severe tunnel noise): report the apparent
             # rate rather than an absurd 1/epsilon headline
             return r_full / t_single, r_full / t_single
-        return 8 * r_full / (t12 - t4), r_full / t_single
+        return (K_HI - K_LO) * r_full / (t_hi - t_lo), r_full / t_single
 
     device_bf16, apparent_bf16 = measure(
         uv.astype(jnp.bfloat16), xv.astype(jnp.bfloat16)
@@ -184,6 +190,20 @@ def main() -> None:
         single_core = max(single_core, torch_rate)
     baseline_rate = single_core * BASELINE_CORES
 
+    extras = {}
+    roof_path = Path(__file__).parent / "HBM_ROOF.json"
+    if roof_path.exists():
+        try:
+            roof = json.loads(roof_path.read_text())
+            roof_gbps = roof.get("roof_sum_f32_gbps")
+            if roof_gbps:
+                extras["hbm_roof_gbps"] = roof_gbps
+                extras["pct_of_roof_f32"] = round(
+                    100 * 8 * device_f32 / 1e9 / roof_gbps, 1
+                )
+        except Exception:
+            pass
+
     print(
         json.dumps(
             {
@@ -196,11 +216,13 @@ def main() -> None:
                 "apparent_1e8_f32_gsps": round(apparent_f32 / 1e9, 4),
                 "baseline_single_core_gsps": round(single_core / 1e9, 4),
                 "baseline_projection_cores": BASELINE_CORES,
+                **extras,
                 "note": (
                     "value = bf16 device rate from K-chained in-jit "
                     "timing (removes fixed+noisy tunnel dispatch overhead); "
                     "baseline = measured single-core two-pass x64 cores "
-                    "assumed linear"
+                    "assumed linear; pct_of_roof_f32 = f32 stream rate / "
+                    "measured chip read bandwidth (bench_hbm_roof.py)"
                 ),
             }
         )

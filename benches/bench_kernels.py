@@ -73,6 +73,8 @@ def main() -> None:
         "batched_comoments_f32_B8_R1e7_V2", "batched_umoments_f32_B512_R1e6",
         "bootstrap_freq_matmul_R2p20_nrep256",
         "bootstrap_poisson_R1e7_nrep256", "bootstrap_poisson_R1e8_nrep256",
+        "bootstrap_poisson_R1e8_nrep256_bf16",
+        "bootstrap_poisson_batched_B64_R1e6_nrep256",
     }
     out: dict = {"metric": "pallas_kernel_suite_chip_rates", "order": order}
     if art.exists():
@@ -100,17 +102,21 @@ def main() -> None:
 
     if only in (None, "flat"):
 
-        @functools.partial(jax.jit, static_argnames=("k",))
+        @jax.jit
         def _chain(u, x, k):
-            acc = 0.0
-            for _ in range(k):
-                u, x = jax.lax.optimization_barrier((u, x))
-                o = reduce_central_comoments_fused(u, x, order)
-                acc = acc + o[2][2]
+            def body(_, carry):
+                acc, uu, xx = carry
+                uu, xx = jax.lax.optimization_barrier((uu, xx))
+                o = reduce_central_comoments_fused(uu, xx, order)
+                return acc + o[2][2], uu, xx
+
+            acc, _, _ = jax.lax.fori_loop(
+                0, k, body, (jnp.float32(0.0), u, x)
+            )
             return acc
 
         def _chain_time(u, x, k):
-            float(_chain(u, x, k))
+            float(_chain(u, x, k))  # single compile; k is traced
             best = float("inf")
             for _ in range(REPEATS):
                 t0 = time.perf_counter()
@@ -121,11 +127,11 @@ def main() -> None:
         def flat_rates(u, x):
             # K-chained in-jit device rate (bench.py methodology): per-call
             # timing hits the tunnel noise floor at these kernel times
-            t4, t12 = _chain_time(u, x, 4), _chain_time(u, x, 12)
+            t_lo, t_hi = _chain_time(u, x, 4), _chain_time(u, x, 20)
             tf = _best(
                 lambda: reduce_central_comoments_fused(u, x, order), sync_reduce
             )
-            return 8 * R / max(t12 - t4, 1e-9) / 1e9, R / tf / 1e9
+            return 16 * R / max(t_hi - t_lo, 1e-9) / 1e9, R / tf / 1e9
 
         m, a = flat_rates(uv, xv1)
         record(
@@ -206,6 +212,51 @@ def main() -> None:
                     "wallclock_s": round(t, 3),
                 },
             )
+
+        # bf16 sample stream (VERDICT r3: the Poisson kernel's only HBM
+        # traffic IS the sample stream — bf16 halves it; if the rate does
+        # not move the kernel is PRNG/compute-bound, which this entry
+        # documents either way)
+        up16 = jax.block_until_ready(uv.astype(jnp.bfloat16))
+        xp16 = jax.block_until_ready(
+            xv1.reshape(R, 1).astype(jnp.bfloat16)
+        )
+        t = _best(
+            lambda: resample_central_comoments_poisson(
+                up16, xp16, nrep, order, seed=1
+            ),
+            sync_reduce,
+        )
+        record(
+            "bootstrap_poisson_R1e8_nrep256_bf16",
+            {
+                "trep_samples_per_s": round(nrep * R / t / 1e12, 3),
+                "wallclock_s": round(t, 3),
+            },
+        )
+
+        # batched-grid Poisson bootstrap (the lnPi uncertainty path)
+        from thermoextrap_tpu.ops.moments_pallas import (
+            resample_central_umoments_batched_poisson,
+        )
+
+        Bg2, Rg2 = 64, 1_000_000
+        ug2 = -10.0 + 1.5 * jax.random.normal(
+            jax.random.key(5), (Bg2, Rg2), dtype=jnp.float32
+        )
+        t = _best(
+            lambda: resample_central_umoments_batched_poisson(
+                ug2, nrep, order, seed=2
+            ),
+            lambda o: float(o[1][2, 0, 0]),
+        )
+        record(
+            "bootstrap_poisson_batched_B64_R1e6_nrep256",
+            {
+                "trep_samples_per_s": round(nrep * Bg2 * Rg2 / t / 1e12, 3),
+                "wallclock_s": round(t, 3),
+            },
+        )
 
     print(json.dumps(out))
 

@@ -235,3 +235,15 @@ def test_lnpi_pipeline_sharded(rng_np):
     pu, su = run_u(uv, lnpi0, mudotn, betas, seed=3)
     np.testing.assert_allclose(np.asarray(pm), np.asarray(pu), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(sm), np.asarray(su), rtol=1e-8)
+
+
+def test_pipeline_bf16_flag_cpu_noop(rng_np):
+    """bf16=True is gated to accelerator backends: on CPU the pipeline
+    must compute identically to bf16=False (no silent bf16 XLA math)."""
+    order, beta0, R = 3, 1.0, 512
+    u = rng_np.normal(2.0, 0.5, R)
+    x = (1.0 + 0.3 * (u - 2.0))[:, None]
+    betas = np.array([1.1, 1.3])
+    p0 = np.asarray(make_extrap_pipeline(order, beta0)(u, x, betas))
+    p1 = np.asarray(make_extrap_pipeline(order, beta0, bf16=True)(u, x, betas))
+    np.testing.assert_array_equal(p0, p1)

@@ -42,12 +42,16 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
     flat = getattr(uv, "ndim", 1) == 1
     if _use_pallas():
         if flat:
-            # custom-VJP wrapper: autodiff flows through the fused kernel
+            # custom-VJP wrapper: autodiff flows through the fused kernel.
+            # Weights stay f32 even for bf16 sample streams — the kernel
+            # accumulates in f32 and a bf16 weight quantization would be a
+            # silent accuracy loss for no bandwidth win (weights are one
+            # stream of several).
             w = (
                 None
                 if weight is None
                 else jnp.broadcast_to(
-                    jnp.asarray(weight, jnp.asarray(uv).dtype), jnp.shape(uv)
+                    jnp.asarray(weight, jnp.float32), jnp.shape(uv)
                 )
             )
             return moments_pallas.reduce_central_comoments_fused_ad(

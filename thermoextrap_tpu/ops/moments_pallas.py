@@ -99,13 +99,6 @@ def _pack(a, rows_total):
 # ---------------------------------------------------------------------------
 
 
-def _tile_sum(a, rows):
-    """Sum (rows, lanes) -> (8, lanes) by elementwise tile-group adds —
-    avoids cross-sublane shuffle reductions (the sublane split reshape is a
-    free relayout; the sum lowers to rows/8 - 1 vector adds)."""
-    return jnp.sum(a.reshape(rows // 8, 8, a.shape[-1]), axis=0)
-
-
 def _reduce_kernel(
     su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v, lanes
 ):
@@ -969,6 +962,8 @@ def resample_central_umoments_batched_poisson(
 def _reduce_u_batched_kernel(
     su_ref, u_ref, *rest, order, use_w, rows, n_real, lanes
 ):
+    """Row-group FMA accumulation (same structure as :func:`_reduce_kernel`,
+    u-moments only) with per-batch shifts indexed from SMEM."""
     if use_w:
         w_ref, out_ref = rest
     else:
@@ -980,13 +975,48 @@ def _reduce_u_batched_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    du = u_ref[0].astype(jnp.float32) - su_ref[b, 0]  # (rows, B)
+    su = su_ref[b, 0]
+    u = u_ref[0].astype(jnp.float32)
+    w = w_ref[0].astype(jnp.float32) if use_w else None
+    g_count = rows // 8
 
-    def body(p, du):
-        for n in range(order + 1):
-            out_ref[0, n, :, :] += _tile_sum(p, rows)
-            if n < order:
-                p = p * du
+    def body(masked: bool):
+        acc_w = jnp.zeros((8, lanes), jnp.float32)
+        acc = [jnp.zeros((8, lanes), jnp.float32) for _ in range(order)]
+        for g in range(g_count):
+            sl = slice(g * 8, (g + 1) * 8)
+            du = u[sl] - su
+            if masked:
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+                lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+                flat = (j * rows + g * 8 + row_ids) * lanes + lane_ids
+                mask = flat < n_real
+                zero = jnp.zeros_like(du)
+                du = jnp.where(mask, du, zero)
+                wg = (
+                    jnp.where(mask, w[sl], zero)
+                    if use_w
+                    else mask.astype(jnp.float32)
+                )
+            else:
+                wg = w[sl] if use_w else None
+            if wg is None:
+                p = du
+            else:
+                acc_w = acc_w + wg
+                p = wg * du
+            for n in range(1, order + 1):
+                acc[n - 1] = acc[n - 1] + p
+                if n < order:
+                    p = p * du
+        if use_w or masked:
+            out_ref[0, 0, :, :] += acc_w
+        else:
+            out_ref[0, 0, :, :] += jnp.full(
+                (8, lanes), float(g_count), jnp.float32
+            )
+        for n in range(1, order + 1):
+            out_ref[0, n, :, :] += acc[n - 1]
 
     last = pl.num_programs(1) - 1
     has_tail = n_real % (rows * lanes) != 0
@@ -994,20 +1024,14 @@ def _reduce_u_batched_kernel(
 
         @pl.when(j < last)
         def _():
-            body(w_ref[0] if use_w else jnp.ones_like(du), du)
+            body(False)
 
         @pl.when(j == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-            flat = (j * rows + row_ids) * lanes + lane_ids
-            mask = flat < n_real
-            zero = jnp.zeros_like(du)
-            p0 = jnp.where(mask, w_ref[0] if use_w else jnp.ones_like(du), zero)
-            body(p0, jnp.where(mask, du, zero))
+            body(True)
 
     else:
-        body(w_ref[0] if use_w else jnp.ones_like(du), du)
+        body(False)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
@@ -1155,8 +1179,8 @@ def _reduce_co_batched_kernel(
 ):
     """Per grid step ``(b, j)``: u block ``(1, rows, B)``, x block
     ``(1, v, rows, B)``; per-batch shifts indexed from SMEM by the batch
-    program id.  Accumulation mirrors :func:`_reduce_kernel` (shifted raw
-    sums into per-(sublane, lane) tiles), one output tile row per batch."""
+    program id.  Row-group FMA accumulation mirroring
+    :func:`_reduce_kernel`, one output tile row per batch."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -1169,19 +1193,67 @@ def _reduce_co_batched_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    du = u_ref[0].astype(jnp.float32) - su_ref[b, 0]  # (rows, B)
-    xs = [x_ref[0, k].astype(jnp.float32) - sx_ref[b, k] for k in range(v)]
+    su = su_ref[b, 0]
+    sx = [sx_ref[b, k] for k in range(v)]
+    u = u_ref[0].astype(jnp.float32)
+    xs = [x_ref[0, k].astype(jnp.float32) for k in range(v)]
+    w = w_ref[0].astype(jnp.float32) if use_w else None
+    g_count = rows // 8
 
-    def body(p0, du, xs):
-        p = p0
-        for n in range(order + 1):
-            out_u_ref[0, n, :, :] += _tile_sum(p, rows)
-            for k in range(v):
-                out_xu_ref[0, k * (order + 1) + n, :, :] += _tile_sum(
-                    p * xs[k], rows
+    def body(masked: bool):
+        acc_w = jnp.zeros((8, lanes), jnp.float32)
+        acc_u = [jnp.zeros((8, lanes), jnp.float32) for _ in range(order)]
+        acc_x = [
+            jnp.zeros((8, lanes), jnp.float32) for _ in range(v * (order + 1))
+        ]
+        for g in range(g_count):
+            sl = slice(g * 8, (g + 1) * 8)
+            du = u[sl] - su
+            xt = [xs[k][sl] - sx[k] for k in range(v)]
+            if masked:
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 0)
+                lane_ids = jax.lax.broadcasted_iota(jnp.int32, (8, lanes), 1)
+                flat = (j * rows + g * 8 + row_ids) * lanes + lane_ids
+                mask = flat < n_real
+                zero = jnp.zeros_like(du)
+                du = jnp.where(mask, du, zero)
+                xt = [jnp.where(mask, xk, zero) for xk in xt]
+                wg = (
+                    jnp.where(mask, w[sl], zero)
+                    if use_w
+                    else mask.astype(jnp.float32)
                 )
-            if n < order:
-                p = p * du
+            else:
+                wg = w[sl] if use_w else None
+            if wg is None:
+                p = du
+            else:
+                acc_w = acc_w + wg
+                p = wg * du
+            for k in range(v):
+                acc_x[k * (order + 1)] = (
+                    (xt[k] + acc_x[k * (order + 1)])
+                    if wg is None
+                    else (wg * xt[k] + acc_x[k * (order + 1)])
+                )
+            for n in range(1, order + 1):
+                acc_u[n - 1] = acc_u[n - 1] + p
+                for k in range(v):
+                    acc_x[k * (order + 1) + n] = (
+                        p * xt[k] + acc_x[k * (order + 1) + n]
+                    )
+                if n < order:
+                    p = p * du
+        if use_w or masked:
+            out_u_ref[0, 0, :, :] += acc_w
+        else:
+            out_u_ref[0, 0, :, :] += jnp.full(
+                (8, lanes), float(g_count), jnp.float32
+            )
+        for n in range(1, order + 1):
+            out_u_ref[0, n, :, :] += acc_u[n - 1]
+        for jj in range(v * (order + 1)):
+            out_xu_ref[0, jj, :, :] += acc_x[jj]
 
     last = pl.num_programs(1) - 1
     has_tail = n_real % (rows * lanes) != 0
@@ -1189,22 +1261,14 @@ def _reduce_co_batched_kernel(
 
         @pl.when(j < last)
         def _():
-            body(w_ref[0] if use_w else jnp.ones_like(du), du, xs)
+            body(False)
 
         @pl.when(j == last)
         def _():
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-            lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-            flat = (j * rows + row_ids) * lanes + lane_ids
-            mask = flat < n_real
-            zero = jnp.zeros_like(du)
-            du_s = jnp.where(mask, du, zero)
-            xs_s = [jnp.where(mask, xk, zero) for xk in xs]
-            p0 = jnp.where(mask, w_ref[0] if use_w else jnp.ones_like(du), zero)
-            body(p0, du_s, xs_s)
+            body(True)
 
     else:
-        body(w_ref[0] if use_w else jnp.ones_like(du), du, xs)
+        body(False)
 
 
 @functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))

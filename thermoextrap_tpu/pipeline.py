@@ -43,6 +43,7 @@ def make_extrap_pipeline(
     nrep: int = 0,
     mesh=None,
     weighted: bool = False,
+    bf16: bool = False,
 ):
     r"""Build a jitted ``run(uv, xv, betas, seed=0)`` for β extrapolation of
     ``<x>`` (the flagship observable, reference beta.py:277-301).
@@ -66,6 +67,12 @@ def make_extrap_pipeline(
         final positional argument: ``run(uv, xv, betas, weight, seed=0)``
         (e.g. reweighting factors from a biased simulation, the
         ``DataWrapper.get_logweights`` role).
+    bf16 : stream the samples through the kernels as bfloat16 (half the
+        HBM traffic; in-kernel accumulation stays f32).  Only applied on
+        an accelerator backend without a mesh — the CPU/mesh XLA paths
+        would *compute* in bf16, which is not accuracy-gated.  The
+        quantization effect on the moments is bounded by the delta-method
+        gates (ACCURACY_1e8.json / ACCURACY_BOOTSTRAP_1E8.json).
 
     Returns
     -------
@@ -91,10 +98,15 @@ def make_extrap_pipeline(
         c = central_x_ave_coefs(xave, du, dxdu, order)
         return series_neg_log(c) if minus_log else c
 
+    use_bf16 = bf16 and on_accel and mesh is None
+
     @jax.jit
     def _run(uv, xv, betas, weight, seed):
         uv = jnp.asarray(uv)
         xv = jnp.asarray(xv)
+        if use_bf16:
+            uv = uv.astype(jnp.bfloat16)
+            xv = xv.astype(jnp.bfloat16)
         val_shape = xv.shape[1:]
         xflat = xv.reshape(uv.shape[0], -1)
         betas = jnp.atleast_1d(jnp.asarray(betas))
