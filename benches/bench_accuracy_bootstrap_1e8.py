@@ -12,8 +12,11 @@ against f64 at this scale by bench_accuracy_1e8.py):
 - **bf16 quantization gate**: bf16 and f32 kernels run with the SAME seed
   → IDENTICAL in-kernel frequencies, so the per-replicate difference is
   pure input quantization + accumulation, gated by the delta-method bias
-  bound ``5 * [C(n,2) |du_{n-2}| E[q_u^2] (+cross term for dxdu)] +
-  5e-4 * scale`` with no sampling-noise slack needed.
+  bound ``5 * E[f^2] * [C(n,2) |du_{n-2}| E[q_u^2] (+cross term for
+  dxdu)] + 2e-3 * sigma^n`` — the additive term covers the difference of
+  the two kernels' independent f32 roundoff paths and stays below one
+  sampling sigma of every gated estimator at this R; no sampling-noise
+  slack is needed because the frequencies are identical.
 - The freq-matmul kernel gets the same same-freq bf16-vs-f32 gate with a
   device-generated Poisson frequency table (nrep kept small: the table is
   ``nrep x 1e8`` int32 in HBM).
@@ -34,7 +37,11 @@ R = 100_000_000
 ORDER = 6
 NREP_POISSON = 64
 NREP_FREQ = 2
-ACC_TOL = 5e-4  # f32 single-pass accumulation allowance (on sigma^n scale)
+# f32 accumulation allowance on the sigma^n scale: the bf16-vs-f32 delta
+# includes the DIFFERENCE of two independent f32 single-pass roundoff
+# paths (each ~1e-4..1e-3 relative on high moments); 2e-3 sigma^n stays
+# below one sampling sigma of every gated estimator at R=1e8
+ACC_TOL = 2e-3
 
 
 def gen(jnp, jrandom, r):
@@ -107,13 +114,17 @@ def main() -> None:
             stat_gate = 5.0 * du32[n].std() / math.sqrt(nrep) + ACC_TOL * scale
             # same-freq bf16 quantization gate (per replicate, max)
             q_err_u = np.abs(du16[n] - du32[n]).max()
+            # the replicate weights the quantized samples by f with
+            # E[f^2] = 2 (Poisson(1)), so the per-replicate quantization
+            # second moment is up to ~2x the unweighted one
             q_gate_u = (
-                5.0 * math.comb(n, 2) * abs(du_full[n - 2]) * q2_u
+                5.0 * 2.0 * math.comb(n, 2) * abs(du_full[n - 2]) * q2_u
                 + ACC_TOL * scale
             )
             q_err_x = np.abs(dx16[n] - dx32[n]).max()
             q_gate_x = (
                 5.0
+                * 2.0
                 * (
                     math.comb(n, 2) * abs(dx_full[n - 2]) * q2_u
                     + n * abs(du_full[n - 1]) * math.sqrt(q2_x * q2_u)
