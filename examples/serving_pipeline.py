@@ -57,6 +57,19 @@ def main() -> None:
     err = np.abs(np.asarray(pred) - exact)
     assert err[2] < 1e-3, "beta0 prediction must match the sample mean"
 
+    # bf16 sample streams: half the HBM traffic per serving call (only
+    # engages on an accelerator; accuracy gated in ACCURACY_1e8.json)
+    run16 = make_extrap_pipeline(order, beta0, nrep=nrep, bf16=True)
+    p16, _s16 = run16(u, x, betas, seed=0)
+    float(p16[0])
+    t0 = time.perf_counter()
+    p16, _s16 = run16(u, x, betas, seed=1)
+    float(p16[0])
+    dt16 = time.perf_counter() - t0
+    print(f"  bf16 streams: {dt16 * 1e3:.1f} ms; max |bf16 - f32| = "
+          f"{np.max(np.abs(np.asarray(p16) - np.asarray(pred))):.1e}")
+    assert np.max(np.abs(np.asarray(p16) - np.asarray(pred))) < 5e-2
+
     # lnPi macrostate grid in one dispatch
     n_grid, r = (16, 5_000) if SMOKE else (512, 1_000_000)
     kg = jax.random.key(7)
@@ -79,6 +92,22 @@ def main() -> None:
     )
     print(f"one-dispatch lnPi grid ({n_grid} macrostates x {r:.0e} samples): "
           f"{dt * 1e3:.1f} ms")
+
+    # ... with a bootstrap CI over the whole grid (shared-frequency
+    # replicates: on accelerator the batched in-kernel Poisson bootstrap,
+    # zero HBM for the table)
+    nrep_g = 16 if SMOKE else 64
+    run_lnpi_ci = make_lnpi_pipeline(3, 1.4, nrep=nrep_g)
+    gp, gs = run_lnpi_ci(uvg, lnpi0, mudotn, jnp.asarray([1.2, 1.6]), seed=2)
+    float(gp[0, 0])
+    t0 = time.perf_counter()
+    gp, gs = run_lnpi_ci(uvg, lnpi0, mudotn, jnp.asarray([1.2, 1.6]), seed=3)
+    float(gp[0, 0])
+    dt = time.perf_counter() - t0
+    gs = np.asarray(gs)
+    assert gs.shape == (2, n_grid) and np.all(gs >= 0)
+    print(f"  + grid bootstrap CI ({nrep_g} reps): {dt * 1e3:.1f} ms; "
+          f"median std {np.median(gs):.2e}")
 
 
 if __name__ == "__main__":
