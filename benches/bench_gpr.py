@@ -45,6 +45,15 @@ def _stage(states):
 
 
 def main() -> None:
+    # --cache DIR: enable the persistent compilation cache (measured 81x
+    # on cold staging through the axon compile service, COMPILE_CACHE.json)
+    if "--cache" in sys.argv:
+        from thermoextrap_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(sys.argv[sys.argv.index("--cache") + 1])
+
     from thermoextrap_tpu.gpr_active import active_utils as au
     from thermoextrap_tpu.gpr_active.ig_active import extrap_IG
 

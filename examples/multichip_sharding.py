@@ -54,6 +54,29 @@ def main() -> None:
         print("bootstrap du[2] mean over reps:", jnp.mean(du[2]))
         print("bootstrap xave std over reps:", jnp.std(xave, axis=0))
 
+        # lnPi-style macrostate grid: batched u-moment reduce + shared-freq
+        # grid bootstrap, both sharded on the sample axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from thermoextrap_tpu.parallel import (
+            reduce_central_umoments_batched_sharded,
+            resample_central_umoments_batched_sharded,
+        )
+
+        n_grid = 6
+        uvg = jnp.linspace(-1, 1, n_grid)[:, None] + jax.random.normal(
+            k3, (n_grid, r)
+        )
+        uvg = jax.device_put(uvg, NamedSharding(mesh2, P(None, "rec")))
+        uave_g, du_g = reduce_central_umoments_batched_sharded(
+            uvg, order, mesh2
+        )
+        bu_g, _bdu_g = resample_central_umoments_batched_sharded(
+            uvg, freq, order, mesh2
+        )
+        print("grid reduce uave:", uave_g[:3])
+        print("grid bootstrap SEM:", jnp.std(bu_g, axis=0)[:3])
+
 
 if __name__ == "__main__":
     main()

@@ -111,3 +111,32 @@ def test_n_indexed_order_overflow_raises(rng_np):
         beta_xpan.factory_extrapmodel(1.0, d_x, name="xun_ave", n=1)
     m2 = beta_xpan.factory_extrapmodel(1.0, d_x, name="xun_ave", n=1, order=3)
     assert np.isfinite(np.asarray(m2.derivs())).all()
+
+
+def test_compilation_cache_roundtrip(tmp_path):
+    """enable_compilation_cache writes reusable entries (CPU backend;
+    the axon-backend speedup is recorded in COMPILE_CACHE.json)."""
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.utils.compile_cache import enable_compilation_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_secs = jax.config.jax_persistent_cache_min_compile_time_secs
+    prev_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        cache = enable_compilation_cache(tmp_path / "xla")
+        assert cache.is_dir()
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+        @jax.jit
+        def f(a):
+            return (a * 2.0 + jnp.sin(a)).sum()
+
+        float(f(jnp.arange(1024.0)))
+        assert any(cache.iterdir()), "no cache entries written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", prev_size)
