@@ -260,7 +260,28 @@ class ExtrapWeightedModel(StateCollection, _PiecewiseMixin):
 class InterpModel(StateCollection):
     """Joint polynomial through all states (reference models.py:853-932):
     solve the (porder+1)^2 derivative-matching system with
-    ``jnp.linalg.solve`` (vs explicit ``np.linalg.inv`` in the reference)."""
+    ``jnp.linalg.solve`` (vs explicit ``np.linalg.inv`` in the reference).
+
+    Examples
+    --------
+    Two order-1 states recover a cubic observable exactly (the joint
+    polynomial matches values and slopes at both ends):
+
+    >>> import numpy as np
+    >>> from types import SimpleNamespace
+    >>> from thermoextrap_tpu.models.derivatives import Derivatives
+    >>> f = lambda a: a**3 - 2 * a  # noqa: E731
+    >>> df = lambda a: 3 * a**2 - 2  # noqa: E731
+    >>> def make_state(alpha):
+    ...     d = Derivatives.from_funcs(
+    ...         [lambda a=alpha: np.float64(f(a)), lambda a=alpha: np.float64(df(a))]
+    ...     )
+    ...     data = SimpleNamespace(derivs_args=(), order=1)
+    ...     return ExtrapModel(alpha0=alpha, data=data, derivatives=d, order=1)
+    >>> m = InterpModel([make_state(0.0), make_state(2.0)])
+    >>> round(float(np.asarray(m.predict(1.0))), 10)  # 1 - 2 = -1
+    -1.0
+    """
 
     def coefs(self, order=None, minus_log=None):
         if order is None:

@@ -86,6 +86,20 @@ def statistical_inefficiency(x, mintime: int = 3):
     FFT-based autocorrelation with positive-sequence truncation — jax
     replacement for ``pymbar.timeseries.statistical_inefficiency``
     (used at /root/reference/src/thermoextrap/gpr_active/active_utils.py:244-266).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> rng = np.random.default_rng(0)
+    >>> white = rng.normal(size=4000)
+    >>> float(statistical_inefficiency(white)) < 1.3  # iid data: g ~ 1
+    True
+    >>> ar = np.empty(4000)  # AR(1), rho=0.9: g ~ (1+rho)/(1-rho) = 19
+    >>> ar[0] = 0.0
+    >>> for t in range(1, 4000):
+    ...     ar[t] = 0.9 * ar[t - 1] + rng.normal()
+    >>> 8.0 < float(statistical_inefficiency(ar)) < 40.0
+    True
     """
     x = jnp.asarray(x, dtype=jnp.result_type(x, jnp.float32))
     n = x.shape[0]
