@@ -15,7 +15,7 @@ Methodology (all documented in the extras):
   every K) and differencing two chain lengths: ``(K_HI-K_LO) R /
   (t(K_HI) - t(K_LO))``.  This removes the ~4-7 ms *fixed and noisy*
   remote-dispatch overhead of this measurement tunnel (per-call HTTP round
-  trip of the axon backend); the wide K spread (4 vs 20) keeps the
+  trip of the axon backend); the wide K spread (8 vs 48) keeps the
   differenced interval (tens of ms) far above the tunnel timing noise.
   A production pipeline embeds the reduction inside one jitted program,
   where the per-call cost does not exist.  Apparent single-call rates at
@@ -54,7 +54,7 @@ import numpy as np
 ORDER = 6
 R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md); 1e8 % 128 == 0
 REPEATS = 4
-K_LO, K_HI = 4, 20
+K_LO, K_HI = 8, 48
 BASELINE_R = 20_000_000
 BASELINE_CORES = 64  # reference hardware (BASELINE.md row 1)
 
