@@ -7,10 +7,14 @@ reports the fused order-6 reduction as a percentage of that measured roof
 Methodology: every workload is chained K times inside ONE jitted
 ``lax.fori_loop`` (an ``optimization_barrier`` on the carried array
 prevents CSE; the trip count is a traced argument so a single compile
-serves every K).  Device time per iteration = ``(t(K=12) - t(K=4)) / 8``,
+serves every K).  Device time per iteration = ``(t(K=128) - t(K=8)) / 120``,
 which cancels the fixed axon-tunnel dispatch overhead (bench.py
-methodology).  Sync by scalar fetch (block_until_ready is unreliable on
-this backend).
+methodology).  The spread is deliberately huge for the trivial kernels:
+a 400 MB read at ~900 GB/s is only ~0.45 ms/iter, so 120 differenced
+iterations puts the interval at ~55 ms — comfortably above the ~20 ms
+floor below which tunnel-noise min-differencing has produced 2-4x
+inflated rates (CLAUDE.md round-3 notes).  Sync by scalar fetch
+(block_until_ready is unreliable on this backend).
 
 Workloads:
 
@@ -20,9 +24,9 @@ Workloads:
 - ``copy``: Pallas block copy (read + write, 8 B per element at f32).
 - ``xla_sum``: jnp.sum for an XLA-scheduled comparison point.
 - ``fused``: the production order-6 fused comoment reduction (u + x
-  streams: 8 B/sample f32, 4 B/sample bf16), at lanes=1024 (R % 1024 == 0)
-  and at lanes=256 (the R=1e8 bitcast-packing case) to isolate the lane
-  width effect.
+  streams: 8 B/sample f32, 4 B/sample bf16) on the 128-lane bitcast path
+  (R % 128 == 0), plus a pad-fallback variant (R % 128 != 0) that
+  measures the cost of the full relayout copy.
 
 Writes HBM_ROOF.json and prints one JSON line.
 
@@ -42,7 +46,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 R = 100_663_296  # 96 * 2^20: divisible by 1024 -> all packings are bitcasts
 REPEATS = 3
-K_LO, K_HI = 4, 12
+K_LO, K_HI = 8, 128
 
 
 def main() -> None:
@@ -232,14 +236,14 @@ def main() -> None:
         if roof:
             results[f"fused_{bname}_pct_of_roof"] = round(100 * gbps / roof, 1)
 
-    # lanes=256 variant (the R=1e8 case: R % 1024 != 0, % 256 == 0)
-    r256 = r + 256
-    u256 = 5.0 + jax.random.normal(k1, (r256,), dtype=jnp.float32)
-    x256 = 2.0 + 0.5 * jax.random.normal(k2, (r256,), dtype=jnp.float32)
-    gbps, gsps = timed_fused(u256, x256, 8)
+    # pad-fallback variant (R % 128 != 0: both streams relayout-copied)
+    rpad = r + 100
+    upad = 5.0 + jax.random.normal(k1, (rpad,), dtype=jnp.float32)
+    xpad = 2.0 + 0.5 * jax.random.normal(k2, (rpad,), dtype=jnp.float32)
+    gbps, gsps = timed_fused(upad, xpad, 8)
     if gbps is not None:
-        results["fused_f32_lanes256_gbps"] = round(gbps, 1)
-        results["fused_f32_lanes256_gsps"] = round(gsps, 2)
+        results["fused_f32_padfallback_gbps"] = round(gbps, 1)
+        results["fused_f32_padfallback_gsps"] = round(gsps, 2)
 
     results["r"] = r
     results["backend"] = jax.default_backend()
