@@ -53,8 +53,12 @@ import numpy as np
 
 ORDER = 6
 R = 100_000_000  # 1e8 samples (north-star size, BASELINE.md); 1e8 % 128 == 0
-REPEATS = 4
-K_LO, K_HI = 8, 48
+REPEATS = 5
+# the bf16 kernel finishes 1e8 samples in ~0.6 ms, so the differenced
+# interval must span many calls to sit far above the ~20 ms level where
+# tunnel noise corrupts min-differencing (CLAUDE.md timing methodology):
+# 120 calls ~ 77 ms bf16 / ~130 ms f32
+K_LO, K_HI = 8, 128
 BASELINE_R = 20_000_000
 BASELINE_CORES = 64  # reference hardware (BASELINE.md row 1)
 
@@ -98,7 +102,7 @@ def torch_two_pass_rate(r):
 
     run()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
@@ -180,8 +184,8 @@ def main() -> None:
     ub = rng.normal(5.0, 1.0, BASELINE_R).astype(np.float32)
     xb = rng.normal(2.0, 0.5, BASELINE_R).astype(np.float32)
     base_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    for _ in range(6):  # the shared host core throttles unpredictably;
+        t0 = time.perf_counter()  # min-of-6 credits the baseline its best
         numpy_two_pass(ub, xb, ORDER)
         base_dt = min(base_dt, time.perf_counter() - t0)
     single_core = BASELINE_R / base_dt

@@ -1,7 +1,8 @@
 """Derivative-informed GPR + active learning (JAX-native GPflow replacement)."""
 
-from . import active_utils, gp_models, ig_active, kernels, sine_active
+from . import active_utils, experimental, gp_models, ig_active, kernels, sine_active
 from .active_utils import active_learning, create_GPR, train_GPR
+from .experimental import FullyHeteroscedasticGPR, HetGaussianNoiseGP
 from .gp_models import (
     DerivativeKernel,
     HetGaussianSimple,
@@ -13,6 +14,8 @@ from .kernels import CallableDerivativeKernel, RBFDerivKernel
 __all__ = [
     "CallableDerivativeKernel",
     "DerivativeKernel",
+    "FullyHeteroscedasticGPR",
+    "HetGaussianNoiseGP",
     "HetGaussianSimple",
     "HeteroscedasticGPR",
     "HeteroscedasticGPRAnalyticalScale",
@@ -20,6 +23,7 @@ __all__ = [
     "active_learning",
     "active_utils",
     "create_GPR",
+    "experimental",
     "gp_models",
     "ig_active",
     "kernels",

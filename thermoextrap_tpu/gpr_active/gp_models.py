@@ -53,6 +53,7 @@ __all__ = [
     "LinearWithDerivs",
     "Parameter",
     "SympyMeanFunc",
+    "TrainableGPModel",
     "print_summary",
     "multioutput_multivariate_normal",
 ]
@@ -610,7 +611,141 @@ def _build_predict_fn(kernel, groups, groups_new, spec_struct, stable_var_min, f
 # ---------------------------------------------------------------------------
 
 
-class HeteroscedasticGPR:
+class TrainableGPModel:
+    """Parameter plumbing + L-BFGS training over a compiled neg-LML core.
+
+    Subclasses provide ``_param_specs()`` (name -> :class:`Parameter`),
+    ``_lml_fns()`` (dict with jitted ``"lml"`` and ``"neg_vag"``), and
+    ``_bound_args()`` (the host-f64 data tuple those functions close over).
+    Everything here — unconstrained-vector round-trip, JSON checkpointing,
+    the NaN-guarded/rollback L-BFGS loop — is shared between
+    :class:`HeteroscedasticGPR` and the experimental noise-GP models
+    (``experimental.FullyHeteroscedasticGPR``).
+    """
+
+    # -- parameter plumbing ----------------------------------------------------
+
+    def _param_specs(self):
+        raise NotImplementedError
+
+    def _lml_fns(self):
+        raise NotImplementedError
+
+    def _bound_args(self):
+        raise NotImplementedError
+
+    def trainable_names(self):
+        return [k for k, p in self._param_specs().items() if p.trainable]
+
+    def get_unconstrained(self):
+        return jnp.stack(
+            [self._param_specs()[k].unconstrain() for k in self.trainable_names()]
+        )
+
+    def set_unconstrained(self, vec) -> None:
+        vec = np.asarray(vec, dtype=np.float64)
+        for k, raw in zip(self.trainable_names(), vec):
+            p = self._param_specs()[k]
+            p.value = float(p.constrain(raw))
+
+    def parameters(self) -> dict:
+        """Current constrained parameter values."""
+        return {k: p.value for k, p in self._param_specs().items()}
+
+    def set_parameters(self, values: dict) -> None:
+        specs = self._param_specs()
+        for k, v in values.items():
+            if k in specs:
+                specs[k].value = float(v)
+
+    def _spec_struct(self):
+        return tuple(
+            (k, p.transform, p.trainable) for k, p in self._param_specs().items()
+        )
+
+    def _fixed_constrained(self):
+        return np.asarray(
+            [p.value for p in self._param_specs().values() if not p.trainable],
+            dtype=np.float64,
+        )
+
+    # -- core math --------------------------------------------------------------
+
+    def log_marginal_likelihood(self, vec=None):
+        with _compute_ctx():
+            return self._lml(vec)
+
+    def _lml(self, vec=None):
+        if vec is None:
+            vec = self.get_unconstrained()
+        return self._lml_fns()["lml"](jnp.asarray(vec), *self._bound_args())
+
+    def neg_lml(self, vec):
+        with _compute_ctx():
+            return -self._lml(vec)
+
+    # -- checkpointing ------------------------------------------------------------
+
+    def save_params(self, path) -> None:
+        """Save constrained parameter values as JSON (active-learning
+        restart seam; reference persists params in active_history.npz)."""
+        import json
+        from pathlib import Path
+
+        Path(path).write_text(json.dumps(self.parameters(), indent=1))
+
+    def load_params(self, path) -> None:
+        import json
+        from pathlib import Path
+
+        self.set_parameters(json.loads(Path(path).read_text()))
+
+    # -- training ----------------------------------------------------------------
+
+    def train(self, max_iter: int = 1000, tol: float | None = None):
+        """L-BFGS-B on the negative LML with NaN guarding and rollback
+        (reference train path: gpflow.optimizers.Scipy + the NaN-rollback
+        behavior of train_GPR, active_utils.py:802-869)."""
+        from scipy import optimize
+
+        ctx = _compute_ctx()
+        ctx.__enter__()
+        try:
+            return self._train_inner(optimize, max_iter)
+        finally:
+            ctx.__exit__(None, None, None)
+
+    def _train_inner(self, optimize, max_iter):
+        val_and_grad = self._lml_fns()["neg_vag"]
+        bound = self._bound_args()
+
+        def fun(x):
+            v, g = val_and_grad(jnp.asarray(x), *bound)
+            v = float(v)
+            g = np.asarray(g, dtype=np.float64)
+            if not np.isfinite(v) or not np.all(np.isfinite(g)):
+                # Cholesky failure region: large finite value, zero grad so
+                # the line search backtracks instead of aborting
+                return 1e12, np.zeros_like(g)
+            return v, g
+
+        x0 = np.asarray(self.get_unconstrained(), dtype=np.float64)
+        f0, _ = fun(x0)
+        res = optimize.minimize(
+            fun,
+            x0,
+            jac=True,
+            method="L-BFGS-B",
+            options={"maxiter": max_iter},
+        )
+        f_final, _ = fun(np.asarray(res.x, dtype=np.float64))
+        if np.isfinite(f_final) and f_final <= f0:
+            self.set_unconstrained(res.x)
+        # else: keep the starting parameters (rollback)
+        return res
+
+
+class HeteroscedasticGPR(TrainableGPModel):
     """GPR with full heteroscedastic noise covariance over
     derivative-augmented inputs (reference gp_models.py:958-1175).
 
@@ -674,36 +809,7 @@ class HeteroscedasticGPR:
         specs.update({f"likelihood/{k}": p for k, p in self.likelihood.params.items()})
         return specs
 
-    def trainable_names(self):
-        return [k for k, p in self._param_specs().items() if p.trainable]
-
-    def get_unconstrained(self):
-        return jnp.stack(
-            [self._param_specs()[k].unconstrain() for k in self.trainable_names()]
-        )
-
-    def set_unconstrained(self, vec) -> None:
-        vec = np.asarray(vec, dtype=np.float64)
-        for k, raw in zip(self.trainable_names(), vec):
-            p = self._param_specs()[k]
-            p.value = float(p.constrain(raw))
-
-    def parameters(self) -> dict:
-        """Current constrained parameter values."""
-        return {k: p.value for k, p in self._param_specs().items()}
-
-    def set_parameters(self, values: dict) -> None:
-        specs = self._param_specs()
-        for k, v in values.items():
-            if k in specs:
-                specs[k].value = float(v)
-
     # -- compiled core plumbing --------------------------------------------------
-
-    def _spec_struct(self):
-        return tuple(
-            (k, p.transform, p.trainable) for k, p in self._param_specs().items()
-        )
 
     def _structure_key(self):
         return (
@@ -712,12 +818,6 @@ class HeteroscedasticGPR:
             self._groups,
             self._spec_struct(),
             float(self.likelihood.stable_var_min),
-        )
-
-    def _fixed_constrained(self):
-        return np.asarray(
-            [p.value for p in self._param_specs().values() if not p.trainable],
-            dtype=np.float64,
         )
 
     def _bound_args(self):
@@ -749,19 +849,6 @@ class HeteroscedasticGPR:
         if self.mean_function is None:
             return jnp.zeros((np.asarray(X).shape[0], self.out_dim))
         return self.mean_function(X) / self.scale_fac
-
-    def log_marginal_likelihood(self, vec=None):
-        with _compute_ctx():
-            return self._lml(vec)
-
-    def _lml(self, vec=None):
-        if vec is None:
-            vec = self.get_unconstrained()
-        return self._lml_fns()["lml"](jnp.asarray(vec), *self._bound_args())
-
-    def neg_lml(self, vec):
-        with _compute_ctx():
-            return -self._lml(vec)
 
     def predict_f(self, Xnew, full_cov: bool = False):
         """Posterior mean/variance at new derivative-augmented inputs
@@ -811,66 +898,6 @@ class HeteroscedasticGPR:
             "there, which this likelihood does not have."
         )
         raise NotImplementedError(msg)
-
-    # -- checkpointing ------------------------------------------------------------
-
-    def save_params(self, path) -> None:
-        """Save constrained parameter values as JSON (active-learning
-        restart seam; reference persists params in active_history.npz)."""
-        import json
-        from pathlib import Path
-
-        Path(path).write_text(json.dumps(self.parameters(), indent=1))
-
-    def load_params(self, path) -> None:
-        import json
-        from pathlib import Path
-
-        self.set_parameters(json.loads(Path(path).read_text()))
-
-    # -- training ----------------------------------------------------------------
-
-    def train(self, max_iter: int = 1000, tol: float | None = None):
-        """L-BFGS-B on the negative LML with NaN guarding and rollback
-        (reference train path: gpflow.optimizers.Scipy + the NaN-rollback
-        behavior of train_GPR, active_utils.py:802-869)."""
-        from scipy import optimize
-
-        ctx = _compute_ctx()
-        ctx.__enter__()
-        try:
-            return self._train_inner(optimize, max_iter)
-        finally:
-            ctx.__exit__(None, None, None)
-
-    def _train_inner(self, optimize, max_iter):
-        val_and_grad = self._lml_fns()["neg_vag"]
-        bound = self._bound_args()
-
-        def fun(x):
-            v, g = val_and_grad(jnp.asarray(x), *bound)
-            v = float(v)
-            g = np.asarray(g, dtype=np.float64)
-            if not np.isfinite(v) or not np.all(np.isfinite(g)):
-                # Cholesky failure region: large finite value, zero grad so
-                # the line search backtracks instead of aborting
-                return 1e12, np.zeros_like(g)
-            return v, g
-
-        x0 = np.asarray(self.get_unconstrained(), dtype=np.float64)
-        f0, _ = fun(x0)
-        res = optimize.minimize(
-            fun,
-            x0,
-            jac=True,
-            method="L-BFGS-B",
-            options={"maxiter": max_iter},
-        )
-        f_final, _ = fun(np.asarray(res.x, dtype=np.float64))
-        if np.isfinite(f_final) and f_final <= f0:
-            self.set_unconstrained(res.x)
-        # else: keep the starting parameters (rollback)
-        return res
 
 
 def print_summary(gpr) -> None:
