@@ -47,6 +47,7 @@ over a ``(batch, rec-block)`` grid with per-batch shifts in SMEM.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -278,6 +279,12 @@ def reduce_central_comoments_fused(
     streams = 1 + v + (1 if weight is not None else 0)
     base = block * (2 if in_dtype == jnp.bfloat16 else 1)
     rows = max(2 * base // (lanes * streams), sub) // sub * sub
+    if interpret:
+        # interpret mode EXECUTES the rows//8-way unrolled row-group loop
+        # as a traced jax program — a device-sized block (2048 rows = 256
+        # groups) takes minutes on CPU.  Block sizing is a device-perf
+        # concern only; keep correctness runs small.
+        rows = min(rows, 4 * sub)
     # clamp the block for small inputs so padding stays bounded
     rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
@@ -395,7 +402,16 @@ def _resample_kernel(
     to f32 happens per block in VMEM.  Sample streams may be bfloat16
     (upcast on load — half HBM traffic, accuracy-gated like the fused
     reduce).  Tail blocks use ``jnp.where`` masks on every operand that may
-    alias undefined memory (bitcast packing + partial final grid blocks)."""
+    alias undefined memory (bitcast packing + partial final grid blocks).
+
+    Per-subrow K=128 dots are DELIBERATE here: the lane-span fusion that
+    bought 1.7x on :func:`_poisson_resample_kernel` measured consistently
+    SLOWER for this kernel (back-to-back: ~45 vs ~35 ms at
+    R=2^20/nrep=256) — unlike the Poisson path, whose frequency tile is
+    generated in-register already span-wide, this kernel would have to
+    materialize the span-concatenated freq tile from strided VMEM
+    slices, and those relayout copies cost more than the saved MXU
+    issues."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -471,9 +487,6 @@ def _resample_kernel(
         body(False)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("order", "rep_block", "interpret")
-)
 def resample_central_comoments_fused(
     uv,
     xv,
@@ -491,7 +504,32 @@ def resample_central_comoments_fused(
     dxdu (order+1, nrep, *val))``.  bfloat16 sample streams (both ``uv``
     and ``xv``) halve their HBM traffic; the freq table streams in its
     native int dtype either way.
+
+    Interpret mode runs the implementation EAGERLY: on jax 0.9.0 an
+    interpret-mode pallas program embedded in a larger jitted XLA:CPU
+    computation miscompiles (observed: correct eager results turning into
+    misaligned replicate sums under one outer ``jax.jit``), so the jit
+    wrapper is applied only on the device path.
     """
+    if interpret:
+        return _resample_fused_impl(
+            uv, xv, freq, order, weight, rep_block=rep_block, interpret=True
+        )
+    return _resample_fused_jit(
+        uv, xv, freq, order, weight, rep_block=rep_block, interpret=False
+    )
+
+
+def _resample_fused_impl(
+    uv,
+    xv,
+    freq,
+    order: int,
+    weight=None,
+    *,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
     uv = jnp.asarray(uv)
     xv = jnp.asarray(xv)
     in_dtype = _stream_dtype(uv, xv)
@@ -519,6 +557,10 @@ def resample_central_comoments_fused(
     # by output slicing / where-masked tails
     lanes = _LANES
     subrows = _REC_CHUNK // lanes
+    if interpret:
+        # see reduce_central_comoments_fused: interpret mode executes the
+        # unrolled subrow loop as a traced jax program — keep blocks small
+        subrows = min(subrows, 16)
     nb = (r + lanes - 1) // lanes
     grid_i = (nrep + rep_block - 1) // rep_block
     grid_j = (nb + subrows - 1) // subrows
@@ -550,6 +592,22 @@ def resample_central_comoments_fused(
     else:
         f_p = jnp.pad(freq, ((0, 0), (0, rp - r))).reshape(nrep, nb, lanes)
 
+    if interpret:
+        # jax's hlo interpreter fills out-of-bounds block regions with
+        # poison values (NaN for floats, INT_MIN for ints) — and on jax
+        # 0.9.0's CPU backend a miscompilation can leak that poison past
+        # the kernel's where-masks when several operands carry OOB blocks
+        # (observed: rep- or rec-padded freq + any second operand).  Pad
+        # every operand to full block coverage with zeros instead: the
+        # n_real mask already excludes the padded region, and a leaked
+        # zero contributes nothing.  Device (Mosaic) runs are unaffected
+        # and keep the zero-copy bitcast packing.
+        rows_cov = grid_j * subrows
+        u_p = jnp.pad(u_p, ((0, rows_cov - nb), (0, 0)))
+        x_p = jnp.pad(x_p, ((0, 0), (0, rows_cov - nb), (0, 0)))
+        f_p = jnp.pad(
+            f_p, ((0, pp - nrep), (0, rows_cov - nb), (0, 0))
+        )
     operands = [
         jnp.reshape(s_u, (1, 1)),
         jnp.reshape(s_x, (1, v)),
@@ -566,7 +624,10 @@ def resample_central_comoments_fused(
     ]
     use_w = w_flat is not None
     if use_w:
-        operands.append(pack1(w_flat))
+        w_p = pack1(w_flat)
+        if interpret:
+            w_p = jnp.pad(w_p, ((0, grid_j * subrows - nb), (0, 0)))
+        operands.append(w_p)
         in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     out_u, out_xu = pl.pallas_call(
@@ -595,6 +656,11 @@ def resample_central_comoments_fused(
     return _resample_epilogue(
         out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
     )
+
+
+_resample_fused_jit = functools.partial(
+    jax.jit, static_argnames=("order", "rep_block", "interpret")
+)(_resample_fused_impl)
 
 
 def _resample_epilogue(sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape):
@@ -638,13 +704,38 @@ _POISSON1_CDF = (
 )
 
 
+_POISSON_SPAN = 8  # subrows concatenated per MXU dot (K = span * lanes; 16/K=2048 measured identical)
+
+
+def _dot_span(subrows: int) -> int:
+    """Widest stride-8 subrow span (≤ ``_POISSON_SPAN``) that tiles
+    ``subrows`` exactly.  Lane-concat requires equal sublane offsets on
+    every piece (Mosaic: "offset mismatch on non-concat dimension"), so
+    spans gather subrows at STRIDE 8 — s0, s0+8, ... all sit at sublane
+    s0 % 8 of their tiles."""
+    return max(math.gcd(_POISSON_SPAN, subrows // math.gcd(subrows, 8)), 1)
+
+
 def _poisson_resample_kernel(
     su_ref, sx_ref, seed_ref, u_ref, x_ref, *rest, order, use_w, n_real, v
 ):
     """Like :func:`_resample_kernel` but the frequency tile is generated
     on-chip from the Pallas PRNG — zero HBM traffic for the bootstrap table
     (Poisson(1) weights; asymptotically equivalent to multinomial
-    resampling)."""
+    resampling).
+
+    MXU issue economy (PRNG_ROOF.json showed the per-subrow K=128 dot —
+    not PRNG generation — capped the old kernel at ~60 Grep-samples/s):
+    ``_POISSON_SPAN`` consecutive subrows are concatenated along lanes so
+    each ``dot_general`` contracts K = span·lanes samples, and the
+    u-moment and x-comoment contribution rows ride ONE fused dot
+    (``(rep, K) @ (K, (1+v)(order+1))``) instead of two — 2·span fewer
+    MXU issues per sample.  The draw order changes (one
+    ``(rep_block, span·lanes)`` tile per span instead of span
+    ``(rep_block, lanes)`` tiles), which relabels (rep, sample)→u32
+    assignments within a block: statistically identical iid streams,
+    different concrete frequencies for the same seed than pre-span
+    kernels."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -664,44 +755,55 @@ def _poisson_resample_kernel(
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
 
     rep_block = out_u_ref.shape[0]
-    lanes = u_ref.shape[-1]
-    subrows = u_ref.shape[0]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    acc_u = jnp.zeros_like(out_u_ref)
-    acc_xu = jnp.zeros_like(out_xu_ref)
-    for s in range(subrows):
-        du = u_ref[s : s + 1, :].astype(jnp.float32) - su_ref[0, 0]  # (1, B)
-        base = (j * subrows + s) * lanes
-        mask = (base + lane_ids < n_real).astype(du.dtype)
-        p0 = w_ref[s : s + 1, :] * mask if use_w else mask
+    subrows, lanes = u_ref.shape
+    # stride-8 span gather (see _dot_span); sample indices per
+    # concatenated segment follow the same stride in the mask arithmetic
+    span = _dot_span(subrows)
+    s_len = span * lanes
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    acc = jnp.zeros((rep_block, (1 + v) * (order + 1)), jnp.float32)
+
+    def cat(ref2d, s0):
+        return jnp.concatenate(
+            [ref2d[s0 + 8 * t : s0 + 8 * t + 1, :] for t in range(span)],
+            axis=1,
+        )
+
+    outer = subrows // span  # = 8 when subrows = 64, span = 8
+    for s0 in range(outer):
+        du = cat(u_ref, s0).astype(jnp.float32) - su_ref[0, 0]  # (1, S)
+        mask = jnp.concatenate(
+            [
+                ((j * subrows + s0 + 8 * t) * lanes + lane128 < n_real)
+                for t in range(span)
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        p0 = cat(w_ref, s0) * mask if use_w else mask
 
         prows = [p0]
         for _ in range(order):
             prows.append(prows[-1] * du)
-        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+        crows = []
+        for k in range(v):
+            xt = cat(x_ref[k], s0).astype(jnp.float32) - sx_ref[0, k]
+            crows.extend(p * xt for p in prows)
+        contrib = jnp.concatenate(prows + crows, axis=0)  # (m, S)
 
-        bits = pltpu.prng_random_bits((rep_block, lanes))
+        bits = pltpu.prng_random_bits((rep_block, s_len))
         bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, lanes), jnp.float32)
+        f = jnp.zeros((rep_block, s_len), jnp.float32)
         for cdf in _POISSON1_CDF:
             thr = jnp.uint32(int(cdf * 4294967296.0))
             f = f + (bits > thr).astype(jnp.float32)
 
-        acc_u += jax.lax.dot_general(
-            f, p, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        acc += jax.lax.dot_general(
+            f, contrib, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        crows = [
-            p * (x_ref[k, s : s + 1, :].astype(jnp.float32) - sx_ref[0, k])
-            for k in range(v)
-        ]
-        contrib = jnp.concatenate(crows, axis=0)
-        acc_xu += jax.lax.dot_general(
-            f, contrib, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    out_u_ref[:] += acc_u
-    out_xu_ref[:] += acc_xu
+    out_u_ref[:] += acc[:, : order + 1]
+    out_xu_ref[:] += acc[:, order + 1 :]
 
 
 @functools.partial(
@@ -824,24 +926,40 @@ def _poisson_resample_u_batched_kernel(
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)  # batch-independent stream
 
     rep_block = out_ref.shape[1]
-    lanes = u_ref.shape[-1]
-    subrows = u_ref.shape[1]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    subrows, lanes = u_ref.shape[1], u_ref.shape[2]
+    # stride-8 span-concatenated K, exactly as in _poisson_resample_kernel;
+    # the draw schedule depends only on (i, j), so batch rows still see
+    # identical frequency tiles
+    span = _dot_span(subrows)
+    s_len = span * lanes
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros_like(out_ref[0])
-    for s in range(subrows):
-        du = u_ref[0, s : s + 1, :].astype(jnp.float32) - su_ref[b, 0]
-        base = (j * subrows + s) * lanes
-        mask = (base + lane_ids < n_real).astype(du.dtype)
-        p0 = w_ref[0, s : s + 1, :] * mask if use_w else mask
+
+    def cat(ref2d, s0):
+        return jnp.concatenate(
+            [ref2d[s0 + 8 * t : s0 + 8 * t + 1, :] for t in range(span)],
+            axis=1,
+        )
+
+    for s0 in range(subrows // span):
+        du = cat(u_ref[0], s0).astype(jnp.float32) - su_ref[b, 0]  # (1, S)
+        mask = jnp.concatenate(
+            [
+                ((j * subrows + s0 + 8 * t) * lanes + lane128 < n_real)
+                for t in range(span)
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        p0 = cat(w_ref[0], s0) * mask if use_w else mask
 
         prows = [p0]
         for _ in range(order):
             prows.append(prows[-1] * du)
-        p = jnp.concatenate(prows, axis=0)  # (order+1, B)
+        p = jnp.concatenate(prows, axis=0)  # (order+1, S)
 
-        bits = pltpu.prng_random_bits((rep_block, lanes))
+        bits = pltpu.prng_random_bits((rep_block, s_len))
         bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, lanes), jnp.float32)
+        f = jnp.zeros((rep_block, s_len), jnp.float32)
         for cdf in _POISSON1_CDF:
             thr = jnp.uint32(int(cdf * 4294967296.0))
             f = f + (bits > thr).astype(jnp.float32)
@@ -1074,6 +1192,8 @@ def reduce_central_umoments_batched(
     # the where-masked tail.
     lanes = _LANES
     rows = max(block // lanes, 8) // 8 * 8
+    if interpret:
+        rows = min(rows, 32)  # see reduce_central_comoments_fused
     rows_needed = ((r + lanes - 1) // lanes + 7) // 8 * 8
     rows = min(rows, rows_needed)
     nb_rows = (r + lanes - 1) // lanes
@@ -1326,6 +1446,8 @@ def reduce_central_comoments_batched(
     # regardless
     lanes = _LANES
     rows = max(block // (lanes * max(v, 1)), sub) // sub * sub
+    if interpret:
+        rows = min(rows, 4 * sub)  # see reduce_central_comoments_fused
     rows_needed = ((r + lanes - 1) // lanes + sub - 1) // sub * sub
     rows = min(rows, rows_needed)
     nb_rows = (r + lanes - 1) // lanes
