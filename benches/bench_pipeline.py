@@ -1,0 +1,131 @@
+"""End-to-end serving-pipeline benchmark (samples → prediction + CI).
+
+Measures the ONE-dispatch jitted chain the serving path actually runs —
+fused Pallas moment reduction → truncated-series derivative engine →
+Taylor evaluation → in-kernel Poisson bootstrap CI — at the north-star
+size (R=1e8 samples, order 6, 5 β targets, 256 bootstrap replicates).
+This is the user-visible number: what the reference does eagerly with
+cmomy + per-call resampling (models.py:487-576 predict/resample pair) as
+a single compiled TPU program.
+
+Writes BENCH_PIPELINE.json and prints one JSON line per config.
+
+Timing: warm wall-clock, scalar-fetch sync (block_until_ready does not
+reliably wait on the axon tunnel), best of REPEATS.  Each call includes
+the fixed ~4-7 ms tunnel dispatch overhead — i.e. these are APPARENT
+single-call latencies, the honest serving-path quantity (unlike the
+device rates in bench.py, a serving call pays dispatch exactly once).
+
+Usage: python benches/bench_pipeline.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+REPEATS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_lnpi_pipeline,
+    )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    on_accel = jax.default_backend() != "cpu"
+    r = 100_000_000 if on_accel and not args.quick else 1_000_000
+    order, nrep = 6, 256
+    beta0 = 1.0
+    betas = jnp.linspace(0.5, 1.5, 5)
+
+    k1, k2 = jax.random.split(jax.random.key(0))
+    uv = 5.0 + jax.random.normal(k1, (r,), dtype=jnp.float32)
+    xv = (2.0 + 0.5 * jax.random.normal(k2, (r,), dtype=jnp.float32))[
+        :, None
+    ]
+
+    def timed(fn, sync):
+        sync(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = fn()
+            sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    results = {"R": r, "order": order, "nrep": nrep, "betas": 5}
+
+    # prediction only (reduction + derivatives + Taylor)
+    for bf16 in (False, True):
+        run = make_extrap_pipeline(order, beta0, nrep=0, bf16=bf16)
+        t = timed(
+            lambda: run(uv, xv, betas), lambda o: float(jnp.asarray(o)[0, 0])
+        )
+        key = f"extrap_predict_{'bf16' if bf16 else 'f32'}"
+        results[key] = {
+            "wallclock_s": round(t, 4),
+            "gsamples_per_s": round(r / t / 1e9, 2),
+        }
+        print(json.dumps({key: results[key]}))
+
+    # prediction + Poisson-bootstrap CI: the full serving call
+    for bf16 in (False, True):
+        run = make_extrap_pipeline(order, beta0, nrep=nrep, bf16=bf16)
+        t = timed(
+            lambda: run(uv, xv, betas, seed=1),
+            lambda o: float(jnp.asarray(o[1])[0, 0]),
+        )
+        key = f"extrap_predict_ci_{'bf16' if bf16 else 'f32'}"
+        results[key] = {
+            "wallclock_s": round(t, 4),
+            "grep_samples_per_s": round(nrep * r / t / 1e9, 2),
+        }
+        print(json.dumps({key: results[key]}))
+
+    # lnΠ macrostate grid: B states × R_b samples, μ-extrapolation + CI
+    b, rb = 64, (1_000_000 if on_accel and not args.quick else 31_000)
+    ku = jax.random.split(jax.random.key(7), b)
+    uvb = jnp.stack(
+        [
+            5.0 + 0.1 * i + jax.random.normal(ku[i], (rb,), jnp.float32)
+            for i in range(b)
+        ]
+    )
+    lnpi0 = -0.01 * jnp.arange(b, dtype=jnp.float32) ** 2
+    mudotn = jnp.arange(b, dtype=jnp.float32)
+    runl = make_lnpi_pipeline(order, beta0, nrep=nrep)
+    t = timed(
+        lambda: runl(uvb, lnpi0, mudotn, betas, seed=2),
+        lambda o: float(jnp.asarray(o[1])[0, 0]),
+    )
+    results["lnpi_grid_predict_ci"] = {
+        "B": b,
+        "R_per_state": rb,
+        "wallclock_s": round(t, 4),
+        "grep_samples_per_s": round(nrep * b * rb / t / 1e9, 2),
+    }
+    print(json.dumps({"lnpi_grid_predict_ci": results["lnpi_grid_predict_ci"]}))
+
+    results["backend"] = jax.default_backend()
+    Path(__file__).parent.parent.joinpath("BENCH_PIPELINE.json").write_text(
+        json.dumps(results, indent=1) + "\n"
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -223,8 +223,28 @@ def _reduce_kernel(
         body(False)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
 def reduce_central_comoments_fused(
+    uv,
+    xv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 131072,
+    interpret: bool = False,
+):
+    # interpret mode dispatches to the UNJITTED impl — jax 0.9.0 XLA:CPU
+    # miscompiles interpret-mode pallas programs inside an outer jit (see
+    # resample_central_comoments_fused)
+    if interpret:
+        return _reduce_fused_impl(
+            uv, xv, order, weight, block=block, interpret=True
+        )
+    return _reduce_fused_jit(
+        uv, xv, order, weight, block=block, interpret=False
+    )
+
+
+def _reduce_fused_impl(
     uv,
     xv,
     order: int,
@@ -348,6 +368,12 @@ def reduce_central_comoments_fused(
     sum_u = out_u.sum(axis=(1, 2))  # (order+1,)
     sum_xu = out_xu.sum(axis=(1, 2)).reshape(v, order + 1).T  # (order+1, v)
     return _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape)
+
+
+_reduce_fused_jit = functools.partial(
+    jax.jit, static_argnames=("order", "block", "interpret")
+)(_reduce_fused_impl)
+reduce_central_comoments_fused.__doc__ = _reduce_fused_impl.__doc__
 
 
 def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
@@ -806,10 +832,30 @@ def _poisson_resample_kernel(
     out_xu_ref[:] += acc[:, order + 1 :]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
-)
 def resample_central_comoments_poisson(
+    uv,
+    xv,
+    nrep: int,
+    order: int,
+    weight=None,
+    *,
+    seed: int = 0,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    # eager in interpret mode — see reduce_central_comoments_fused
+    if interpret:
+        return _resample_poisson_impl(
+            uv, xv, nrep, order, weight,
+            seed=seed, rep_block=rep_block, interpret=True,
+        )
+    return _resample_poisson_jit(
+        uv, xv, nrep, order, weight,
+        seed=seed, rep_block=rep_block, interpret=False,
+    )
+
+
+def _resample_poisson_impl(
     uv,
     xv,
     nrep: int,
@@ -901,6 +947,12 @@ def resample_central_comoments_poisson(
     )
 
 
+_resample_poisson_jit = functools.partial(
+    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
+)(_resample_poisson_impl)
+resample_central_comoments_poisson.__doc__ = _resample_poisson_impl.__doc__
+
+
 def _poisson_resample_u_batched_kernel(
     su_ref, seed_ref, u_ref, *rest, order, use_w, n_real
 ):
@@ -972,10 +1024,29 @@ def _poisson_resample_u_batched_kernel(
     out_ref[0] += acc
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
-)
 def resample_central_umoments_batched_poisson(
+    uv,
+    nrep: int,
+    order: int,
+    weight=None,
+    *,
+    seed: int = 0,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    # eager in interpret mode — see reduce_central_comoments_fused
+    if interpret:
+        return _resample_u_batched_poisson_impl(
+            uv, nrep, order, weight,
+            seed=seed, rep_block=rep_block, interpret=True,
+        )
+    return _resample_u_batched_poisson_jit(
+        uv, nrep, order, weight,
+        seed=seed, rep_block=rep_block, interpret=False,
+    )
+
+
+def _resample_u_batched_poisson_impl(
     uv,
     nrep: int,
     order: int,
@@ -1071,6 +1142,14 @@ def resample_central_umoments_batched_poisson(
     )
 
 
+_resample_u_batched_poisson_jit = functools.partial(
+    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
+)(_resample_u_batched_poisson_impl)
+resample_central_umoments_batched_poisson.__doc__ = (
+    _resample_u_batched_poisson_impl.__doc__
+)
+
+
 # ---------------------------------------------------------------------------
 # batched u-moment reduction (lnPi-style workloads: energy moments per
 # macrostate; x_is_u so only u-moments are needed)
@@ -1152,8 +1231,25 @@ def _reduce_u_batched_kernel(
         body(False)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
 def reduce_central_umoments_batched(
+    uv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 131072,
+    interpret: bool = False,
+):
+    # eager in interpret mode — see reduce_central_comoments_fused
+    if interpret:
+        return _reduce_u_batched_impl(
+            uv, order, weight, block=block, interpret=True
+        )
+    return _reduce_u_batched_jit(
+        uv, order, weight, block=block, interpret=False
+    )
+
+
+def _reduce_u_batched_impl(
     uv,
     order: int,
     weight=None,
@@ -1244,6 +1340,12 @@ def reduce_central_umoments_batched(
     du = shift_raw_moments(m, m[1])
     du = du.at[0].set(1.0).at[1].set(0.0)
     return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
+
+
+_reduce_u_batched_jit = functools.partial(
+    jax.jit, static_argnames=("order", "block", "interpret")
+)(_reduce_u_batched_impl)
+reduce_central_umoments_batched.__doc__ = _reduce_u_batched_impl.__doc__
 
 
 def _u_batched_xla(uv, w, order: int):
@@ -1391,8 +1493,26 @@ def _reduce_co_batched_kernel(
         body(False)
 
 
-@functools.partial(jax.jit, static_argnames=("order", "block", "interpret"))
 def reduce_central_comoments_batched(
+    uv,
+    xv,
+    order: int,
+    weight=None,
+    *,
+    block: int = 262144,
+    interpret: bool = False,
+):
+    # eager in interpret mode — see reduce_central_comoments_fused
+    if interpret:
+        return _reduce_co_batched_impl(
+            uv, xv, order, weight, block=block, interpret=True
+        )
+    return _reduce_co_batched_jit(
+        uv, xv, order, weight, block=block, interpret=False
+    )
+
+
+def _reduce_co_batched_impl(
     uv,
     xv,
     order: int,
@@ -1532,6 +1652,12 @@ def reduce_central_comoments_batched(
         du.reshape((order + 1, *batch_shape)),
         dxdu.reshape((order + 1, *batch_shape, *val_shape)),
     )
+
+
+_reduce_co_batched_jit = functools.partial(
+    jax.jit, static_argnames=("order", "block", "interpret")
+)(_reduce_co_batched_impl)
+reduce_central_comoments_batched.__doc__ = _reduce_co_batched_impl.__doc__
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
