@@ -15,7 +15,7 @@ Methodology (all documented in the extras):
   every K) and differencing two chain lengths: ``(K_HI-K_LO) R /
   (t(K_HI) - t(K_LO))``.  This removes the ~4-7 ms *fixed and noisy*
   remote-dispatch overhead of this measurement tunnel (per-call HTTP round
-  trip of the axon backend); the wide K spread (8 vs 48) keeps the
+  trip of the axon backend); the wide K spread (8 vs 128) keeps the
   differenced interval (tens of ms) far above the tunnel timing noise.
   A production pipeline embeds the reduction inside one jitted program,
   where the per-call cost does not exist.  Apparent single-call rates at

@@ -463,6 +463,13 @@ class FullyHeteroscedasticGPR(TrainableGPModel):
     likelihoods are summed and optimized together over the concatenated
     parameter vector (outer kernel + inner kernel + inner likelihood
     variance) by the shared NaN-guarded L-BFGS loop.
+
+    ``mean_function`` must be a FIXED callable: it is evaluated on the
+    training inputs once at construction and its parameters are not part
+    of the trained vector — the same contract as
+    :class:`~.gp_models.HeteroscedasticGPR` and as the reference's own
+    mean functions, which are explicitly non-trainable
+    (reference gp_models.py:1195, 1241-1242).
     """
 
     def __init__(self, data, kernel: StationaryKernel, mean_function=None, noise_kernel: StationaryKernel | None = None) -> None:

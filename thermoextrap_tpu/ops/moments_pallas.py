@@ -72,6 +72,32 @@ __all__ = [
 _LANES = 128  # lane width of the packed sample rows (layout-preserving)
 
 
+def _interpret_eager_jit(*static_argnames):
+    """jit the kernel entry for the device path, but run the SAME function
+    eagerly when called with ``interpret=True``: on jax 0.9.0 an
+    interpret-mode pallas program embedded in a larger jitted XLA:CPU
+    computation miscompiles (observed while validating the span kernels:
+    poison OOB-block padding leaking past where-masks, and correct eager
+    results turning into misaligned replicate sums under one outer
+    ``jax.jit``).  ``interpret`` must be keyword-only on the wrapped
+    entry — positional calls would silently take the jitted path."""
+
+    def deco(impl):
+        jitted = functools.partial(
+            jax.jit, static_argnames=static_argnames
+        )(impl)
+
+        @functools.wraps(impl)
+        def wrapper(*args, **kwargs):
+            if kwargs.get("interpret", False):
+                return impl(*args, **kwargs)
+            return jitted(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _pad_flat(a, n):
     """Pad a 1d array to length n with zeros."""
     return jnp.pad(a, (0, n - a.shape[0])) if a.shape[0] != n else a
@@ -223,28 +249,8 @@ def _reduce_kernel(
         body(False)
 
 
+@_interpret_eager_jit("order", "block", "interpret")
 def reduce_central_comoments_fused(
-    uv,
-    xv,
-    order: int,
-    weight=None,
-    *,
-    block: int = 131072,
-    interpret: bool = False,
-):
-    # interpret mode dispatches to the UNJITTED impl — jax 0.9.0 XLA:CPU
-    # miscompiles interpret-mode pallas programs inside an outer jit (see
-    # resample_central_comoments_fused)
-    if interpret:
-        return _reduce_fused_impl(
-            uv, xv, order, weight, block=block, interpret=True
-        )
-    return _reduce_fused_jit(
-        uv, xv, order, weight, block=block, interpret=False
-    )
-
-
-def _reduce_fused_impl(
     uv,
     xv,
     order: int,
@@ -257,9 +263,11 @@ def _reduce_fused_impl(
 
     ``uv``: ``(R,)``; ``xv``: ``(R, *val)``; returns ``(xave, uave, du, dxdu)``
     with the contract of :func:`ops.moments.reduce_central_comoments`
-    (``batch=()``).  ``block`` = samples per grid step (the default 128
-    rows x 1024 lanes per stream measured fastest on-chip — smaller
-    blocks pipeline the DMA better than the VMEM-limit-sized ones).
+    (``batch=()``).  ``block`` = samples per grid step; packing is always
+    at the layout-preserving 128-lane width, so the f32 V=1 default works
+    out to 1024 rows x 128 lanes per stream (measured fastest on-chip —
+    smaller blocks pipeline the DMA better than VMEM-limit-sized ones,
+    and bf16 doubles the rows).
 
     bfloat16 inputs stream at half the HBM traffic (compute stays f32
     in-kernel); pass bf16 arrays to opt in.
@@ -368,12 +376,6 @@ def _reduce_fused_impl(
     sum_u = out_u.sum(axis=(1, 2))  # (order+1,)
     sum_xu = out_xu.sum(axis=(1, 2)).reshape(v, order + 1).T  # (order+1, v)
     return _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape)
-
-
-_reduce_fused_jit = functools.partial(
-    jax.jit, static_argnames=("order", "block", "interpret")
-)(_reduce_fused_impl)
-reduce_central_comoments_fused.__doc__ = _reduce_fused_impl.__doc__
 
 
 def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
@@ -513,6 +515,7 @@ def _resample_kernel(
         body(False)
 
 
+@_interpret_eager_jit("order", "rep_block", "interpret")
 def resample_central_comoments_fused(
     uv,
     xv,
@@ -530,32 +533,7 @@ def resample_central_comoments_fused(
     dxdu (order+1, nrep, *val))``.  bfloat16 sample streams (both ``uv``
     and ``xv``) halve their HBM traffic; the freq table streams in its
     native int dtype either way.
-
-    Interpret mode runs the implementation EAGERLY: on jax 0.9.0 an
-    interpret-mode pallas program embedded in a larger jitted XLA:CPU
-    computation miscompiles (observed: correct eager results turning into
-    misaligned replicate sums under one outer ``jax.jit``), so the jit
-    wrapper is applied only on the device path.
     """
-    if interpret:
-        return _resample_fused_impl(
-            uv, xv, freq, order, weight, rep_block=rep_block, interpret=True
-        )
-    return _resample_fused_jit(
-        uv, xv, freq, order, weight, rep_block=rep_block, interpret=False
-    )
-
-
-def _resample_fused_impl(
-    uv,
-    xv,
-    freq,
-    order: int,
-    weight=None,
-    *,
-    rep_block: int = 128,
-    interpret: bool = False,
-):
     uv = jnp.asarray(uv)
     xv = jnp.asarray(xv)
     in_dtype = _stream_dtype(uv, xv)
@@ -684,11 +662,6 @@ def _resample_fused_impl(
     )
 
 
-_resample_fused_jit = functools.partial(
-    jax.jit, static_argnames=("order", "rep_block", "interpret")
-)(_resample_fused_impl)
-
-
 def _resample_epilogue(sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape):
     """Per-replicate shifted raw sums -> exact central comoments."""
     # contribution rows are v-major: row k*(order+1)+n
@@ -733,13 +706,20 @@ _POISSON1_CDF = (
 _POISSON_SPAN = 8  # subrows concatenated per MXU dot (K = span * lanes; 16/K=2048 measured identical)
 
 
-def _dot_span(subrows: int) -> int:
-    """Widest stride-8 subrow span (≤ ``_POISSON_SPAN``) that tiles
-    ``subrows`` exactly.  Lane-concat requires equal sublane offsets on
-    every piece (Mosaic: "offset mismatch on non-concat dimension"), so
-    spans gather subrows at STRIDE 8 — s0, s0+8, ... all sit at sublane
-    s0 % 8 of their tiles."""
-    return max(math.gcd(_POISSON_SPAN, subrows // math.gcd(subrows, 8)), 1)
+def _dot_span(subrows: int) -> tuple[int, int]:
+    """``(span, stride)`` for lane-concatenating ``span`` subrows per MXU
+    dot: pieces ``s0 + stride*t`` for ``t < span``, ``s0 < stride``, which
+    partitions ``[0, subrows)`` exactly for any 8-divisible ``subrows``.
+    Lane-concat requires equal sublane offsets on every piece (Mosaic:
+    "offset mismatch on non-concat dimension"); ``stride = subrows//span``
+    is a multiple of 8 because ``span`` divides ``subrows // 8``, so every
+    piece sits at sublane ``s0 % 8`` of its tile.  (At the production
+    ``subrows=64`` this is span 8 / stride 8 — the layout the chip gates
+    in POISSON_CHIP.json were generated with.)"""
+    if subrows % 8 != 0:
+        return 1, subrows
+    span = max(math.gcd(_POISSON_SPAN, subrows // 8), 1)
+    return span, subrows // span
 
 
 def _poisson_resample_kernel(
@@ -782,25 +762,27 @@ def _poisson_resample_kernel(
 
     rep_block = out_u_ref.shape[0]
     subrows, lanes = u_ref.shape
-    # stride-8 span gather (see _dot_span); sample indices per
-    # concatenated segment follow the same stride in the mask arithmetic
-    span = _dot_span(subrows)
+    # strided span gather (see _dot_span); sample indices per concatenated
+    # segment follow the same stride in the mask arithmetic
+    span, stride = _dot_span(subrows)
     s_len = span * lanes
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros((rep_block, (1 + v) * (order + 1)), jnp.float32)
 
     def cat(ref2d, s0):
         return jnp.concatenate(
-            [ref2d[s0 + 8 * t : s0 + 8 * t + 1, :] for t in range(span)],
+            [
+                ref2d[s0 + stride * t : s0 + stride * t + 1, :]
+                for t in range(span)
+            ],
             axis=1,
         )
 
-    outer = subrows // span  # = 8 when subrows = 64, span = 8
-    for s0 in range(outer):
+    for s0 in range(stride):
         du = cat(u_ref, s0).astype(jnp.float32) - su_ref[0, 0]  # (1, S)
         mask = jnp.concatenate(
             [
-                ((j * subrows + s0 + 8 * t) * lanes + lane128 < n_real)
+                ((j * subrows + s0 + stride * t) * lanes + lane128 < n_real)
                 for t in range(span)
             ],
             axis=1,
@@ -832,30 +814,8 @@ def _poisson_resample_kernel(
     out_xu_ref[:] += acc[:, order + 1 :]
 
 
+@_interpret_eager_jit("nrep", "order", "rep_block", "interpret")
 def resample_central_comoments_poisson(
-    uv,
-    xv,
-    nrep: int,
-    order: int,
-    weight=None,
-    *,
-    seed: int = 0,
-    rep_block: int = 128,
-    interpret: bool = False,
-):
-    # eager in interpret mode — see reduce_central_comoments_fused
-    if interpret:
-        return _resample_poisson_impl(
-            uv, xv, nrep, order, weight,
-            seed=seed, rep_block=rep_block, interpret=True,
-        )
-    return _resample_poisson_jit(
-        uv, xv, nrep, order, weight,
-        seed=seed, rep_block=rep_block, interpret=False,
-    )
-
-
-def _resample_poisson_impl(
     uv,
     xv,
     nrep: int,
@@ -947,12 +907,6 @@ def _resample_poisson_impl(
     )
 
 
-_resample_poisson_jit = functools.partial(
-    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
-)(_resample_poisson_impl)
-resample_central_comoments_poisson.__doc__ = _resample_poisson_impl.__doc__
-
-
 def _poisson_resample_u_batched_kernel(
     su_ref, seed_ref, u_ref, *rest, order, use_w, n_real
 ):
@@ -979,25 +933,28 @@ def _poisson_resample_u_batched_kernel(
 
     rep_block = out_ref.shape[1]
     subrows, lanes = u_ref.shape[1], u_ref.shape[2]
-    # stride-8 span-concatenated K, exactly as in _poisson_resample_kernel;
+    # strided span-concatenated K, exactly as in _poisson_resample_kernel;
     # the draw schedule depends only on (i, j), so batch rows still see
     # identical frequency tiles
-    span = _dot_span(subrows)
+    span, stride = _dot_span(subrows)
     s_len = span * lanes
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros_like(out_ref[0])
 
     def cat(ref2d, s0):
         return jnp.concatenate(
-            [ref2d[s0 + 8 * t : s0 + 8 * t + 1, :] for t in range(span)],
+            [
+                ref2d[s0 + stride * t : s0 + stride * t + 1, :]
+                for t in range(span)
+            ],
             axis=1,
         )
 
-    for s0 in range(subrows // span):
+    for s0 in range(stride):
         du = cat(u_ref[0], s0).astype(jnp.float32) - su_ref[b, 0]  # (1, S)
         mask = jnp.concatenate(
             [
-                ((j * subrows + s0 + 8 * t) * lanes + lane128 < n_real)
+                ((j * subrows + s0 + stride * t) * lanes + lane128 < n_real)
                 for t in range(span)
             ],
             axis=1,
@@ -1024,29 +981,8 @@ def _poisson_resample_u_batched_kernel(
     out_ref[0] += acc
 
 
+@_interpret_eager_jit("nrep", "order", "rep_block", "interpret")
 def resample_central_umoments_batched_poisson(
-    uv,
-    nrep: int,
-    order: int,
-    weight=None,
-    *,
-    seed: int = 0,
-    rep_block: int = 128,
-    interpret: bool = False,
-):
-    # eager in interpret mode — see reduce_central_comoments_fused
-    if interpret:
-        return _resample_u_batched_poisson_impl(
-            uv, nrep, order, weight,
-            seed=seed, rep_block=rep_block, interpret=True,
-        )
-    return _resample_u_batched_poisson_jit(
-        uv, nrep, order, weight,
-        seed=seed, rep_block=rep_block, interpret=False,
-    )
-
-
-def _resample_u_batched_poisson_impl(
     uv,
     nrep: int,
     order: int,
@@ -1142,14 +1078,6 @@ def _resample_u_batched_poisson_impl(
     )
 
 
-_resample_u_batched_poisson_jit = functools.partial(
-    jax.jit, static_argnames=("nrep", "order", "rep_block", "interpret")
-)(_resample_u_batched_poisson_impl)
-resample_central_umoments_batched_poisson.__doc__ = (
-    _resample_u_batched_poisson_impl.__doc__
-)
-
-
 # ---------------------------------------------------------------------------
 # batched u-moment reduction (lnPi-style workloads: energy moments per
 # macrostate; x_is_u so only u-moments are needed)
@@ -1231,25 +1159,8 @@ def _reduce_u_batched_kernel(
         body(False)
 
 
+@_interpret_eager_jit("order", "block", "interpret")
 def reduce_central_umoments_batched(
-    uv,
-    order: int,
-    weight=None,
-    *,
-    block: int = 131072,
-    interpret: bool = False,
-):
-    # eager in interpret mode — see reduce_central_comoments_fused
-    if interpret:
-        return _reduce_u_batched_impl(
-            uv, order, weight, block=block, interpret=True
-        )
-    return _reduce_u_batched_jit(
-        uv, order, weight, block=block, interpret=False
-    )
-
-
-def _reduce_u_batched_impl(
     uv,
     order: int,
     weight=None,
@@ -1340,12 +1251,6 @@ def _reduce_u_batched_impl(
     du = shift_raw_moments(m, m[1])
     du = du.at[0].set(1.0).at[1].set(0.0)
     return uave.reshape(batch_shape), du.reshape((order + 1, *batch_shape))
-
-
-_reduce_u_batched_jit = functools.partial(
-    jax.jit, static_argnames=("order", "block", "interpret")
-)(_reduce_u_batched_impl)
-reduce_central_umoments_batched.__doc__ = _reduce_u_batched_impl.__doc__
 
 
 def _u_batched_xla(uv, w, order: int):
@@ -1493,26 +1398,8 @@ def _reduce_co_batched_kernel(
         body(False)
 
 
+@_interpret_eager_jit("order", "block", "interpret")
 def reduce_central_comoments_batched(
-    uv,
-    xv,
-    order: int,
-    weight=None,
-    *,
-    block: int = 262144,
-    interpret: bool = False,
-):
-    # eager in interpret mode — see reduce_central_comoments_fused
-    if interpret:
-        return _reduce_co_batched_impl(
-            uv, xv, order, weight, block=block, interpret=True
-        )
-    return _reduce_co_batched_jit(
-        uv, xv, order, weight, block=block, interpret=False
-    )
-
-
-def _reduce_co_batched_impl(
     uv,
     xv,
     order: int,
@@ -1652,12 +1539,6 @@ def _reduce_co_batched_impl(
         du.reshape((order + 1, *batch_shape)),
         dxdu.reshape((order + 1, *batch_shape, *val_shape)),
     )
-
-
-_reduce_co_batched_jit = functools.partial(
-    jax.jit, static_argnames=("order", "block", "interpret")
-)(_reduce_co_batched_impl)
-reduce_central_comoments_batched.__doc__ = _reduce_co_batched_impl.__doc__
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
