@@ -18,6 +18,16 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# NOTE on child processes (multiprocessing spawn in SimWrapper tests,
+# example-script subprocesses): they start FRESH interpreters, and the
+# harness sitecustomize FORCES jax_platforms="axon,cpu" at startup — the
+# JAX_PLATFORMS env var is overridden, so a child that computes with jax
+# while the TPU chip is busy/wedged blocks on the chip claim.  Every child
+# entry point must therefore steer itself with
+# jax.config.update("jax_platforms", "cpu") in-process (see
+# tests/test_active.py::_fake_sim and examples/_smoke.py); env vars cannot
+# do it for them.
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -245,7 +245,14 @@ def _fake_sim(rep_dir, beta, npart=200, nframes=500):
     writes reference-format sim_info.txt / cv_bias.txt files."""
     import os
 
+    import jax
     import numpy as np
+
+    # spawn children are fresh interpreters and the harness sitecustomize
+    # forces jax_platforms="axon,cpu" (env vars are overridden) — steer to
+    # CPU in-process or this child blocks on the TPU chip claim whenever
+    # the chip is busy (see tests/conftest.py note)
+    jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(abs(hash((rep_dir, beta))) % (2**31))
     from thermoextrap_tpu import idealgas

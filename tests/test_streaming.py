@@ -1,0 +1,191 @@
+"""Streaming/online moment accumulation: ``DataCentralMoments.zeros`` +
+``push_vals`` / ``merge`` must be EXACTLY equivalent to a one-shot reduce
+over the concatenated samples (same shifted-moment pooling rule as
+``reduce`` and the sharded reduction).
+
+The reference has no streaming path (cmomy reduces complete timeseries,
+reference data.py:485-534); this is a production-serving extension, so the
+gate is exactness against the one-shot constructors the reference parity
+tests already cover.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thermoextrap_tpu import beta as beta_xpan
+from thermoextrap_tpu.data import DataCentralMoments
+
+ORDER = 6
+R = 3000
+
+
+@pytest.fixture(scope="module")
+def vals():
+    rng = np.random.default_rng(7)
+    uv = jnp.asarray(rng.normal(10.0, 1.0, R))
+    xv = jnp.asarray(rng.normal(2.0, 0.5, (R, 3)))
+    return uv, xv
+
+
+def assert_args_equal(a, b):
+    assert len(a) == len(b)
+    for p, q in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=1e-12, atol=1e-13
+        )
+
+
+def test_push_vals_matches_one_shot(vals):
+    uv, xv = vals
+    one = DataCentralMoments.from_vals(xv, uv, ORDER)
+    acc = DataCentralMoments.zeros(ORDER, val_shape=(3,), dtype=jnp.float64)
+    for lo, hi in [(0, 700), (700, 1800), (1800, R)]:  # uneven chunks
+        acc = acc.push_vals(xv[lo:hi], uv[lo:hi])
+    assert_args_equal(one.derivs_args, acc.derivs_args)
+    assert float(acc.wsum) == R
+
+
+def test_merge_matches_one_shot(vals):
+    uv, xv = vals
+    one = DataCentralMoments.from_vals(xv, uv, ORDER)
+    a = DataCentralMoments.from_vals(xv[:1200], uv[:1200], ORDER)
+    b = DataCentralMoments.from_vals(xv[1200:], uv[1200:], ORDER)
+    assert_args_equal(one.derivs_args, a.merge(b).derivs_args)
+    # n-ary merge in one call
+    c3 = [
+        DataCentralMoments.from_vals(xv[lo:hi], uv[lo:hi], ORDER)
+        for lo, hi in [(0, 500), (500, 2222), (2222, R)]
+    ]
+    assert_args_equal(one.derivs_args, c3[0].merge(*c3[1:]).derivs_args)
+
+
+def test_merge_weighted(vals):
+    uv, xv = vals
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, R))
+    one = DataCentralMoments.from_vals(xv, uv, ORDER, weight=w)
+    m = DataCentralMoments.from_vals(
+        xv[:500], uv[:500], ORDER, weight=w[:500]
+    ).merge(
+        DataCentralMoments.from_vals(xv[500:], uv[500:], ORDER, weight=w[500:])
+    )
+    assert_args_equal(one.derivs_args, m.derivs_args)
+
+
+def test_merge_xalpha(vals):
+    uv, _ = vals
+    rng = np.random.default_rng(5)
+    xva = jnp.asarray(rng.normal(1.0, 0.3, (R, ORDER + 1, 2)))
+    one = DataCentralMoments.from_vals(xva, uv, ORDER, xalpha=True)
+    a = DataCentralMoments.from_vals(xva[:1000], uv[:1000], ORDER, xalpha=True)
+    b = DataCentralMoments.from_vals(xva[1000:], uv[1000:], ORDER, xalpha=True)
+    assert_args_equal(one.derivs_args, a.merge(b).derivs_args)
+
+
+def test_streaming_x_is_u(vals):
+    uv, _ = vals
+    one = DataCentralMoments.from_vals(None, uv, ORDER)
+    assert one.x_is_u  # xv=None must imply x_is_u (reference data.py:376)
+    acc = DataCentralMoments.zeros(ORDER, dtype=jnp.float64, x_is_u=True)
+    acc = acc.push_vals(None, uv[:1111]).push_vals(None, uv[1111:])
+    assert_args_equal(one.derivs_args, acc.derivs_args)
+
+
+def test_scan_streaming_under_jit(vals):
+    """The accumulator is a pytree with a static default callback, so
+    ``push_vals`` works as a jitted ``lax.scan`` body over chunked arrays."""
+    uv, xv = vals
+    one = DataCentralMoments.from_vals(xv, uv, ORDER)
+    cx = xv.reshape(5, R // 5, 3)
+    cu = uv.reshape(5, R // 5)
+
+    @jax.jit
+    def stream(cx, cu):
+        init = DataCentralMoments.zeros(
+            ORDER, val_shape=(3,), dtype=jnp.float64
+        )
+        def body(carry, chunk):
+            return carry.push_vals(chunk[0], chunk[1]), None
+        out, _ = jax.lax.scan(body, init, (cx, cu))
+        return out
+
+    assert_args_equal(one.derivs_args, stream(cx, cu).derivs_args)
+
+
+def test_cross_constructor_merge(vals):
+    """States built by from_ave_central (full-rank du pads) merge exactly
+    with states built by from_vals (val-rank du pads)."""
+    uv, xv = vals
+    fa = DataCentralMoments.from_vals(xv[:500], uv[:500], ORDER)
+    fb = DataCentralMoments.from_ave_central(
+        fa.xave, fa.uave, fa.du, fa.dxdu, wsum=fa.wsum
+    )
+    m = fb.merge(DataCentralMoments.from_vals(xv[500:], uv[500:], ORDER))
+    one = DataCentralMoments.from_vals(xv, uv, ORDER)
+    assert_args_equal(one.derivs_args, m.derivs_args)
+
+
+def test_streamed_state_feeds_extrap_model(vals):
+    """End-to-end: a streamed state drives factory_extrapmodel identically
+    to the one-shot state."""
+    uv, xv = vals
+    one = DataCentralMoments.from_vals(xv, uv, ORDER)
+    acc = DataCentralMoments.zeros(ORDER, val_shape=(3,), dtype=jnp.float64)
+    for lo, hi in [(0, 1500), (1500, R)]:
+        acc = acc.push_vals(xv[lo:hi], uv[lo:hi])
+    m_one = beta_xpan.factory_extrapmodel(1.0, one)
+    m_acc = beta_xpan.factory_extrapmodel(1.0, acc)
+    betas = jnp.asarray([0.8, 1.0, 1.3])
+    np.testing.assert_allclose(
+        np.asarray(m_one.predict(betas)),
+        np.asarray(m_acc.predict(betas)),
+        rtol=1e-12,
+    )
+
+
+def test_streaming_pipeline_matches_one_shot(vals):
+    """make_streaming_extrap_pipeline == make_extrap_pipeline on the same
+    samples, fed in chunks."""
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_streaming_extrap_pipeline,
+    )
+
+    uv, xv = vals
+    betas = jnp.asarray([0.8, 1.0, 1.2])
+    run = make_extrap_pipeline(order=4, beta0=1.0)
+    want = np.asarray(run(uv, xv, betas))
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        4, 1.0, val_shape=(3,), dtype=jnp.float64
+    )
+    for lo, hi in [(0, 1000), (1000, 1800), (1800, R)]:
+        state = update(state, uv[lo:hi], xv[lo:hi])
+    got = np.asarray(predict(state, betas))
+    np.testing.assert_allclose(want, got, rtol=1e-12)
+
+    # minus_log path
+    xpos = jnp.abs(xv) + 1.0
+    run_ml = make_extrap_pipeline(order=4, beta0=1.0, minus_log=True)
+    want_ml = np.asarray(run_ml(uv, xpos, betas))
+    state, update, predict = make_streaming_extrap_pipeline(
+        4, 1.0, minus_log=True, val_shape=(3,), dtype=jnp.float64
+    )
+    state = update(state, uv, xpos)
+    np.testing.assert_allclose(
+        want_ml, np.asarray(predict(state, betas)), rtol=1e-12
+    )
+
+
+def test_merge_validation(vals):
+    uv, xv = vals
+    a = DataCentralMoments.from_vals(xv, uv, ORDER)
+    with pytest.raises(ValueError, match="identical"):
+        a.merge(DataCentralMoments.from_vals(xv, uv, ORDER - 1))
+    batched = DataCentralMoments.from_vals(
+        xv.reshape(2, R // 2, 3), uv.reshape(2, R // 2), ORDER
+    )
+    with pytest.raises(ValueError, match="flat"):
+        batched.merge(batched)

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from .ops.convert import (
     central_comoments_from_raw,
     central_from_raw,
+    merge_central_comoments,
     raw_from_central,
     u_from_xu_when_x_is_u,
 )
@@ -87,7 +88,23 @@ class DataCallbackABC:
 
 
 class DataCallback(DataCallbackABC):
-    """Pass-through default callback."""
+    """Pass-through default callback.
+
+    Stateless, so it is registered as a *static* pytree node: data objects
+    carrying the default callback are fully jit-traceable (e.g. as a
+    ``lax.scan`` carry in the streaming-accumulation path,
+    :meth:`DataCentralMoments.push_vals`).  Instances compare equal by type
+    so independently-built data objects share one treedef.
+    """
+
+    def __eq__(self, other) -> bool:
+        return type(other) is DataCallback
+
+    def __hash__(self) -> int:
+        return hash(DataCallback)
+
+
+jax.tree_util.register_static(DataCallback)
 
 
 def _pad_val(a, val_ndim: int):
@@ -337,14 +354,20 @@ class DataCentralMoments:
         x_is_u: bool = False,
         meta: DataCallbackABC | None = None,
     ):
+        if xv is None:  # mirror DataValues.from_vals (reference data.py:376)
+            x_is_u = True
         dv = DataValues.from_vals(
             xv, uv, order, weight=weight, central=True, xalpha=xalpha,
             x_is_u=x_is_u, meta=meta,
         )
         xave, uave, du, dxdu = dv._central
         w = dv.weight
+        # weights never drop below f32: a bf16 sample stream must not
+        # quantize the sample COUNT (8-bit mantissa) — matches the kernel
+        # convention (ops/dispatch.py keeps weight streams f32)
+        wdtype = jnp.promote_types(dv.uv.dtype, jnp.float32)
         wsum = (
-            jnp.full(dv.uv.shape[:-1], float(len(dv)), dtype=dv.uv.dtype)
+            jnp.full(dv.uv.shape[:-1], float(len(dv)), dtype=wdtype)
             if w is None
             else jnp.broadcast_to(w, dv.uv.shape).sum(-1)
         )
@@ -353,7 +376,7 @@ class DataCentralMoments:
             uave=uave,
             du=_pad_val(du, dv.val_ndim),
             dxdu=dv._move_deriv(dxdu),
-            wsum=jnp.asarray(wsum, dtype=dv.uv.dtype),
+            wsum=jnp.asarray(wsum, dtype=wdtype),
             meta=dv.meta,
             order=int(order),
             central=bool(central),
@@ -683,8 +706,6 @@ class DataCentralMoments:
         (reference ``DataCentralMoments.reduce``, data.py:973-998) — e.g.
         combine per-block or per-replicate moments from independent
         simulations.  Exact (same merge rule as the sharded reduction)."""
-        from .ops.convert import merge_central_comoments
-
         if self.xalpha:
             msg = "reduce with a deriv axis is not supported yet"
             raise NotImplementedError(msg)
@@ -702,6 +723,121 @@ class DataCentralMoments:
             "DataCentralMoments.from_resample_vals or resample a DataValues."
         )
         raise NotImplementedError(msg)
+
+    # -- streaming accumulation (beyond reference scope) ----------------------
+    #
+    # The reference reduces complete timeseries in one shot (cmomy
+    # wrap_reduce_vals, data.py:485-534); a production serving loop instead
+    # receives samples in chunks as a simulation runs.  ``zeros`` +
+    # ``push_vals`` / ``merge`` turn the moment container itself into an
+    # exact online accumulator: each chunk is reduced by the fused kernel,
+    # then pooled with the running state by the same exact shifted-moment
+    # merge used by ``reduce`` and the sharded reduction — no loss of
+    # precision versus a one-shot reduce over the concatenated data, and no
+    # need to retain samples.  All three are jit-compatible (the state is a
+    # pytree; the default callback is static), so ``push_vals`` can be the
+    # body of a ``lax.scan`` over pre-chunked sample arrays.
+
+    @classmethod
+    def zeros(
+        cls,
+        order: int,
+        *,
+        val_shape: tuple[int, ...] = (),
+        deriv: int | None = None,
+        dtype=jnp.float32,
+        central: bool = True,
+        x_is_u: bool = False,
+        xalpha: bool = False,
+        meta: DataCallbackABC | None = None,
+    ):
+        """Empty (zero-weight) accumulator state for streaming accumulation.
+
+        ``deriv`` (xalpha only) is the size of the explicit-beta derivative
+        axis (defaults to ``order + 1``).  Merging the empty state with any
+        chunk returns that chunk's moments exactly (its weight is zero);
+        calling ``derivs_args`` on a still-empty state is undefined (0/0).
+        """
+        val_shape = tuple(val_shape)
+        d = (int(deriv) if deriv is not None else order + 1,) if xalpha else ()
+        pad = (1,) * (len(val_shape) + (1 if xalpha else 0))
+        du = jnp.zeros((order + 1, *pad), dtype).at[0].set(1.0)
+        return cls(
+            xave=jnp.zeros((*d, *val_shape), dtype),
+            uave=jnp.zeros((), dtype),
+            du=du,
+            dxdu=jnp.zeros((order + 1, *d, *val_shape), dtype),
+            wsum=jnp.zeros((), dtype),
+            meta=meta if meta is not None else DataCallback(),
+            order=int(order),
+            central=bool(central),
+            x_is_u=bool(x_is_u),
+            xalpha=bool(xalpha),
+            val_ndim=len(val_shape),
+        )
+
+    def merge(self, *others: "DataCentralMoments"):
+        """Exactly pool this moment state with ``others`` (weighted by each
+        state's ``wsum``), as if all underlying samples had been reduced in
+        one shot.  Flat (``batch == ()``) states only; ``xalpha`` supported.
+        """
+        states = (self, *others)
+        for o in others:
+            same = (
+                o.order == self.order
+                and o.central == self.central
+                and o.x_is_u == self.x_is_u
+                and o.xalpha == self.xalpha
+                and o.val_ndim == self.val_ndim
+            )
+            if not same:
+                msg = "merge requires identical order/central/x_is_u/xalpha/val_ndim"
+                raise ValueError(msg)
+        if any(s.wsum.ndim != 0 for s in states):
+            msg = "merge supports flat (batch == ()) moment states; use reduce for batch axes"
+            raise ValueError(msg)
+        # stack with the batch axis where merge_central_comoments expects it
+        # (axis 0 of the means/weights, axis 1 of the moment arrays); for
+        # xalpha the deriv axis stays behind the new batch axis, which the
+        # merge treats as an ordinary broadcast (val-like) axis.  du pad
+        # conventions differ across constructors (from_vals pads val axes
+        # only; from_ave_central pads through the deriv axis) — normalize
+        # to the full dxdu rank before stacking.
+        xave, uave, du, dxdu, wsum = merge_central_comoments(
+            jnp.stack([s.xave for s in states], axis=0),
+            jnp.stack([s.uave for s in states], axis=0),
+            jnp.stack(
+                [_pad_val(s.du, s.dxdu.ndim - s.du.ndim) for s in states],
+                axis=1,
+            ),
+            jnp.stack([s.dxdu for s in states], axis=1),
+            jnp.stack([s.wsum for s in states], axis=0),
+            axis=0,
+        )
+        # all du pad axes are singletons — emit the from_vals convention
+        # (val pads only, deriv axis broadcast) regardless of input ranks
+        du = du.reshape((self.order + 1,) + (1,) * self.val_ndim)
+        return replace(
+            self, xave=xave, uave=uave, du=du, dxdu=dxdu, wsum=wsum,
+            meta=self.meta.reduce(self),
+        )
+
+    def push_vals(self, xv, uv, *, weight=None):
+        """Streaming update: reduce one chunk of samples (fused kernel on
+        TPU) and exactly merge it into this state.  Returns the new state;
+        usable as a ``lax.scan`` body over pre-chunked arrays.
+        """
+        chunk = type(self).from_vals(
+            None if self.x_is_u else xv,
+            uv,
+            self.order,
+            weight=weight,
+            central=self.central,
+            xalpha=self.xalpha,
+            x_is_u=self.x_is_u,
+            meta=self.meta,
+        )
+        return self.merge(chunk)
 
 
 class DataCentralMomentsVals(DataValues):

@@ -32,7 +32,11 @@ from .models.extrap import _poly_eval
 from .ops import dispatch
 from .ops.series import series_neg_log
 
-__all__ = ["make_extrap_pipeline", "make_lnpi_pipeline"]
+__all__ = [
+    "make_extrap_pipeline",
+    "make_lnpi_pipeline",
+    "make_streaming_extrap_pipeline",
+]
 
 
 def make_extrap_pipeline(
@@ -174,6 +178,84 @@ def make_extrap_pipeline(
             return _run(uv, xv, betas, None, seed)
 
     return run
+
+
+def make_streaming_extrap_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    minus_log: bool = False,
+    val_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+    bf16: bool = False,
+):
+    r"""Streaming variant of :func:`make_extrap_pipeline`: accumulate sample
+    chunks online as a simulation runs, predict at any time — without
+    retaining samples.  No reference analogue (the reference reduces
+    complete timeseries in one shot, data.py:485-534).
+
+    Each ``update`` reduces one chunk with the fused Pallas kernel and
+    exactly pools it into the running moment state
+    (:meth:`~thermoextrap_tpu.data.DataCentralMoments.push_vals` — the same
+    shifted-moment merge as the sharded reduction, so the final state is
+    bit-for-bit the one-shot answer up to floating-point associativity).
+    The state is a pytree: ``update`` may also be used as a ``lax.scan``
+    body over pre-chunked arrays inside a larger jitted program.
+
+    Parameters
+    ----------
+    order, beta0, minus_log : as in :func:`make_extrap_pipeline`.
+    val_shape : trailing value shape of ``xv`` chunks (``()`` for scalar x).
+    dtype : accumulator dtype (f32 matches the kernel accumulation width).
+    bf16 : stream chunk samples as bfloat16 on an accelerator (half HBM
+        traffic; in-kernel accumulation stays f32; the running state stays
+        in ``dtype``).
+
+    Returns
+    -------
+    ``(state0, update, predict)`` — ``state0`` the empty accumulator,
+    ``update(state, uv, xv, weight=None) -> state`` (jitted),
+    ``predict(state, betas) -> (A, *val_shape)`` (jitted).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> state, update, predict = make_streaming_extrap_pipeline(2, 1.0)
+    >>> state = update(state, np.array([1.0, 2.0]), np.array([2.0, 4.0]))
+    >>> state = update(state, np.array([3.0, 4.0]), np.array([6.0, 8.0]))
+    >>> float(np.asarray(predict(state, np.array([1.0])))[0])  # <x> at beta0
+    5.0
+    """
+    from .data import DataCentralMoments
+
+    use_bf16 = bf16 and jax.default_backend() != "cpu"
+    val_shape = tuple(val_shape)
+
+    state0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
+
+    @jax.jit
+    def update(state, uv, xv, weight=None):
+        uv = jnp.asarray(uv)
+        xv = jnp.asarray(xv).reshape(uv.shape[0], *val_shape)
+        if use_bf16:
+            uv = uv.astype(jnp.bfloat16)
+            xv = xv.astype(jnp.bfloat16)
+        chunk = state.push_vals(xv, uv, weight=weight)
+        # keep the carried state in the accumulator dtype regardless of the
+        # chunk stream dtype, so repeated updates never change structure
+        return jax.tree.map(
+            lambda new, old: new.astype(old.dtype), chunk, state
+        )
+
+    @jax.jit
+    def predict(state, betas):
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        c = central_x_ave_coefs(state.xave, state.du, state.dxdu, order)
+        if minus_log:
+            c = series_neg_log(c)
+        return _poly_eval(c, betas - beta0)
+
+    return state0, update, predict
 
 
 def _u_central_moments_xla(uv, order: int):
