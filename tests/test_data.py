@@ -203,6 +203,43 @@ def test_from_data_x_is_u(vals):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-12)
 
 
+def test_cmom_from_data_round_trip(vals):
+    """cmom()/rmom() emit the reference cmomy layout: from_data(d.cmom())
+    reconstructs the state exactly (reference cmom/rmom, data.py:845-852)."""
+    u, x = vals
+    d = xtpu.DataCentralMoments.from_vals(x, u, ORDER)
+    t = np.asarray(d.cmom())
+    assert t.shape == (x.shape[1], 2, ORDER + 1)
+    back = xtpu.DataCentralMoments.from_data(t, val_ndim=1, central=True)
+    for a, b in zip(back.derivs_args, d.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    assert float(back.wsum) == float(d.wsum)
+
+    # rmom carries the raw views with the weight in slot [0, 0]
+    r = np.asarray(d.rmom())
+    np.testing.assert_allclose(r[..., 0, 0], float(d.wsum))
+    np.testing.assert_allclose(
+        np.moveaxis(r[..., 1, :], -1, 0), np.asarray(d.xu), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        r[0, 0, 1:], np.asarray(d.u).reshape(ORDER + 1, -1)[1:, 0], rtol=1e-12
+    )
+
+
+def test_cmom_round_trip_x_is_u(vals):
+    u, _ = vals
+    d = xtpu.DataCentralMoments.from_vals(None, u, ORDER)
+    vec = np.asarray(d.cmom())
+    assert vec.shape == (ORDER + 2,)  # [w, <u>, <du^2> .. <du^{ORDER+1}>]
+    back = xtpu.DataCentralMoments.from_data(vec, x_is_u=True, central=True)
+    assert back.order == ORDER
+    for a, b in zip(back.derivs_args, d.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    r = np.asarray(d.rmom())
+    np.testing.assert_allclose(r[0], float(d.wsum))
+    np.testing.assert_allclose(r[1:], np.asarray(d.u)[1:], rtol=1e-12)
+
+
 def test_alcbrute_bounded_default():
     """UpdateALCbrute must default to a bounded candidate scan (the full
     O(grid^2) sweep is opt-in via n_candidates=None)."""

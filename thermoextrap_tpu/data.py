@@ -688,6 +688,49 @@ class DataCentralMoments:
             return u_from_xu_when_x_is_u(self.dxdu, fill0=1.0)
         return self.du
 
+    def cmom(self):
+        """cmomy-layout central comoment tensor with TRAILING moment axes —
+        the exact inverse of :meth:`from_data` (reference
+        ``DataCentralMomentsBase.cmom``, data.py:849-852).
+
+        ``x_is_u=True`` → ``(*batch, order+2)`` u-moment vector
+        ``[w, <u>, <du^2>, ...]``; else ``(*batch, *val, 2, order+1)`` with
+        ``[..., 0, 0]=w``, ``[..., 0, 1]=<u>``, ``[..., 0, j>=2]=<du^j>``,
+        ``[..., 1, 0]=<x>``, ``[..., 1, j>=1]=<dx du^j>``.
+        """
+        if self.xalpha:
+            msg = "cmom with a deriv axis is not supported"
+            raise NotImplementedError(msg)
+        if self.x_is_u:
+            full = self.du_x.at[0].set(self.wsum).at[1].set(self.uave)
+            return jnp.moveaxis(full, 0, -1)
+        b_val = self.dxdu.shape[1:]
+        wsum_b = jnp.broadcast_to(_pad_val(self.wsum, self.val_ndim), b_val)
+        uave_b = jnp.broadcast_to(_pad_val(self.uave, self.val_ndim), b_val)
+        du_b = jnp.broadcast_to(self.du, (self.order + 1, *b_val))
+        rows0 = [wsum_b] + ([uave_b] if self.order >= 1 else []) + list(du_b[2:])
+        rows1 = [self.xave] + list(self.dxdu[1:])
+        out = jnp.stack([jnp.stack(rows0), jnp.stack(rows1)])
+        return jnp.moveaxis(out, (0, 1), (-2, -1))
+
+    def rmom(self):
+        """cmomy-layout RAW comoment tensor with trailing moment axes
+        (reference ``DataCentralMomentsBase.rmom``, data.py:845-848):
+        same shapes as :meth:`cmom` with ``[..., 0, j>=1]=<u^j>`` and
+        ``[..., 1, j]=<x u^j>`` (weight still at ``[..., 0, 0]``)."""
+        if self.xalpha:
+            msg = "rmom with a deriv axis is not supported"
+            raise NotImplementedError(msg)
+        if self.x_is_u:
+            return jnp.moveaxis(self.u.at[0].set(self.wsum), 0, -1)
+        xu = self.xu
+        b_val = xu.shape[1:]
+        wsum_b = jnp.broadcast_to(_pad_val(self.wsum, self.val_ndim), b_val)
+        row0 = jnp.broadcast_to(self.u, (self.order + 1, *b_val))
+        row0 = jnp.concatenate([wsum_b[None], row0[1:]])
+        out = jnp.stack([row0, xu])
+        return jnp.moveaxis(out, (0, 1), (-2, -1))
+
     @property
     def derivs_args(self) -> tuple:
         if self.central:
