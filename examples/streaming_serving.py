@@ -1,0 +1,88 @@
+"""Streaming serving: accumulate sample chunks online, predict anytime.
+
+A live simulation pushes chunks of (u, x) samples into a tiny moment-state
+pytree as they are produced; each update runs the fused Pallas reduction
+on the chunk and pools it into the state with the exact shifted-moment
+merge — no samples are retained, and the running prediction is available
+after every chunk at negligible cost.  The final state is numerically
+identical to a one-shot reduction over everything seen (up to float
+associativity); the reference has no streaming path (it reduces complete
+timeseries, reference data.py:485-534).
+
+Run: python examples/streaming_serving.py          (real TPU)
+     python examples/streaming_serving.py --smoke  (CPU, small sizes)
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from _smoke import setup as _smoke_setup
+
+SMOKE = _smoke_setup()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thermoextrap_tpu import idealgas
+from thermoextrap_tpu.pipeline import (
+    make_extrap_pipeline,
+    make_streaming_extrap_pipeline,
+)
+
+
+def main() -> None:
+    beta0, order = 2.0, 4
+    n_chunks = 8
+    chunk = 2_000 if SMOKE else 1 << 22  # samples per chunk
+    betas = jnp.asarray([1.6, 1.8, 2.0, 2.2, 2.4], jnp.float32)
+    exact = np.array([idealgas.x_ave(float(b)) for b in betas])
+
+    state, update, predict = make_streaming_extrap_pipeline(order, beta0)
+
+    # "live" ingest: a new chunk arrives, the state absorbs it, and the
+    # current prediction is ready immediately
+    us, xs = [], []
+    t_update = 0.0
+    for i in range(n_chunks):
+        x, u = idealgas.generate_data((chunk, 100), beta0, rng=i)
+        u = jnp.asarray(u, jnp.float32)
+        x = jnp.asarray(x, jnp.float32)
+        us.append(u)
+        xs.append(x)
+        t0 = time.perf_counter()
+        state = update(state, u, x)
+        float(state.wsum)  # sync
+        t_update += time.perf_counter() - t0
+        if i in (0, n_chunks - 1):
+            pred = np.asarray(predict(state, betas))
+            print(
+                f"after chunk {i + 1}/{n_chunks} "
+                f"({int(np.asarray(state.wsum)):.2e} samples): "
+                f"max |pred - analytic| = {np.max(np.abs(pred - exact)):.2e}"
+            )
+
+    n_total = n_chunks * chunk
+    print(
+        f"streamed {n_total:.2e} samples in {n_chunks} chunks; "
+        f"mean update cost {t_update / n_chunks * 1e3:.1f} ms/chunk "
+        f"(first includes compile)"
+    )
+
+    # the streamed state is exactly the one-shot answer over everything
+    run = make_extrap_pipeline(order, beta0)
+    want = np.asarray(run(jnp.concatenate(us), jnp.concatenate(xs), betas))
+    got = np.asarray(predict(state, betas))
+    err = np.max(np.abs(want - got) / np.abs(want))
+    print(f"streamed vs one-shot relative error: {err:.2e}")
+    assert err < 1e-4  # f32 path: pure summation-order roundoff
+
+    # prediction accuracy vs the analytic ideal gas at beta0
+    assert np.abs(got[2] - exact[2]) < 5e-3
+
+
+if __name__ == "__main__":
+    main()

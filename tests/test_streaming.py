@@ -179,6 +179,31 @@ def test_streaming_pipeline_matches_one_shot(vals):
     )
 
 
+def test_streaming_pipeline_mesh_matches_single_device(vals):
+    """mesh= streaming: sharded chunk reduce + exact merge equals the
+    single-device streamed state and the one-shot pipeline."""
+    from thermoextrap_tpu.parallel import make_mesh, shard_rec
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_streaming_extrap_pipeline,
+    )
+
+    uv, xv = vals
+    betas = jnp.asarray([0.8, 1.0, 1.2])
+    mesh = make_mesh(8, axis_names=("rec",))
+    want = np.asarray(make_extrap_pipeline(order=4, beta0=1.0)(uv, xv, betas))
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        4, 1.0, val_shape=(3,), dtype=jnp.float64, mesh=mesh
+    )
+    for lo, hi in [(0, 1400), (1400, 2200), (2200, R)]:  # each %8 == 0
+        state = update(
+            state, shard_rec(uv[lo:hi], mesh), shard_rec(xv[lo:hi], mesh)
+        )
+    got = np.asarray(predict(state, betas))
+    np.testing.assert_allclose(want, got, rtol=1e-12)
+
+
 def test_merge_validation(vals):
     uv, xv = vals
     a = DataCentralMoments.from_vals(xv, uv, ORDER)

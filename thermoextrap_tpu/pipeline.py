@@ -188,6 +188,7 @@ def make_streaming_extrap_pipeline(
     val_shape: tuple[int, ...] = (),
     dtype=jnp.float32,
     bf16: bool = False,
+    mesh=None,
 ):
     r"""Streaming variant of :func:`make_extrap_pipeline`: accumulate sample
     chunks online as a simulation runs, predict at any time — without
@@ -210,6 +211,11 @@ def make_streaming_extrap_pipeline(
     bf16 : stream chunk samples as bfloat16 on an accelerator (half HBM
         traffic; in-kernel accumulation stays f32; the running state stays
         in ``dtype``).
+    mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis: each
+        chunk is reduced by the psum-merged sharded reduction
+        (``parallel/sharded.py``) before the exact merge — shard chunks
+        with :func:`parallel.shard_rec`.  The tiny accumulator state stays
+        replicated.
 
     Returns
     -------
@@ -228,7 +234,7 @@ def make_streaming_extrap_pipeline(
     """
     from .data import DataCentralMoments
 
-    use_bf16 = bf16 and jax.default_backend() != "cpu"
+    use_bf16 = bf16 and jax.default_backend() != "cpu" and mesh is None
     val_shape = tuple(val_shape)
 
     state0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
@@ -240,7 +246,29 @@ def make_streaming_extrap_pipeline(
         if use_bf16:
             uv = uv.astype(jnp.bfloat16)
             xv = xv.astype(jnp.bfloat16)
-        chunk = state.push_vals(xv, uv, weight=weight)
+        if mesh is None:
+            chunk = state.push_vals(xv, uv, weight=weight)
+        else:
+            from .parallel import reduce_central_comoments_sharded
+            from .utils.trees import replace
+
+            xave, uave, du, dxdu = reduce_central_comoments_sharded(
+                uv, xv.reshape(uv.shape[0], -1), order, mesh, weight=weight
+            )
+            wsum = (
+                jnp.asarray(float(uv.shape[0]), du.dtype)
+                if weight is None
+                else jnp.sum(jnp.asarray(weight))
+            )
+            chunk_state = replace(
+                state,
+                xave=xave.reshape(val_shape),
+                uave=uave,
+                du=du.reshape((order + 1,) + (1,) * len(val_shape)),
+                dxdu=dxdu.reshape((order + 1, *val_shape)),
+                wsum=wsum,
+            )
+            chunk = state.merge(chunk_state)
         # keep the carried state in the accumulator dtype regardless of the
         # chunk stream dtype, so repeated updates never change structure
         return jax.tree.map(
