@@ -204,6 +204,83 @@ def test_streaming_pipeline_mesh_matches_single_device(vals):
     np.testing.assert_allclose(want, got, rtol=1e-12)
 
 
+def test_merge_batched_grid_states(vals):
+    """Batched (macrostate-grid) states pool elementwise over the grid —
+    the lnPi streaming path: grid chunks merge exactly."""
+    _, _ = vals
+    rng = np.random.default_rng(11)
+    g, r = 5, 1200
+    uv = jnp.asarray(rng.normal(-8.0, 1.5, (g, r)) + np.arange(g)[:, None])
+    one = DataCentralMoments.from_vals(None, uv, ORDER)  # batched x_is_u
+    a = DataCentralMoments.from_vals(None, uv[:, :500], ORDER)
+    b = DataCentralMoments.from_vals(None, uv[:, 500:], ORDER)
+    m = a.merge(b)
+    assert m.wsum.shape == (g,)
+    assert_args_equal(one.derivs_args, m.derivs_args)
+
+    # batched x != u with a value axis
+    xv = jnp.asarray(rng.normal(1.0, 0.4, (g, r, 2)))
+    one2 = DataCentralMoments.from_vals(xv, uv, ORDER)
+    m2 = DataCentralMoments.from_vals(xv[:, :700], uv[:, :700], ORDER).merge(
+        DataCentralMoments.from_vals(xv[:, 700:], uv[:, 700:], ORDER)
+    )
+    assert_args_equal(one2.derivs_args, m2.derivs_args)
+
+
+def test_reduce_keeps_remaining_batch_axes(vals):
+    """reduce(axis) pools ONE axis and keeps the rest (previously the merge
+    pooled every axis at once — a grid state would silently collapse)."""
+    _, _ = vals
+    rng = np.random.default_rng(13)
+    nblock, g, blk = 3, 4, 400
+    uv = jnp.asarray(rng.normal(2.0, 1.0, (nblock, g, blk)))
+    xv = jnp.asarray(rng.normal(1.0, 0.5, (nblock, g, blk, 2)))
+    blocks = DataCentralMoments.from_vals(xv, uv, ORDER)
+    pooled = blocks.reduce(axis=0)
+    assert pooled.wsum.shape == (g,)
+    # per-grid-point pooling over blocks == one-shot over concatenated recs
+    uv_cat = jnp.moveaxis(uv, 0, 1).reshape(g, nblock * blk)
+    xv_cat = jnp.moveaxis(xv, 0, 1).reshape(g, nblock * blk, 2)
+    one = DataCentralMoments.from_vals(xv_cat, uv_cat, ORDER)
+    assert_args_equal(one.derivs_args, pooled.derivs_args)
+
+
+def test_streaming_lnpi_pipeline_matches_one_shot():
+    """Streamed lnPi grid state == one-shot make_lnpi_pipeline, single
+    device and mesh-sharded."""
+    from thermoextrap_tpu.parallel import make_mesh
+    from thermoextrap_tpu.pipeline import (
+        make_lnpi_pipeline,
+        make_streaming_lnpi_pipeline,
+    )
+
+    rng = np.random.default_rng(17)
+    g, r, order = 6, 1600, 3
+    uv = jnp.asarray(rng.normal(-9.0, 1.2, (g, r)) + np.arange(g)[:, None])
+    lnpi0 = jnp.linspace(0.0, -4.0, g)
+    mudotn = 0.6 * jnp.arange(g, dtype=jnp.float64)
+    betas = jnp.asarray([1.2, 1.4, 1.7])
+
+    want = np.asarray(make_lnpi_pipeline(order, 1.4)(uv, lnpi0, mudotn, betas))
+
+    state, update, predict = make_streaming_lnpi_pipeline(
+        order, 1.4, grid_shape=(g,), dtype=jnp.float64
+    )
+    for lo, hi in [(0, 600), (600, r)]:
+        state = update(state, uv[:, lo:hi])
+    got = np.asarray(predict(state, lnpi0, mudotn, betas))
+    np.testing.assert_allclose(want, got, rtol=1e-12)
+
+    mesh = make_mesh(8, axis_names=("rec",))
+    state_m, update_m, predict_m = make_streaming_lnpi_pipeline(
+        order, 1.4, grid_shape=(g,), dtype=jnp.float64, mesh=mesh
+    )
+    for lo, hi in [(0, 800), (800, r)]:  # chunk lengths % 8 == 0
+        state_m = update_m(state_m, uv[:, lo:hi])
+    got_m = np.asarray(predict_m(state_m, lnpi0, mudotn, betas))
+    np.testing.assert_allclose(want, got_m, rtol=1e-12)
+
+
 def test_merge_validation(vals):
     uv, xv = vals
     a = DataCentralMoments.from_vals(xv, uv, ORDER)
@@ -212,5 +289,6 @@ def test_merge_validation(vals):
     batched = DataCentralMoments.from_vals(
         xv.reshape(2, R // 2, 3), uv.reshape(2, R // 2), ORDER
     )
-    with pytest.raises(ValueError, match="flat"):
-        batched.merge(batched)
+    # batch shapes must agree (flat vs batched cannot pool)
+    with pytest.raises(ValueError, match="batch shape"):
+        a.merge(batched)

@@ -745,10 +745,11 @@ class DataCentralMoments:
         return self.meta.derivs_args(self, out)
 
     def reduce(self, axis: int = 0):
-        """Merge the moment sets along a batch axis into one pooled set
-        (reference ``DataCentralMoments.reduce``, data.py:973-998) — e.g.
-        combine per-block or per-replicate moments from independent
-        simulations.  Exact (same merge rule as the sharded reduction)."""
+        """Merge the moment sets along ONE batch axis into a pooled set,
+        keeping any remaining batch axes (reference
+        ``DataCentralMoments.reduce``, data.py:973-998) — e.g. combine
+        per-block or per-replicate moments from independent simulations.
+        Exact (same merge rule as the sharded reduction)."""
         if self.xalpha:
             msg = "reduce with a deriv axis is not supported yet"
             raise NotImplementedError(msg)
@@ -787,6 +788,7 @@ class DataCentralMoments:
         order: int,
         *,
         val_shape: tuple[int, ...] = (),
+        batch_shape: tuple[int, ...] = (),
         deriv: int | None = None,
         dtype=jnp.float32,
         central: bool = True,
@@ -796,21 +798,27 @@ class DataCentralMoments:
     ):
         """Empty (zero-weight) accumulator state for streaming accumulation.
 
-        ``deriv`` (xalpha only) is the size of the explicit-beta derivative
-        axis (defaults to ``order + 1``).  Merging the empty state with any
-        chunk returns that chunk's moments exactly (its weight is zero);
-        calling ``derivs_args`` on a still-empty state is undefined (0/0).
+        ``batch_shape`` adds kept batch axes (e.g. a macrostate grid) that
+        chunks pool into elementwise.  ``deriv`` (xalpha only, flat) is the
+        size of the explicit-beta derivative axis (defaults to
+        ``order + 1``).  Merging the empty state with any chunk returns
+        that chunk's moments exactly (its weight is zero); calling
+        ``derivs_args`` on a still-empty state is undefined (0/0).
         """
         val_shape = tuple(val_shape)
+        batch_shape = tuple(batch_shape)
+        if xalpha and batch_shape:
+            msg = "zeros with both a deriv axis and batch axes is not supported"
+            raise ValueError(msg)
         d = (int(deriv) if deriv is not None else order + 1,) if xalpha else ()
         pad = (1,) * (len(val_shape) + (1 if xalpha else 0))
-        du = jnp.zeros((order + 1, *pad), dtype).at[0].set(1.0)
+        du = jnp.zeros((order + 1, *batch_shape, *pad), dtype).at[0].set(1.0)
         return cls(
-            xave=jnp.zeros((*d, *val_shape), dtype),
-            uave=jnp.zeros((), dtype),
+            xave=jnp.zeros((*d, *batch_shape, *val_shape), dtype),
+            uave=jnp.zeros(batch_shape, dtype),
             du=du,
-            dxdu=jnp.zeros((order + 1, *d, *val_shape), dtype),
-            wsum=jnp.zeros((), dtype),
+            dxdu=jnp.zeros((order + 1, *d, *batch_shape, *val_shape), dtype),
+            wsum=jnp.zeros(batch_shape, dtype),
             meta=meta if meta is not None else DataCallback(),
             order=int(order),
             central=bool(central),
@@ -822,7 +830,10 @@ class DataCentralMoments:
     def merge(self, *others: "DataCentralMoments"):
         """Exactly pool this moment state with ``others`` (weighted by each
         state's ``wsum``), as if all underlying samples had been reduced in
-        one shot.  Flat (``batch == ()``) states only; ``xalpha`` supported.
+        one shot.  Batch axes (e.g. a macrostate grid) are kept and pooled
+        elementwise; ``xalpha`` is supported for flat states (the deriv
+        axis precedes batch axes in the xalpha layout, so the two cannot
+        be stacked together).
         """
         states = (self, *others)
         for o in others:
@@ -832,12 +843,16 @@ class DataCentralMoments:
                 and o.x_is_u == self.x_is_u
                 and o.xalpha == self.xalpha
                 and o.val_ndim == self.val_ndim
+                and o.wsum.shape == self.wsum.shape
             )
             if not same:
-                msg = "merge requires identical order/central/x_is_u/xalpha/val_ndim"
+                msg = (
+                    "merge requires identical order/central/x_is_u/xalpha/"
+                    "val_ndim and batch shape"
+                )
                 raise ValueError(msg)
-        if any(s.wsum.ndim != 0 for s in states):
-            msg = "merge supports flat (batch == ()) moment states; use reduce for batch axes"
+        if self.xalpha and self.wsum.ndim != 0:
+            msg = "merge with both a deriv axis and batch axes is not supported"
             raise ValueError(msg)
         # stack with the batch axis where merge_central_comoments expects it
         # (axis 0 of the means/weights, axis 1 of the moment arrays); for
@@ -858,8 +873,11 @@ class DataCentralMoments:
             axis=0,
         )
         # all du pad axes are singletons — emit the from_vals convention
-        # (val pads only, deriv axis broadcast) regardless of input ranks
-        du = du.reshape((self.order + 1,) + (1,) * self.val_ndim)
+        # ((order+1, *batch) + val pads, deriv axis broadcast) regardless
+        # of input ranks
+        du = du.reshape(
+            (self.order + 1, *uave.shape) + (1,) * self.val_ndim
+        )
         return replace(
             self, xave=xave, uave=uave, du=du, dxdu=dxdu, wsum=wsum,
             meta=self.meta.reduce(self),

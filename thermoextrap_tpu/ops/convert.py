@@ -129,44 +129,52 @@ def u_from_xu_when_x_is_u(xu, fill0=1.0):
     return jnp.concatenate([pad, xu], axis=0)
 
 
+def _pad_trailing(a, ndim: int):
+    """Append singleton axes until ``a.ndim == ndim`` (trailing-val pads)."""
+    return a.reshape(a.shape + (1,) * (ndim - a.ndim)) if a.ndim < ndim else a
+
+
 def merge_central_comoments(xave, uave, du, dxdu, wsum, axis: int = 0):
-    r"""Merge independent central comoment sets along a batch axis
-    (reference ``DataCentralMoments.reduce``, data.py:973-998).
+    r"""Merge independent central comoment sets along ONE batch axis
+    (reference ``DataCentralMoments.reduce``, data.py:973-998), keeping any
+    remaining batch axes (e.g. a macrostate grid) intact.
 
     Strategy: shift every set's raw moments about the pooled means (exact,
     one weighted average), then the merged central moments are the weighted
     mean of the shifted contributions — the same exact merge rule used by
     the sharded reduction (parallel/sharded.py).
 
-    Shapes (axis=0 after normalization): ``xave (B, *val)``, ``uave (B,)``,
-    ``du (order+1, B, 1...)``, ``dxdu (order+1, B, *val)``, ``wsum (B,)``.
-    Returns the same tuple with the batch axis reduced away.
+    Shapes (axis=0 after normalization; ``*b`` = surviving batch axes):
+    ``xave (B, *b, *val)``, ``uave (B, *b)``, ``du (order+1, B, *b, 1...)``,
+    ``dxdu (order+1, B, *b, *val)``, ``wsum (B, *b)``.  Returns the same
+    tuple with the merged axis reduced away.
     """
-    # normalize: batch axis of the moment arrays sits at position 1
+    # normalize: merged axis at 0 of the means/weights, 1 of the moments
     uave = jnp.moveaxis(uave, axis, 0)
     wsum = jnp.moveaxis(wsum, axis, 0)
     xave = jnp.moveaxis(xave, axis, 0)
-    du = jnp.moveaxis(du, axis + 1, 1)
     dxdu = jnp.moveaxis(dxdu, axis + 1, 1)
+    du = _pad_trailing(jnp.moveaxis(du, axis + 1, 1), dxdu.ndim)
 
     order = du.shape[0] - 1
-    w = wsum / wsum.sum()
-    u_pool = (w * uave).sum()
-    w_x = w.reshape((-1,) + (1,) * (xave.ndim - 1))
-    x_pool = (w_x * xave).sum(axis=0)
+    wtot = wsum.sum(axis=0)  # (*b,)
+    w = wsum / wtot
+    u_pool = (w * uave).sum(axis=0)  # (*b,)
+    w_x = _pad_trailing(w, xave.ndim)
+    x_pool = (w_x * xave).sum(axis=0)  # (*b, *val)
 
     # raw moments of each set about the pooled u mean:
     # <(u - u_pool)^n>_b = sum_k C(n,k) du_b[k] (uave_b - u_pool)^{n-k}
-    delta_u = uave - u_pool  # (B,)
-    delta_u_b = delta_u.reshape((-1,) + (1,) * (du.ndim - 2))
-    shifted_u = raw_from_central(du, delta_u_b)  # (order+1, B, 1...)
+    delta_u = uave - u_pool  # (B, *b)
+    shifted_u = raw_from_central(du, _pad_trailing(delta_u, du.ndim - 1))
 
     # comoments of (x - x_pool) about the pooled u mean:
     # <(x - x_pool)(u - u_pool)^n>_b
-    #   = sum_k C(n,k) (dxdu_b[k] + dxb * du_b[k]) * delta_u^{n-k},  dxb = xave_b - x_pool
-    dxb = xave - x_pool  # (B, *val)
-    base = dxdu + dxb[None] * du  # <(x - x_pool) dub^k>; du broadcasts over val
-    d = _powers(delta_u.reshape((-1,) + (1,) * (dxdu.ndim - 2)), order)
+    #   = sum_k C(n,k) (dxdu_b[k] + dxb * du_b[k]) * delta_u^{n-k},
+    # with dxb = xave_b - x_pool
+    dxb = xave - x_pool  # (B, *b, *val)
+    base = dxdu + dxb[None] * du
+    d = _powers(_pad_trailing(delta_u, dxdu.ndim - 1), order)
     shifted_xu = jnp.stack(
         [
             sum(comb(n, k) * base[k] * d[n - k] for k in range(n + 1))
@@ -175,10 +183,10 @@ def merge_central_comoments(xave, uave, du, dxdu, wsum, axis: int = 0):
         axis=0,
     )
 
-    w_u = w.reshape((-1,) + (1,) * (shifted_u.ndim - 2))
-    w_xu = w.reshape((-1,) + (1,) * (shifted_xu.ndim - 2))
+    w_u = _pad_trailing(w, shifted_u.ndim - 1)
+    w_xu = _pad_trailing(w, shifted_xu.ndim - 1)
     du_m = (w_u * shifted_u).sum(axis=1)
     dxdu_m = (w_xu * shifted_xu).sum(axis=1)
     du_m = du_m.at[0].set(1.0).at[1].set(0.0)
     dxdu_m = dxdu_m.at[0].set(0.0)
-    return x_pool, u_pool, du_m, dxdu_m, wsum.sum()
+    return x_pool, u_pool, du_m, dxdu_m, wtot

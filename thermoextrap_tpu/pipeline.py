@@ -36,6 +36,7 @@ __all__ = [
     "make_extrap_pipeline",
     "make_lnpi_pipeline",
     "make_streaming_extrap_pipeline",
+    "make_streaming_lnpi_pipeline",
 ]
 
 
@@ -282,6 +283,86 @@ def make_streaming_extrap_pipeline(
         if minus_log:
             c = series_neg_log(c)
         return _poly_eval(c, betas - beta0)
+
+    return state0, update, predict
+
+
+def make_streaming_lnpi_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    grid_shape: tuple[int, ...],
+    dtype=jnp.float32,
+    mesh=None,
+):
+    r"""Streaming variant of :func:`make_lnpi_pipeline`: accumulate
+    macrostate-grid energy-sample chunks online, predict lnΠ at any time.
+
+    The state is a batched ``x_is_u`` moment container over the grid; each
+    ``update`` reduces one ``(*grid_shape, chunk)`` energy block (batched
+    u-moment Pallas kernel on an accelerator) and pools it elementwise
+    into the grid state with the exact shifted-moment merge.  No reference
+    analogue (the reference reduces complete lnΠ timeseries in one shot,
+    reference lnpi.py:372-438 data path).
+
+    Parameters
+    ----------
+    order, beta0 : as in :func:`make_lnpi_pipeline` (``order >= 1``).
+    grid_shape : macrostate-grid batch shape of the incoming chunks.
+    dtype : accumulator dtype.
+    mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis — chunk
+        reductions run psum-merged over devices; shard chunks on their
+        LAST (rec) axis.
+
+    Returns
+    -------
+    ``(state0, update, predict)`` — ``update(state, uv) -> state``
+    (``uv (*grid_shape, chunk)``, jitted) and
+    ``predict(state, lnpi0, mudotn, betas) -> (A, *grid_shape)`` (jitted).
+    """
+    if order < 1:
+        msg = f"lnPi order must be >= 1, got {order}"
+        raise ValueError(msg)
+    from .data import DataCentralMoments
+    from .utils.trees import replace
+
+    grid_shape = tuple(grid_shape)
+    state0 = DataCentralMoments.zeros(
+        order, batch_shape=grid_shape, x_is_u=True, dtype=dtype
+    )
+
+    @jax.jit
+    def update(state, uv):
+        uv = jnp.asarray(uv)
+        if mesh is None:
+            chunk = state.push_vals(None, uv)
+        else:
+            from .parallel import reduce_central_umoments_batched_sharded
+
+            # order+1 moments: the x_is_u state's dxdu is the shift view
+            uave, du_full = reduce_central_umoments_batched_sharded(
+                uv, order + 1, mesh
+            )
+            chunk_state = replace(
+                state,
+                xave=uave,
+                uave=uave,
+                du=du_full[: order + 1],
+                dxdu=du_full[1 : order + 2],
+                wsum=jnp.full(grid_shape, float(uv.shape[-1]), du_full.dtype),
+            )
+            chunk = state.merge(chunk_state)
+        return jax.tree.map(
+            lambda new, old: new.astype(old.dtype), chunk, state
+        )
+
+    @jax.jit
+    def predict(state, lnpi0, mudotn, betas):
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        du = state.du.reshape((order + 1, *grid_shape))
+        u_c = central_u_ave_coefs(state.uave, du, order - 1)
+        coefs = lnpi_coefs(u_c, jnp.asarray(lnpi0), jnp.asarray(mudotn), order)
+        return _poly_eval(coefs, betas - beta0)
 
     return state0, update, predict
 
