@@ -281,6 +281,52 @@ def test_streaming_lnpi_pipeline_matches_one_shot():
     np.testing.assert_allclose(want, got_m, rtol=1e-12)
 
 
+def test_streaming_jackknife(vals):
+    """Leave-one-chunk-out states are exact (== one-shot over the kept
+    chunks) and the jackknife std err tracks the bootstrap std."""
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_streaming_extrap_pipeline,
+        streaming_jackknife,
+    )
+
+    uv, xv = vals
+    betas = jnp.asarray([0.8, 1.0, 1.2])
+    nchunk = 6
+    cu = uv.reshape(nchunk, R // nchunk)
+    cx = xv.reshape(nchunk, R // nchunk, 3)
+    states = [
+        DataCentralMoments.from_vals(cx[i], cu[i], 4) for i in range(nchunk)
+    ]
+
+    _, _, predict = make_streaming_extrap_pipeline(
+        4, 1.0, val_shape=(3,), dtype=jnp.float64
+    )
+    pred, se = streaming_jackknife(states, predict, betas)
+
+    # full prediction == one-shot pipeline
+    want = np.asarray(make_extrap_pipeline(order=4, beta0=1.0)(uv, xv, betas))
+    np.testing.assert_allclose(want, np.asarray(pred), rtol=1e-12)
+
+    # exactness of one LOO state: merge of chunks != 2 equals one-shot
+    keep = [i for i in range(nchunk) if i != 2]
+    loo = states[keep[0]].merge(*[states[i] for i in keep[1:]])
+    mask = np.ones(R, bool)
+    mask[2 * (R // nchunk) : 3 * (R // nchunk)] = False
+    one = DataCentralMoments.from_vals(xv[mask], uv[mask], 4)
+    assert_args_equal(one.derivs_args, loo.derivs_args)
+
+    # std err is positive and within a small factor of the iid bootstrap
+    run_b = make_extrap_pipeline(order=4, beta0=1.0, nrep=512)
+    _, bstd = run_b(uv, xv, betas, seed=0)
+    ratio = np.asarray(se) / np.asarray(bstd)
+    assert np.all(np.asarray(se) > 0)
+    assert np.all((ratio > 0.3) & (ratio < 3.0)), ratio
+
+    with pytest.raises(ValueError, match=">= 2"):
+        streaming_jackknife(states[:1], predict, betas)
+
+
 def test_merge_validation(vals):
     uv, xv = vals
     a = DataCentralMoments.from_vals(xv, uv, ORDER)

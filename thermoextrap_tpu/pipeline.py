@@ -37,6 +37,7 @@ __all__ = [
     "make_lnpi_pipeline",
     "make_streaming_extrap_pipeline",
     "make_streaming_lnpi_pipeline",
+    "streaming_jackknife",
 ]
 
 
@@ -365,6 +366,63 @@ def make_streaming_lnpi_pipeline(
         return _poly_eval(coefs, betas - beta0)
 
     return state0, update, predict
+
+
+def streaming_jackknife(states, predict, *args):
+    r"""Delete-one-block jackknife over retained streaming chunk states:
+    prediction + standard error with NO sample retention.
+
+    The streaming pipelines accumulate chunks into one state; keeping the
+    per-chunk states instead (tiny — ``O(order * V)`` numbers each) admits
+    an exact uncertainty estimate: every leave-one-chunk-out pooled state
+    is built from prefix/suffix exact merges (``O(C)`` merges total, not
+    ``O(C^2)``), ``predict`` is evaluated on each, and the block-jackknife
+    variance ``(C-1)/C * sum_i (theta_i - theta_bar)^2`` is returned.  For
+    time-correlated simulation streams the delete-a-block estimator is the
+    statistically appropriate one (each chunk is a correlation block); the
+    reference's uncertainty path is iid bootstrap over single samples
+    (reference data.py:1285-1392).
+
+    Parameters
+    ----------
+    states : sequence of per-chunk ``DataCentralMoments`` (same structure).
+    predict : callable ``predict(state, *args) -> array`` (e.g. the
+        ``predict`` returned by :func:`make_streaming_extrap_pipeline`).
+    *args : forwarded to ``predict``.
+
+    Returns
+    -------
+    ``(pred, std_err)`` — ``pred`` from the all-chunks pooled state,
+    ``std_err`` the jackknife standard error of ``pred``, same shape.
+    """
+    states = list(states)
+    c = len(states)
+    if c < 2:
+        msg = f"jackknife needs >= 2 chunk states, got {c}"
+        raise ValueError(msg)
+
+    # prefix[i] = pool of states[:i]; suffix[i] = pool of states[i:]
+    prefix = [None] * (c + 1)
+    suffix = [None] * (c + 1)
+    for i, s in enumerate(states):
+        prefix[i + 1] = s if prefix[i] is None else prefix[i].merge(s)
+    for i in range(c - 1, -1, -1):
+        s = states[i]
+        suffix[i] = s if suffix[i + 1] is None else s.merge(suffix[i + 1])
+
+    full = prefix[c]
+    theta = []
+    for i in range(c):
+        if prefix[i] is None:
+            loo = suffix[i + 1]
+        elif suffix[i + 1] is None:
+            loo = prefix[i]
+        else:
+            loo = prefix[i].merge(suffix[i + 1])
+        theta.append(jnp.asarray(predict(loo, *args)))
+    theta = jnp.stack(theta)  # (C, ...)
+    var = (c - 1) / c * ((theta - theta.mean(0)) ** 2).sum(0)
+    return jnp.asarray(predict(full, *args)), jnp.sqrt(var)
 
 
 def _u_central_moments_xla(uv, order: int):
