@@ -120,6 +120,31 @@ def main() -> None:
     }
     print(json.dumps({"lnpi_grid_predict_ci": results["lnpi_grid_predict_ci"]}))
 
+    # streaming ingest: per-chunk update cost at 1/8 of the north-star size
+    # (the merge epilogue must be unmeasurable next to the chunk reduction,
+    # i.e. chunk rate ~= one-shot reduction rate)
+    from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+    chunk = r // 8
+    state0, update, predict = make_streaming_extrap_pipeline(
+        order, beta0, val_shape=(1,)
+    )
+    uc, xc = uv[:chunk], xv[:chunk]
+    state = update(state0, uc, xc)  # compile + warm (also the carried state)
+    float(jnp.asarray(state.wsum))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        s = update(state, uc, xc)
+        float(jnp.asarray(s.wsum))
+        best = min(best, time.perf_counter() - t0)
+    results["streaming_update"] = {
+        "chunk": chunk,
+        "wallclock_s": round(best, 4),
+        "gsamples_per_s": round(chunk / best / 1e9, 2),
+    }
+    print(json.dumps({"streaming_update": results["streaming_update"]}))
+
     results["backend"] = jax.default_backend()
     Path(__file__).parent.parent.joinpath("BENCH_PIPELINE.json").write_text(
         json.dumps(results, indent=1) + "\n"
