@@ -327,6 +327,47 @@ def test_streaming_jackknife(vals):
         streaming_jackknife(states[:1], predict, betas)
 
 
+def test_reduce_negative_axis(vals):
+    """reduce(axis=-1) must pool the LAST batch axis (negative axes used
+    to shift onto the moment axis via the +1 offset)."""
+    _, _ = vals
+    rng = np.random.default_rng(19)
+    g, nblock, blk = 3, 4, 300
+    uv = jnp.asarray(rng.normal(2.0, 1.0, (g, nblock, blk)))
+    xv = jnp.asarray(rng.normal(1.0, 0.5, (g, nblock, blk, 2)))
+    blocks = DataCentralMoments.from_vals(xv, uv, ORDER)
+    a = blocks.reduce(axis=1)
+    b = blocks.reduce(axis=-1)
+    assert b.wsum.shape == (g,)
+    assert_args_equal(a.derivs_args, b.derivs_args)
+
+
+def test_bf16_weight_does_not_quantize_wsum(vals):
+    """Explicit bf16 weights must sum in >= f32 (8-bit-mantissa sums round
+    above 256 — the count would bias every weighted merge)."""
+    uv, xv = vals
+    w = jnp.ones(R, jnp.bfloat16)
+    d = DataCentralMoments.from_vals(
+        xv.astype(jnp.bfloat16), uv.astype(jnp.bfloat16), ORDER, weight=w
+    )
+    assert float(d.wsum) == R
+    assert d.wsum.dtype in (jnp.float32, jnp.float64)
+
+
+def test_stateless_callback_subclass_equality():
+    """Type-based callback equality must stay reflexive under subclassing
+    (subclass instances equal their own kind, not DataCallback)."""
+    from thermoextrap_tpu.data import DataCallback
+
+    class MyCB(DataCallback):
+        pass
+
+    assert MyCB() == MyCB()
+    assert DataCallback() == DataCallback()
+    assert MyCB() != DataCallback()
+    assert DataCallback() != MyCB()
+
+
 def test_merge_validation(vals):
     uv, xv = vals
     a = DataCentralMoments.from_vals(xv, uv, ORDER)

@@ -98,10 +98,13 @@ class DataCallback(DataCallbackABC):
     """
 
     def __eq__(self, other) -> bool:
-        return type(other) is DataCallback
+        # by-type equality keeps treedefs shared across instances AND stays
+        # reflexive under stateless subclasses (a subclass instance must
+        # equal its own kind, not DataCallback)
+        return type(other) is type(self)
 
     def __hash__(self) -> int:
-        return hash(DataCallback)
+        return hash(type(self))
 
 
 jax.tree_util.register_static(DataCallback)
@@ -369,7 +372,7 @@ class DataCentralMoments:
         wsum = (
             jnp.full(dv.uv.shape[:-1], float(len(dv)), dtype=wdtype)
             if w is None
-            else jnp.broadcast_to(w, dv.uv.shape).sum(-1)
+            else jnp.broadcast_to(jnp.asarray(w, wdtype), dv.uv.shape).sum(-1)
         )
         return cls(
             xave=dv._move_deriv(xave, has_mom_axis=False),

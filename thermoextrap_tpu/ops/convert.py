@@ -150,6 +150,9 @@ def merge_central_comoments(xave, uave, du, dxdu, wsum, axis: int = 0):
     tuple with the merged axis reduced away.
     """
     # normalize: merged axis at 0 of the means/weights, 1 of the moments
+    # (negative axis must be resolved against the MEANS' rank before the
+    # +1 offset below, or it would index from the moment axis instead)
+    axis = int(axis) % max(jnp.ndim(uave), 1)
     uave = jnp.moveaxis(uave, axis, 0)
     wsum = jnp.moveaxis(wsum, axis, 0)
     xave = jnp.moveaxis(xave, axis, 0)

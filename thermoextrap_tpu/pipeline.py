@@ -388,6 +388,8 @@ def streaming_jackknife(states, predict, *args):
     states : sequence of per-chunk ``DataCentralMoments`` (same structure).
     predict : callable ``predict(state, *args) -> array`` (e.g. the
         ``predict`` returned by :func:`make_streaming_extrap_pipeline`).
+        Must be jax-traceable: all LOO predictions run as ONE ``vmap``
+        dispatch over the stacked states.
     *args : forwarded to ``predict``.
 
     Returns
@@ -411,16 +413,20 @@ def streaming_jackknife(states, predict, *args):
         suffix[i] = s if suffix[i + 1] is None else s.merge(suffix[i + 1])
 
     full = prefix[c]
-    theta = []
+    loo = []
     for i in range(c):
         if prefix[i] is None:
-            loo = suffix[i + 1]
+            loo.append(suffix[i + 1])
         elif suffix[i + 1] is None:
-            loo = prefix[i]
+            loo.append(prefix[i])
         else:
-            loo = prefix[i].merge(suffix[i + 1])
-        theta.append(jnp.asarray(predict(loo, *args)))
-    theta = jnp.stack(theta)  # (C, ...)
+            loo.append(prefix[i].merge(suffix[i + 1]))
+    # one dispatch for all C LOO predictions: the states are uniform
+    # pytrees, so stack them and vmap `predict` (which must therefore be
+    # traceable — the jitted predicts returned by the streaming pipeline
+    # factories are) instead of paying C per-call dispatch overheads
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *loo)
+    theta = jax.vmap(lambda s: predict(s, *args))(stacked)  # (C, ...)
     var = (c - 1) / c * ((theta - theta.mean(0)) ** 2).sum(0)
     return jnp.asarray(predict(full, *args)), jnp.sqrt(var)
 
