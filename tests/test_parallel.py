@@ -686,3 +686,88 @@ def test_bf16_bootstrap_interpret(rng_np):
         resample_central_comoments_fused(
             u16, jnp.asarray(x), freq, order, interpret=True
         )
+
+
+def test_zero_weight_head_no_nan(rng_np):
+    """A zero-weight prefix (burn-in masked by weight=0) longer than the
+    shift-estimate head must NOT poison the fused kernels with 0/0 = NaN
+    (the shift falls back to 0; recentering stays exact)."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused,
+        reduce_central_umoments_batched,
+    )
+
+    order, R = 4, 10_000
+    u = rng_np.normal(2.0, 1.0, R).astype(np.float32)
+    x = rng_np.normal(1.0, 0.5, (R, 1)).astype(np.float32)
+    w = np.zeros(R, np.float32)
+    w[9_000:] = 1.0  # the 8192-sample head is entirely zero-weight
+
+    ref = reduce_central_comoments(
+        np.float64(u), np.float64(x), order, weight=np.float64(w)
+    )
+    got = reduce_central_comoments_fused(u, x, order, weight=w, interpret=True)
+    for a, b in zip(got, ref):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=5e-3, atol=1e-4
+        )
+
+    ub = np.stack([u, u + 1.0])
+    wb = np.stack([w, w])
+    uave, du = reduce_central_umoments_batched(
+        ub, order, weight=wb, interpret=True
+    )
+    assert np.all(np.isfinite(np.asarray(uave)))
+    assert np.all(np.isfinite(np.asarray(du)))
+    np.testing.assert_allclose(
+        float(np.asarray(uave)[0]), float(u[9_000:].mean()), rtol=5e-5
+    )
+
+
+def test_flat_x_is_u_umoment_kernel_route(rng_np):
+    """The batched u-moment kernel accepts flat (R,) input — the dispatch
+    x_is_u route that halves stream traffic vs running the comoment kernel
+    on two copies of u (dispatch keys on an explicit flag because `xv is
+    uv` is always False under jit tracing)."""
+    from thermoextrap_tpu.ops import dispatch
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_umoments_batched,
+    )
+
+    order, R = 4, 3000
+    u = rng_np.normal(5.0, 1.0, R).astype(np.float32)
+    uave, du = reduce_central_umoments_batched(u, order + 1, interpret=True)
+    assert uave.shape == ()
+    assert du.shape == (order + 2,)
+    ref_x, ref_u, ref_du, ref_dxdu = reduce_central_comoments(
+        np.float64(u), np.float64(u), order, val_ndim=0
+    )
+    np.testing.assert_allclose(float(uave), float(ref_u), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(du[: order + 1], np.float64), np.asarray(ref_du),
+        rtol=2e-3, atol=1e-5,
+    )
+    # the contract dispatch builds from the shift view: dxdu[n] = du[n+1]
+    np.testing.assert_allclose(
+        np.asarray(du[1 : order + 2], np.float64), np.asarray(ref_dxdu),
+        rtol=2e-3, atol=1e-4,
+    )
+    # the XLA fallback honors the explicit flag too (identical contract)
+    got = dispatch.reduce_central(u, u, order, x_is_u=True, val_ndim=0)
+    for a, b in zip(got, (ref_x, ref_u, ref_du, ref_dxdu)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_u_batched_xla_order0_shape():
+    """order=0 must emit one moment row, not the [ones, zeros] seed pair
+    (the AD wrapper's backward reference must match du's shape)."""
+    from thermoextrap_tpu.ops.moments_pallas import _u_batched_xla
+
+    u = jax.numpy.asarray(np.random.default_rng(0).normal(0, 1, (3, 100)))
+    uave, du = _u_batched_xla(u, None, 0)
+    assert du.shape == (1, 3)
+    uave1, du1 = _u_batched_xla(u, None, 1)
+    assert du1.shape == (2, 3)

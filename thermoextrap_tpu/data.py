@@ -222,9 +222,12 @@ class DataValues:
 
     @cached_property
     def _central(self):
+        # x_is_u threaded explicitly: the dispatch identity check (xv is
+        # uv) fails once this object flows through jit/vmap (distinct
+        # tracers), which would double the stream traffic on TPU
         return dispatch.reduce_central(
             self.uv, self.xv, self.order, weight=self.weight,
-            val_ndim=self._xval_ndim,
+            val_ndim=self._xval_ndim, x_is_u=self.x_is_u,
         )
 
     def _move_deriv(self, a, has_mom_axis: bool = True):

@@ -56,16 +56,12 @@ def shift_raw_moments(u, delta, xp=jnp):
 def shift_raw_comoments(xu, delta, xp=jnp):
     r"""Shift the u-argument of raw comoments ``xu[k] = <x y^k>`` by ``delta``:
     ``out[n] = <x (y - delta)^n> = sum_k C(n,k) xu[k] (-delta)^{n-k}``.
+
+    The binomial transform is identical to :func:`shift_raw_moments`
+    applied row-wise (the x factor rides along untouched) — one
+    implementation, two documented contracts.
     """
-    order = xu.shape[0] - 1
-    d = _powers(-delta, order, xp=xp)
-    return xp.stack(
-        [
-            sum(comb(n, k) * xu[k] * d[n - k] for k in range(n + 1))
-            for n in range(order + 1)
-        ],
-        axis=0,
-    )
+    return shift_raw_moments(xu, delta, xp=xp)
 
 
 def central_from_raw(u, xp=jnp):

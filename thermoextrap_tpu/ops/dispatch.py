@@ -38,41 +38,13 @@ def _use_pallas() -> bool:
     return jax.default_backend() != "cpu"
 
 
-def reduce_central(uv, xv, order, weight=None, val_ndim=1):
+def reduce_central(uv, xv, order, weight=None, val_ndim=1, x_is_u=False):
     flat = getattr(uv, "ndim", 1) == 1
     if _use_pallas():
-        if flat:
-            # custom-VJP wrapper: autodiff flows through the fused kernel.
-            # Weights stay f32 even for bf16 sample streams — the kernel
-            # accumulates in f32 and a bf16 weight quantization would be a
-            # silent accuracy loss for no bandwidth win (weights are one
-            # stream of several).
-            w = (
-                None
-                if weight is None
-                else jnp.broadcast_to(
-                    jnp.asarray(weight, jnp.float32), jnp.shape(uv)
-                )
-            )
-            return moments_pallas.reduce_central_comoments_fused_ad(
-                uv, xv, w, order
-            )
-        if xv is uv:
-            # x_is_u with batch axes (the lnPi macrostate-grid layout):
-            # u-moments only, via the batched kernel (order+1 for the
-            # dxdu = du[n+1] shift view); custom-VJP wrapper carries autodiff
-            w = (
-                None
-                if weight is None
-                else jnp.broadcast_to(
-                    jnp.asarray(weight, jnp.float32), jnp.shape(uv)
-                )
-            )
-            uave, du_full = moments_pallas.reduce_central_umoments_batched_ad(
-                uv, w, order + 1
-            )
-            return uave, uave, du_full[: order + 1], du_full[1 : order + 2]
-        # batched x != u: fused comoment kernel over (batch, rec blocks)
+        # Weights stay f32 even for bf16 sample streams — the kernels
+        # accumulate in f32 and a bf16 weight quantization would be a
+        # silent accuracy loss for no bandwidth win (weights are one
+        # stream of several).
         w = (
             None
             if weight is None
@@ -80,6 +52,24 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1):
                 jnp.asarray(weight, jnp.float32), jnp.shape(uv)
             )
         )
+        # x == u (the lnPi layout, flat or macrostate-grid batched):
+        # u-moments only via the batched kernel — HALF the stream traffic
+        # of running the comoment kernel on two copies of u (order+1 for
+        # the dxdu = du[n+1] shift view).  The explicit flag matters:
+        # `xv is uv` is identity-based and always False once traced
+        # through jit/vmap (pytree flatten yields distinct tracers), so
+        # callers inside jit MUST thread x_is_u explicitly.
+        if x_is_u or xv is uv:
+            uave, du_full = moments_pallas.reduce_central_umoments_batched_ad(
+                uv, w, order + 1
+            )
+            return uave, uave, du_full[: order + 1], du_full[1 : order + 2]
+        if flat:
+            # custom-VJP wrapper: autodiff flows through the fused kernel
+            return moments_pallas.reduce_central_comoments_fused_ad(
+                uv, xv, w, order
+            )
+        # batched x != u: fused comoment kernel over (batch, rec blocks)
         return moments_pallas.reduce_central_comoments_batched_ad(
             uv, xv, w, order
         )

@@ -103,6 +103,50 @@ def _pad_flat(a, n):
     return jnp.pad(a, (0, n - a.shape[0])) if a.shape[0] != n else a
 
 
+def _head_shift(uv, w_flat, xv=None, head_n: int = 8192):
+    """Numerical-centering shift estimate from the first chunk (cheap XLA
+    slice).  The kernels recenter the shifted sums exactly afterwards, so
+    ANY finite value preserves correctness — a zero-weight head (e.g.
+    burn-in masked with weight=0) must fall back to shift 0 instead of
+    emitting 0/0 = NaN into every output (the fallback only costs f32
+    conditioning, not exactness).  Returns ``s_u`` or ``(s_u, s_x)``.
+    """
+    head = min(head_n, uv.shape[0])
+    w_head = (
+        jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
+    )
+    ws = w_head.sum()
+    ok = ws > 0
+    safe = jnp.where(ok, ws, 1.0)
+    s_u = jnp.where(ok, (w_head * uv[:head]).sum() / safe, 0.0)
+    if xv is None:
+        return s_u
+    s_x = jnp.where(ok, (w_head[:, None] * xv[:head]).sum(0) / safe, 0.0)
+    return s_u, s_x
+
+
+def _head_shift_batched(u2, w2, x3=None, head_n: int = 8192):
+    """Per-batch variant of :func:`_head_shift` for ``(nbatch, R)`` streams
+    (and optional ``(nbatch, R, V)`` x streams)."""
+    nbatch, r = u2.shape
+    head = min(head_n, r)
+    w_head = (
+        jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
+    )
+    hsum = w_head.sum(-1)
+    ok = hsum > 0
+    safe = jnp.where(ok, hsum, 1.0)
+    s_u = jnp.where(ok, (w_head * u2[:, :head]).sum(-1) / safe, 0.0)
+    if x3 is None:
+        return s_u
+    s_x = jnp.where(
+        ok[:, None],
+        (w_head[:, :, None] * x3[:, :head]).sum(1) / safe[:, None],
+        0.0,
+    )
+    return s_u, s_x
+
+
 def _stream_dtype(uv, xv):
     """bf16 opt-in must be explicit for BOTH streams: keying on one would
     silently downcast (or silently ignore) the other.  Returns the common
@@ -287,10 +331,7 @@ def reduce_central_comoments_fused(
     )
 
     # shift estimate from the first chunk (cheap XLA slice)
-    head = min(8192, r)
-    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
-    s_u = (w_head * uv[:head]).sum() / w_head.sum()
-    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+    s_u, s_x = _head_shift(uv, w_flat, xv)
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8  # min sublane tile
     # 128 lanes is the ONLY row width for which (R,) -> (rows, lanes) is a
@@ -318,19 +359,25 @@ def reduce_central_comoments_fused(
     rows = min(rows, rows_needed)
     rows_total = (r + lanes - 1) // lanes
     grid = (rows_total + rows - 1) // rows  # partial last block allowed
+    # interpret mode: zero-pad every operand to FULL block coverage — the
+    # hlo interpreter fills out-of-bounds block regions with poison and
+    # XLA:CPU can leak it past where-masks when several operands carry OOB
+    # blocks (see resample_central_comoments_fused).  Device path keeps
+    # the minimal zero-copy packing (partial last block is fine on TPU).
+    rows_pad = grid * rows if interpret else rows_total
 
     def pack1(a):
-        if r % lanes == 0:
-            return a.reshape(rows_total, lanes)  # bitcast, zero copy
-        return _pad_flat(a, rows_total * lanes).reshape(rows_total, lanes)
+        if r == rows_pad * lanes:
+            return a.reshape(rows_pad, lanes)  # bitcast, zero copy
+        return _pad_flat(a, rows_pad * lanes).reshape(rows_pad, lanes)
 
     u_p = pack1(uv)
     if v == 1:
         x_p = pack1(xv[:, 0])[None]  # free reshape, no transpose
     else:
         # one transposed copy for all observable columns (vs a pass per column)
-        x_p = jnp.pad(xv, ((0, rows_total * lanes - r), (0, 0))).T.reshape(
-            v, rows_total, lanes
+        x_p = jnp.pad(xv, ((0, rows_pad * lanes - r), (0, 0))).T.reshape(
+            v, rows_pad, lanes
         )
 
     operands = [
@@ -406,7 +453,6 @@ def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
 # ---------------------------------------------------------------------------
 
 
-_SUBROWS = 8  # sample rows per resample grid step at the legacy 1024-lane
 _REC_CHUNK = 8192  # samples per resample grid step (subrows * lanes)
 
 
@@ -549,10 +595,7 @@ def resample_central_comoments_fused(
         else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
     )
 
-    head = min(8192, r)
-    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
-    s_u = (w_head * uv[:head]).sum() / w_head.sum()
-    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+    s_u, s_x = _head_shift(uv, w_flat, xv)
 
     # zero-copy packing at the layout-preserving 128-lane width (see the
     # module docstring) so every stream — including the big (nrep, R) freq
@@ -848,10 +891,7 @@ def resample_central_comoments_poisson(
         else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
     )
 
-    head = min(8192, r)
-    w_head = jnp.ones((head,), jnp.float32) if w_flat is None else w_flat[:head]
-    s_u = (w_head * uv[:head]).sum() / w_head.sum()
-    s_x = (w_head[:, None] * xv[:head]).sum(0) / w_head.sum()
+    s_u, s_x = _head_shift(uv, w_flat, xv)
 
     lanes = _LANES
     subrows = _REC_CHUNK // lanes
@@ -1016,9 +1056,7 @@ def resample_central_umoments_batched_poisson(
         )
     )
 
-    head = min(8192, r)
-    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
-    s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
+    s_u = _head_shift_batched(u2, w2)  # (nbatch,)
 
     lanes = _LANES
     subrows = _REC_CHUNK // lanes
@@ -1189,9 +1227,7 @@ def reduce_central_umoments_batched(
         )
     )
 
-    head = min(8192, r)
-    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
-    s_u = (w_head * u2[:, :head]).sum(-1) / w_head.sum(-1)  # (nbatch,)
+    s_u = _head_shift_batched(u2, w2)  # (nbatch,)
 
     # zero-copy (nbatch, R) -> (nbatch, rows, 128) bitcast (128 lanes is
     # the only layout-preserving width — see the module docstring); pad
@@ -1205,12 +1241,14 @@ def reduce_central_umoments_batched(
     rows = min(rows, rows_needed)
     nb_rows = (r + lanes - 1) // lanes
     grid_j = (nb_rows + rows - 1) // rows
+    # interpret: full-block zero pad (see reduce_central_comoments_fused)
+    rows_pad = grid_j * rows if interpret else nb_rows
 
     def packb(a):
-        if r % lanes == 0:
-            return a.reshape(nbatch, nb_rows, lanes)  # bitcast, zero copy
-        return jnp.pad(a, ((0, 0), (0, nb_rows * lanes - r))).reshape(
-            nbatch, nb_rows, lanes
+        if r == rows_pad * lanes:
+            return a.reshape(nbatch, rows_pad, lanes)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, rows_pad * lanes - r))).reshape(
+            nbatch, rows_pad, lanes
         )
 
     operands = [s_u.reshape(nbatch, 1), packb(u2)]
@@ -1265,7 +1303,9 @@ def _u_batched_xla(uv, w, order: int):
     for _ in range(2, order + 1):
         rows.append((w * p).sum(-1) / wsum)
         p = p * d
-    return uave, jnp.stack(rows)
+    # order 0 must emit exactly one row (the ones), not the [ones, zeros]
+    # seed pair — the AD wrapper's vjp reference must match du's shape
+    return uave, jnp.stack(rows[: order + 1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -1441,11 +1481,7 @@ def reduce_central_comoments_batched(
         )
     )
 
-    head = min(8192, r)
-    w_head = jnp.ones((nbatch, head), jnp.float32) if w2 is None else w2[:, :head]
-    hsum = w_head.sum(-1)
-    s_u = (w_head * u2[:, :head]).sum(-1) / hsum  # (nbatch,)
-    s_x = (w_head[:, :, None] * x3[:, :head]).sum(1) / hsum[:, None]  # (nbatch, v)
+    s_u, s_x = _head_shift_batched(u2, w2, x3)  # (nbatch,), (nbatch, v)
 
     sub = 16 if in_dtype == jnp.bfloat16 else 8
     # zero-copy bitcast packing at the layout-preserving 128-lane width
@@ -1459,12 +1495,16 @@ def reduce_central_comoments_batched(
     rows = min(rows, rows_needed)
     nb_rows = (r + lanes - 1) // lanes
     grid_j = (nb_rows + rows - 1) // rows
-    rp = nb_rows * lanes
+    # interpret: full-block zero pad (see reduce_central_comoments_fused)
+    rows_pad = grid_j * rows if interpret else nb_rows
+    rp = rows_pad * lanes
 
     def packb(a):
-        if r % lanes == 0:
-            return a.reshape(nbatch, nb_rows, lanes)  # bitcast, zero copy
-        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb_rows, lanes)
+        if r == rp:
+            return a.reshape(nbatch, rows_pad, lanes)  # bitcast, zero copy
+        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(
+            nbatch, rows_pad, lanes
+        )
 
     u_p = packb(u2)
     if v == 1:
@@ -1474,7 +1514,7 @@ def reduce_central_comoments_batched(
         x_p = (
             jnp.pad(x3, ((0, 0), (0, rp - r), (0, 0)))
             .transpose(0, 2, 1)
-            .reshape(nbatch, v, nb_rows, lanes)
+            .reshape(nbatch, v, rows_pad, lanes)
         )
 
     operands = [s_u.reshape(nbatch, 1), s_x.reshape(nbatch, v), u_p, x_p]
