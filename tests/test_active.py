@@ -54,6 +54,24 @@ class TestInputAssembly:
             y[1, 0], y2[1, 0] * 2.0 * np.log(10.0), rtol=1e-7
         )
 
+    def test_log_scale_bell_closed_form(self):
+        """The geometric-argument Bell polynomial used by the log-scale
+        chain rule has the closed form a^k ln10^n S2(n,k) — gate the
+        production closed form against sympy (test-oracle role)."""
+        import sympy as sp
+
+        ln10 = np.log(10.0)
+        for a in (0.7, 2.3):
+            for n in range(1, 8):
+                for k in range(1, n + 1):
+                    ref = float(
+                        sp.bell(
+                            n, k, [a * ln10**j for j in range(1, n - k + 2)]
+                        )
+                    )
+                    got = a**k * ln10**n * au._stirling2(n, k)
+                    np.testing.assert_allclose(got, ref, rtol=1e-12)
+
     def test_get_logweights(self):
         bias = np.array([0.0, 1.0, 2.0])
         w = np.exp(au.get_logweights(bias))

@@ -395,6 +395,42 @@ class TestCallableDerivativeKernel:
         mu, _ = model.predict_f(X)
         np.testing.assert_allclose(np.asarray(mu), y, atol=0.05)
 
+    def test_distinct_fns_use_distinct_compiled_cores(self):
+        """Two callable kernels with different fns (same param names, same
+        data shapes) must NOT share a compiled LML core: the structure key
+        is the callable itself (srepr of a None expression is the constant
+        'None' and used to collide every callable kernel onto one core)."""
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.gpr_active.kernels import CallableDerivativeKernel
+
+        def rbf(x1, x2, var, ell):
+            return var * jnp.exp(-0.5 * ((x1[0] - x2[0]) / ell) ** 2)
+
+        def cosine(x1, x2, var, ell):
+            return var * jnp.cos((x1[0] - x2[0]) / ell)
+
+        xs = np.linspace(0, 3, 6)
+        y = np.sin(xs)[:, None]
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        data = (X, y, np.eye(6) * 1e-4)
+        m1 = HeteroscedasticGPR(
+            data,
+            kernel=CallableDerivativeKernel(
+                rbf, kernel_params={"var": 1.0, "l": 1.0}
+            ),
+        )
+        m2 = HeteroscedasticGPR(
+            data,
+            kernel=CallableDerivativeKernel(
+                cosine, kernel_params={"var": 1.0, "l": 1.0}
+            ),
+        )
+        assert m1._structure_key() != m2._structure_key()
+        lml1 = float(m1.log_marginal_likelihood())
+        lml2 = float(m2.log_marginal_likelihood())
+        assert lml1 != lml2
+
 
 class TestAnalyticalScaleGPR:
     """HeteroscedasticGPRAnalyticalScale: profiled global noise/signal scale

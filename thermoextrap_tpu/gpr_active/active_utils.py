@@ -19,6 +19,7 @@ Components (reference line cites in each docstring):
 
 from __future__ import annotations
 
+import functools
 import logging
 from pathlib import Path
 
@@ -36,8 +37,14 @@ from .kernels import RBFDerivKernel
 logger = logging.getLogger(__name__)
 
 __all__ = [
+    "AvgAbsRelDeviation",
+    "AvgRelVar",
+    "AvgVar",
     "DataWrapper",
     "ErrorStability",
+    "MSD",
+    "MaxAbsRelDeviation",
+    "MaxAbsRelGlobalDeviation",
     "MaxIter",
     "MaxRelGlobalVar",
     "MaxRelVar",
@@ -45,6 +52,7 @@ __all__ = [
     "MetricBase",
     "SimWrapper",
     "StopCriteria",
+    "UpdateALCbrute",
     "UpdateALMbrute",
     "UpdateAdaptiveIntegrate",
     "UpdateFuncBase",
@@ -55,6 +63,7 @@ __all__ = [
     "create_GPR",
     "create_base_GP_model",
     "get_logweights",
+    "identityTransform",
     "input_GP_from_state",
     "load_active_history",
     "train_GPR",
@@ -79,9 +88,15 @@ def identityTransform(x, y, y_var):  # noqa: N802 - reference name
 
 def _log_scale_transform(derivs, boot_derivs, alpha0):
     """Faa di Bruno change of variable beta -> log10(beta) on derivative
-    stacks (reference active_utils.py:114-123)."""
-    import sympy as sp
+    stacks (reference active_utils.py:114-123).
 
+    The reference evaluates ``sympy.bell(n, k, [a*ln10**j ...])`` at
+    runtime; for the geometric argument sequence the Bell polynomial has
+    the closed form ``a**k * ln10**n * S(n, k)`` with ``S`` the Stirling
+    numbers of the second kind (``B_{n,k}(a c, a c^2, ...) = a^k c^n
+    B_{n,k}(1, 1, ...)``) — no runtime sympy on the production path
+    (repo convention; identity gated against sympy in tests).
+    """
     order = derivs.shape[0] - 1
     out = np.zeros_like(derivs)
     out_boot = np.zeros_like(boot_derivs)
@@ -90,12 +105,21 @@ def _log_scale_transform(derivs, boot_derivs, alpha0):
     ln10 = np.log(10.0)
     for n in range(1, order + 1):
         for k in range(1, n + 1):
-            bell_fac = float(
-                sp.bell(n, k, [alpha0 * ln10 ** j for j in range(1, n - k + 2)])
-            )
+            bell_fac = alpha0**k * ln10**n * _stirling2(n, k)
             out[n] += derivs[k] * bell_fac
             out_boot[n] += boot_derivs[k] * bell_fac
     return out, out_boot
+
+
+@functools.lru_cache(maxsize=None)
+def _stirling2(n: int, k: int) -> int:
+    """Stirling numbers of the second kind, ``S(n, k)``, by the standard
+    recurrence ``S(n, k) = k S(n-1, k) + S(n-1, k-1)``."""
+    if n == 0 and k == 0:
+        return 1
+    if k == 0 or k > n:
+        return 0
+    return k * _stirling2(n - 1, k) + _stirling2(n - 1, k - 1)
 
 
 def input_GP_from_state(state: ExtrapModel, n_rep: int = 100, log_scale: bool = False):
@@ -218,15 +242,26 @@ class DataWrapper:
         """Load, decorrelate (native statistical inefficiency; reference used
         pymbar.timeseries), and unbias."""
         from ..models.mbar import statistical_inefficiency
+        from .gp_models import _compute_ctx
 
         tot_pot = self.load_U_info()
         cv, bias = self.load_CV_info()
         x = self.load_x_info() if self.x_files is not None else cv[:, None]
         pot = tot_pot - bias
 
-        g_max = float(statistical_inefficiency(pot))
-        for k in range(x.shape[1]):
-            g_max = max(g_max, float(statistical_inefficiency(x[:, k])))
+        # host f64 context: the FFT helper is eager jnp — on the TPU
+        # backend each eager op is a remote compile (seconds per call), and
+        # outside x64 the correlation sums round to f32
+        with _compute_ctx():
+            g_max = float(statistical_inefficiency(pot))
+            for k in range(x.shape[1]):
+                g_max = max(g_max, float(statistical_inefficiency(x[:, k])))
+                # cross x-pot correlation can decay slower than either
+                # marginal (reference takes the max over it too,
+                # active_utils.py:256-264)
+                g_max = max(
+                    g_max, float(statistical_inefficiency(x[:, k], pot))
+                )
         stride = max(int(np.ceil(g_max)), 1)
         uncorr = np.arange(0, x.shape[0], stride)
 
@@ -472,8 +507,13 @@ class UpdateStopABC:
     def _uniform(self, n):
         import jax
 
-        self.rng, sub = jax.random.split(self.rng)
-        return np.asarray(jax.random.uniform(sub, (n,)))
+        from .gp_models import _compute_ctx
+
+        # host context: these few eager ops would each be a remote compile
+        # on the TPU backend (grid jitter runs once per update step)
+        with _compute_ctx():
+            self.rng, sub = jax.random.split(self.rng)
+            return np.asarray(jax.random.uniform(sub, (n,)))
 
     def create_alpha_grid(self, alpha_list):
         alpha_min, alpha_max = np.min(alpha_list), np.max(alpha_list)
@@ -694,7 +734,14 @@ class UpdateALCbrute(UpdateFuncBase):
         orig_x = gpr.X
         orig_y = np.asarray(gpr.Y) * np.asarray(gpr.scale_fac)
         max_order = int(np.max(orig_x[:, gpr.kernel.obs_dims]))
-        cov = np.asarray(gpr.likelihood.cov)
+        # likelihood.cov is stored in the SCALED units (divided by
+        # scale_fac**2 at model build); the hypothetical models below are
+        # rebuilt from original-unit y, so the noise must be rescaled the
+        # same way (same factor as ErrorStability.calc_metric) or the
+        # candidate ranking sees noise scale_fac**2 too small
+        cov = np.asarray(gpr.likelihood.cov) * (
+            np.asarray(gpr.scale_fac).reshape(-1, 1, 1) ** 2
+        )
         params = gpr.parameters()
 
         if self.n_candidates is None:
@@ -1036,7 +1083,11 @@ def active_learning(  # noqa: C901
             from .gp_models import print_summary
 
             print_summary(this_gp)
-        train_history["loss"].append(float(this_gp.neg_lml(this_gp.get_unconstrained())))
+        # log_marginal_likelihood runs entirely inside the host-f64
+        # compute context; get_unconstrained() + neg_lml here would run
+        # eager ops on the default (TPU) backend — seconds of remote
+        # compiles per iteration just for loss logging
+        train_history["loss"].append(-float(this_gp.log_marginal_likelihood()))
         train_history["params"].append(this_gp.parameters())
 
         if stop_criteria is not None:

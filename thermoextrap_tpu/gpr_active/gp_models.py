@@ -188,6 +188,15 @@ class DerivativeKernel:
 
         self._fn_cache: dict[tuple, Callable] = {}
 
+    def structure_id(self):
+        """Hashable identity of the kernel's FUNCTIONAL FORM, used in
+        compiled-core cache keys (parameter values excluded — they are
+        runtime arguments).  Kernels whose form is not a sympy expression
+        MUST override this: the base implementation would collapse to the
+        constant ``'None'`` and silently share compiled LML/predict cores
+        across different kernels."""
+        return sp.srepr(self.kernel_expr)
+
     # -- derivative function table --------------------------------------------
 
     # module-level cache so fresh kernel instances with the same expression
@@ -332,15 +341,15 @@ class HetGaussianDeriv:
         self.stable_var_min = 1.0e-12
 
     def build_scaled_cov_mat(self, X, params=None):
+        # eager view of the compiled core's _scaled_noise_cov (one shared
+        # implementation of the S cov S + jitter-floor formula)
         p = self.params["p"].value if params is None else params["p"]
         s = self.params["s"].value if params is None else params["s"]
         d_orders = jnp.asarray(np.asarray(X)[:, self.obs_dims :])
-        scale = jnp.exp(p * jnp.sum(d_orders + 1.0, axis=-1) + 0.5 * s)
-        out = scale[:, None] * self.cov * scale[None, None, :]
-        diag = jnp.diagonal(out, axis1=-2, axis2=-1) + self.stable_var_min
-        n = out.shape[-1]
-        eye = jnp.eye(n, dtype=out.dtype)
-        return out * (1.0 - eye) + eye * diag[..., None, :] * eye
+        dplus = jnp.sum(d_orders + 1.0, axis=-1)
+        return _scaled_noise_cov(
+            self.cov, dplus, {"p": p, "s": s}, self.stable_var_min
+        )
 
 
 class HetGaussianSimple(HetGaussianDeriv):
@@ -564,7 +573,19 @@ def _build_lml_fns(kernel, groups, spec_struct, stable_var_min):
     return {"lml": jax.jit(lml), "neg_vag": jax.jit(jax.value_and_grad(neg))}
 
 
-def _build_predict_fn(kernel, groups, groups_new, spec_struct, stable_var_min, full_cov):
+def _build_predict_fn(
+    kernel,
+    groups,
+    groups_new,
+    spec_struct,
+    stable_var_min,
+    full_cov,
+    analytic_scale: bool = False,
+):
+    """Posterior builder; with ``analytic_scale`` the profiled global scale
+    ``v* = err^T (K+S)^{-1} err / N`` of the ``v*(K+S)`` model multiplies
+    the posterior variance (the mean is unchanged — the scale cancels in
+    ``v kmn^T (v(K+S))^{-1} err``; reference gp_models.py:903-936)."""
     split = _build_param_split(spec_struct)
     fns_mm = kernel.pair_table(groups, groups)
     fns_mn = kernel.pair_table(groups, groups_new)
@@ -589,6 +610,11 @@ def _build_predict_fn(kernel, groups, groups_new, spec_struct, stable_var_min, f
         b = jax.scipy.linalg.solve_triangular(
             chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
         )  # (D, N, 1)
+        v = (
+            jnp.sum(b[..., 0] ** 2, axis=1) / y.shape[0]  # (D,)
+            if analytic_scale
+            else 1.0
+        )
         f_mean = (jnp.einsum("dnm,dn->md", a, b[..., 0]) + mean_new) * scale_fac
 
         if full_cov:
@@ -596,11 +622,11 @@ def _build_predict_fn(kernel, groups, groups_new, spec_struct, stable_var_min, f
                 locs_new, gid_new, groups_new, locs_new, gid_new, groups_new, pvals, fns_nn
             )
             f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
-            f_var = f_var * (scale_fac**2).reshape(-1, 1, 1)
+            f_var = f_var * jnp.reshape(v * scale_fac**2, (-1, 1, 1))
         else:
             knn = _pair_masked_diag(locs_new, gid_new, groups_new, pvals, fns_nn)
             f_var = knn[None, :] - jnp.sum(a**2, axis=1)
-            f_var = (f_var * (scale_fac**2)[:, None]).T  # (M, D)
+            f_var = (f_var * jnp.reshape(v * scale_fac**2, (-1, 1))).T  # (M, D)
         return f_mean, f_var
 
     return jax.jit(predict)
@@ -741,7 +767,13 @@ class TrainableGPModel:
         f_final, _ = fun(np.asarray(res.x, dtype=np.float64))
         if np.isfinite(f_final) and f_final <= f0:
             self.set_unconstrained(res.x)
-        # else: keep the starting parameters (rollback)
+        else:
+            # rollback: keep the starting parameters — and make the result
+            # object agree (res.fun/res.x must describe the APPLIED
+            # parameters, or train_GPR's keep-the-better-optimum compare
+            # can prefer a warm start that is worse than this rollback)
+            res.x = x0
+            res.fun = f0
         return res
 
 
@@ -813,7 +845,7 @@ class HeteroscedasticGPR(TrainableGPModel):
 
     def _structure_key(self):
         return (
-            sp.srepr(self.kernel.kernel_expr),
+            self.kernel.structure_id(),
             self.kernel.obs_dims,
             self._groups,
             self._spec_struct(),
@@ -955,50 +987,17 @@ def _build_lml_fns_vscale(kernel, groups, spec_struct, stable_var_min):
 def _build_predict_fn_vscale(
     kernel, groups, groups_new, spec_struct, stable_var_min, full_cov
 ):
-    """Posterior under the ``v*(K+S)`` model: the mean is unchanged (the
-    scale cancels in ``v kmn^T (v(K+S))^{-1} err``), the posterior variance
-    is multiplied by ``v*`` (reference gp_models.py:903-936)."""
-    split = _build_param_split(spec_struct)
-    fns_mm = kernel.pair_table(groups, groups)
-    fns_mn = kernel.pair_table(groups, groups_new)
-    fns_nn = kernel.pair_table(groups_new, groups_new)
-    param_order = tuple(kernel.params)
-
-    def predict(vec, fixed, locs, gid, y, cov, dplus, mean_x, locs_new, gid_new, mean_new, scale_fac):
-        kernel_p, lik_p = split(vec, fixed)
-        pvals = [kernel_p[k] for k in param_order]
-        kmm = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns_mm)
-        kmn = _pair_masked_matrix(
-            locs, gid, groups, locs_new, gid_new, groups_new, pvals, fns_mn
-        )
-        ks = kmm[None] + _scaled_noise_cov(cov, dplus, lik_p, stable_var_min)
-        chol = jnp.linalg.cholesky(ks)  # (D, N, N)
-        err = y - mean_x  # (N, D)
-        out_dim = y.shape[1]
-        n = y.shape[0]
-
-        a = jax.scipy.linalg.solve_triangular(
-            chol, jnp.broadcast_to(kmn[None], (out_dim, *kmn.shape)), lower=True
-        )  # (D, N, M)
-        b = jax.scipy.linalg.solve_triangular(
-            chol, jnp.moveaxis(err, 1, 0)[..., None], lower=True
-        )  # (D, N, 1)
-        v = jnp.sum(b[..., 0] ** 2, axis=1) / n  # (D,)
-        f_mean = (jnp.einsum("dnm,dn->md", a, b[..., 0]) + mean_new) * scale_fac
-
-        if full_cov:
-            knn = _pair_masked_matrix(
-                locs_new, gid_new, groups_new, locs_new, gid_new, groups_new, pvals, fns_nn
-            )
-            f_var = knn[None] - jnp.einsum("dnm,dnp->dmp", a, a)
-            f_var = f_var * (v * scale_fac**2).reshape(-1, 1, 1)
-        else:
-            knn = _pair_masked_diag(locs_new, gid_new, groups_new, pvals, fns_nn)
-            f_var = knn[None, :] - jnp.sum(a**2, axis=1)
-            f_var = (f_var * (v * scale_fac**2)[:, None]).T  # (M, D)
-        return f_mean, f_var
-
-    return jax.jit(predict)
+    """Posterior under the ``v*(K+S)`` model — the shared builder with the
+    profiled-scale variance factor enabled (reference gp_models.py:903-936)."""
+    return _build_predict_fn(
+        kernel,
+        groups,
+        groups_new,
+        spec_struct,
+        stable_var_min,
+        full_cov,
+        analytic_scale=True,
+    )
 
 
 class HeteroscedasticGPRAnalyticalScale(HeteroscedasticGPR):

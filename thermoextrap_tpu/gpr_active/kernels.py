@@ -139,6 +139,14 @@ class CallableDerivativeKernel(DerivativeKernel):
         self._fn_cache = {}
         self._jax = jax
 
+    def structure_id(self):
+        # the callable IS the functional form; key compiled-core caches on
+        # the object itself (hashable by identity — the cache entry keeps
+        # it alive, so the identity stays unique).  The base class' sympy
+        # srepr would be the constant 'None' here and collide every
+        # callable kernel onto one shared compiled core.
+        return self.fn
+
     def _deriv_fn(self, d1: tuple, d2: tuple):
         key = (tuple(d1), tuple(d2))
         if key not in self._fn_cache:

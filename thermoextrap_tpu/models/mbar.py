@@ -80,12 +80,18 @@ def mbar_expectations(u_kn, n_k, f_k, u_target, x_n):
     return w @ x_n
 
 
-def statistical_inefficiency(x, mintime: int = 3):
-    """Integrated autocorrelation time estimator ``g = 1 + 2 sum C(t)``.
+def statistical_inefficiency(x, y=None, mintime: int = 3):
+    """Integrated (cross-)correlation time estimator ``g = 1 + 2 sum C(t)``.
 
     FFT-based autocorrelation with positive-sequence truncation — jax
     replacement for ``pymbar.timeseries.statistical_inefficiency``
     (used at /root/reference/src/thermoextrap/gpr_active/active_utils.py:244-266).
+
+    With ``y`` given, estimates the CROSS statistical inefficiency from the
+    symmetrized cross-correlation ``C(t) = (<dx(0)dy(t)> + <dy(0)dx(t)>)/2``
+    normalized by ``<dx dy>`` (pymbar's two-series form — the reference
+    takes the max over per-series AND cross g when subsampling, reference
+    active_utils.py:256-264).
 
     Examples
     --------
@@ -106,8 +112,18 @@ def statistical_inefficiency(x, mintime: int = 3):
     dx = x - x.mean()
     nfft = 2 * n
     f = jnp.fft.rfft(dx, n=nfft)
-    acf = jnp.fft.irfft(f * jnp.conj(f), n=nfft)[:n].real
-    acf = acf / acf[0]
+    if y is None:
+        spec = f * jnp.conj(f)
+    else:
+        y = jnp.asarray(y, dtype=x.dtype)
+        dy = y - y.mean()
+        fy = jnp.fft.rfft(dy, n=nfft)
+        # symmetrized cross spectrum: (xy + yx)/2 is real for real series
+        spec = 0.5 * (f * jnp.conj(fy) + fy * jnp.conj(f))
+    acf = jnp.fft.irfft(spec, n=nfft)[:n].real
+    acf0 = acf[0]
+    safe0 = jnp.where(jnp.abs(acf0) > 0, acf0, 1.0)
+    acf = acf / safe0
     norm = (n - jnp.arange(n)) / n
     c_t = acf / norm
     t = jnp.arange(n)
@@ -116,6 +132,8 @@ def statistical_inefficiency(x, mintime: int = 3):
     # once negative, stop contributing (emulate sequential break with cummin)
     alive = jnp.cumprod(positive.astype(x.dtype))
     g = 1.0 + 2.0 * jnp.sum(alive[1:] * c_t[1:] * (1.0 - t[1:] / n))
+    # degenerate cross-covariance (<dx dy> == 0): no decorrelation signal
+    g = jnp.where(jnp.abs(acf0) > 0, g, 1.0)
     return jnp.maximum(g, 1.0)
 
 
