@@ -240,6 +240,37 @@ def test_cmom_round_trip_x_is_u(vals):
     np.testing.assert_allclose(r[1:], np.asarray(d.u)[1:], rtol=1e-12)
 
 
+def test_from_ave_central_xalpha_round_trip(vals):
+    """from_ave_central with a deriv axis must reproduce the from_vals
+    state exactly — the du pad convention previously diverged across
+    constructors and the xu view silently clamped the deriv index."""
+    u, _ = vals
+    rng = np.random.default_rng(23)
+    order = 3
+    xva = rng.normal(1.0, 0.3, (len(u), order + 1, 2))
+    d = xtpu.DataCentralMoments.from_vals(xva, u, order, xalpha=True)
+    back = xtpu.DataCentralMoments.from_ave_central(
+        d.xave, d.uave, d.du, d.dxdu, wsum=d.wsum, xalpha=True, central=True
+    )
+    assert back.val_ndim == d.val_ndim == 1
+    for a, b in zip(back.derivs_args, d.derivs_args):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    # the raw views (the previously broken path): xu keeps the deriv axis
+    assert back.xu.shape == d.xu.shape == (order + 1, order + 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(back.xu), np.asarray(d.xu), rtol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(back.u), np.asarray(d.u), rtol=1e-12)
+
+
+def test_from_resample_vals_rejects_xalpha(vals):
+    u, x = vals
+    with pytest.raises(NotImplementedError, match="deriv axis"):
+        xtpu.DataCentralMoments.from_resample_vals(
+            x, u, 2, {"nrep": 4}, xalpha=True, rng=0
+        )
+
+
 def test_alcbrute_bounded_default():
     """UpdateALCbrute must default to a bounded candidate scan (the full
     O(grid^2) sweep is opt-in via n_candidates=None)."""

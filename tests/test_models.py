@@ -125,6 +125,28 @@ class TestExtrapWeighted:
             out[1], np.asarray(pair.predict(1.3)), rtol=1e-10
         )
 
+    def test_minkowski_weights_no_f32_underflow(self):
+        """delta**20 underflows to 0 below |delta| ~ 0.006 in f32 (the TPU
+        production dtype), which made closely spaced bracketing states
+        produce NaN weights; the scale-invariant normalized form must not."""
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.models.extrap import xr_weights_minkowski
+
+        w = np.asarray(
+            xr_weights_minkowski(jnp.asarray([0.004, 0.006], jnp.float32))
+        )
+        assert np.all(np.isfinite(w))
+        ref = np.asarray(
+            xr_weights_minkowski(np.array([0.004, 0.006], np.float64))
+        )
+        np.testing.assert_allclose(w, ref, rtol=1e-4)
+        # degenerate all-zero deltas: equal weights, still finite
+        w0 = np.asarray(
+            xr_weights_minkowski(jnp.asarray([0.0, 0.0], jnp.float32))
+        )
+        np.testing.assert_allclose(w0, [0.5, 0.5])
+
 
 class TestPerturb:
     def test_exact_discrete(self):

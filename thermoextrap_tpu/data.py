@@ -413,9 +413,12 @@ class DataCentralMoments:
         order = dxdu.shape[0] - 1
         if val_ndim is None:
             val_ndim = dxdu.ndim - 1 - (1 if xalpha else 0) - uave.ndim
-        pad = val_ndim + (1 if xalpha else 0)
-        if du.ndim < dxdu.ndim:
-            du = _pad_val(du, dxdu.ndim - du.ndim)
+        # normalize du to the canonical pad convention — (order+1, *batch)
+        # + val pads, deriv axis broadcast — whatever singleton layout the
+        # caller handed in (u-moments never vary along val/deriv axes, so
+        # every non-(moment, batch) axis must be a singleton; a non-
+        # singleton one errors here, loudly)
+        du = du.reshape((order + 1, *uave.shape) + (1,) * int(val_ndim))
         return cls(
             xave=xave,
             uave=uave,
@@ -607,11 +610,24 @@ class DataCentralMoments:
         weight=None,
         central: bool = True,
         x_is_u: bool = False,
+        xalpha: bool = False,
         rng=None,
         meta: DataCallbackABC | None = None,
     ):
         """Bootstrap directly into a replicated moment container
-        (reference data.py:1285-1392)."""
+        (reference data.py:1285-1392).
+
+        ``xalpha`` (deriv-axis) input is not supported here — the
+        replicate axis would land between the moment and deriv axes;
+        resample a :class:`DataValues` built with ``xalpha=True`` instead
+        (its index-resampling path keeps the layout).
+        """
+        if xalpha:
+            msg = (
+                "from_resample_vals does not support a deriv axis; "
+                "resample a DataValues(xalpha=True) instead"
+            )
+            raise NotImplementedError(msg)
         uv = jnp.asarray(uv)
         xv = uv if (x_is_u or xv is None) else jnp.asarray(xv)
         _indices, freq = _normalize_sampler(sampler, uv.shape[-1], rng=rng)
@@ -647,20 +663,30 @@ class DataCentralMoments:
     def __len__(self) -> int:
         return int(self.wsum if self.wsum.ndim == 0 else self.wsum.reshape(-1)[0])
 
+    @property
+    def _du_norm(self):
+        """``du`` in the canonical pad convention — ``(order+1, *batch)``
+        + val pads, deriv axis broadcast — regardless of which constructor
+        built the state (all non-(moment, batch) axes are singletons)."""
+        return self.du.reshape(
+            (self.order + 1, *self.wsum.shape) + (1,) * self.val_ndim
+        )
+
     @cached_property
     def u(self):
         """Raw u-moments from the central representation (padded)."""
         if self.x_is_u:
             # reference shift trick: u from xu = central->raw on x=u comoments
             return u_from_xu_when_x_is_u(self.xu)
+        du = self._du_norm
         return raw_from_central(
-            self.du, _pad_val(self.uave, self.du.ndim - 1 - self.uave.ndim)
+            du, _pad_val(self.uave, du.ndim - 1 - self.uave.ndim)
         )
 
     @cached_property
     def xu(self):
         """Raw comoments ``<x u^n>`` = ``xave * u + shift(dxdu)``."""
-        du_b = self.du
+        du_b = self._du_norm  # canonical pads: the deriv insert below
         uave_b = _pad_val(self.uave, du_b.ndim - 1 - self.uave.ndim)
         u_b = raw_from_central(du_b, uave_b)
         # <x u^n> = <(xave + dx)(uave + du)^n>
@@ -817,7 +843,8 @@ class DataCentralMoments:
             msg = "zeros with both a deriv axis and batch axes is not supported"
             raise ValueError(msg)
         d = (int(deriv) if deriv is not None else order + 1,) if xalpha else ()
-        pad = (1,) * (len(val_shape) + (1 if xalpha else 0))
+        # canonical du pad convention: val pads only, deriv axis broadcast
+        pad = (1,) * len(val_shape)
         du = jnp.zeros((order + 1, *batch_shape, *pad), dtype).at[0].set(1.0)
         return cls(
             xave=jnp.zeros((*d, *batch_shape, *val_shape), dtype),

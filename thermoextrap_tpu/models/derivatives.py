@@ -315,8 +315,12 @@ class Derivatives:
             self,
             "_jitted",
             jax.jit(
-                lambda args, order: self._apply_post(self.coefs_fn(args, order)),
-                static_argnums=1,
+                lambda args, order, minus_log=False: (
+                    series_neg_log(self._apply_post(self.coefs_fn(args, order)))
+                    if minus_log
+                    else self._apply_post(self.coefs_fn(args, order))
+                ),
+                static_argnums=(1, 2),
             ),
         )
 
@@ -342,10 +346,10 @@ class Derivatives:
         if args is None or order is None:
             msg = "must specify (args and order) or data"
             raise ValueError(msg)
-        c = self._jitted(tuple(args), int(order))
-        if minus_log:
-            c = series_neg_log(c)
-        return c
+        # minus_log runs INSIDE the jitted program (static arg): the
+        # series-log recursion is O(order^2) tiny ops — eager, that is
+        # hundreds of remote dispatches on the TPU backend
+        return self._jitted(tuple(args), int(order), bool(minus_log))
 
     def derivs(self, data=None, args=None, order=None, minus_log=False, norm=False):
         """Plain derivatives ``f^(n)`` (or coefficients if ``norm=True``)."""

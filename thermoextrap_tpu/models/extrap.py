@@ -192,8 +192,20 @@ class StateCollection:
 
 
 def xr_weights_minkowski(deltas, m: int = 20, axis: int = 0):
-    """Minkowski blend weights (reference models.py:726-728)."""
-    deltas_m = jnp.asarray(deltas) ** m
+    """Minkowski blend weights (reference models.py:726-728).
+
+    Weights are scale-invariant in ``deltas``, so normalize by the max
+    before the 20th power: in f32 (the TPU production default) raw
+    ``delta**20`` underflows to 0 for deltas below ~0.006, which made the
+    weights 1 - 0/0 = NaN for closely spaced bracketing states (the
+    reference runs in numpy f64 and never sees this).
+    """
+    deltas = jnp.asarray(deltas)
+    scale = jnp.max(jnp.abs(deltas), axis=axis, keepdims=True)
+    deltas_m = (deltas / jnp.where(scale > 0, scale, 1.0)) ** m
+    # all-zero deltas (query exactly on every state): equal weights
+    s = deltas_m.sum(axis=axis, keepdims=True)
+    deltas_m = jnp.where(s > 0, deltas_m, jnp.ones_like(deltas_m))
     return 1.0 - deltas_m / deltas_m.sum(axis=axis, keepdims=True)
 
 
@@ -286,6 +298,15 @@ class InterpModel(StateCollection):
     def coefs(self, order=None, minus_log=None):
         if order is None:
             order = self.order
+        # cached like ExtrapModel.coefs: InterpModelPiecewise.predict calls
+        # this once per alpha element — without the cache each call repays
+        # the derivative assembly + host-f64 solve (one device round trip
+        # per grid point on a remote-dispatch backend)
+        key = (int(order), minus_log)
+        if not hasattr(self, "_coef_cache"):
+            self._coef_cache = {}
+        if key in self._coef_cache:
+            return self._coef_cache[key]
         # derivatives first, on the normal backend (may hit Pallas kernels)
         derivs_list = [
             m.derivs(order=order, minus_log=minus_log, norm=False)
@@ -296,7 +317,9 @@ class InterpModel(StateCollection):
         from ..utils.compute import host_f64
 
         with host_f64():
-            return self._coefs(derivs_list, order=order)
+            out = self._coefs(derivs_list, order=order)
+        self._coef_cache[key] = out
+        return out
 
     def _coefs(self, derivs_list, order):
         porder = len(self) * (order + 1) - 1
