@@ -385,12 +385,23 @@ def factory_state_idealgas(
 ):
     """Demo state factory: bootstrap-replicated IG extrapolation state
     (reference adaptive_interp.py:495-547)."""
+    import jax
+
     from . import beta as beta_xpan
     from . import idealgas
     from .data import DataCentralMomentsVals
+    from .utils.random import validate_rng
 
-    xdata, udata = idealgas.generate_data((nconfig, npart), beta, rng=rng)
+    # fold the state's beta into the key: the trainers call this factory
+    # once per alpha with the SAME rng — without the fold every state
+    # would draw identical samples and bootstrap indices (perfectly
+    # correlated states break the bootstrap convergence criterion)
+    key = jax.random.fold_in(
+        validate_rng(rng), np.float32(beta).view(np.uint32)
+    )
+    k_data, k_boot = jax.random.split(key)
+    xdata, udata = idealgas.generate_data((nconfig, npart), beta, rng=k_data)
     data = DataCentralMomentsVals.from_vals(
         np.asarray(xdata), np.asarray(udata), order=order
-    ).resample({"nrep": nrep, "rng": rng})
+    ).resample({"nrep": nrep, "rng": k_boot})
     return beta_xpan.factory_extrapmodel(beta=beta, data=data)

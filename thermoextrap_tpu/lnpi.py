@@ -36,7 +36,6 @@ def _lnpi_coefs_fn(central: bool):
     def coefs_fn(args, order):
         *uargs, lnpi0, mudotn = args
         if order == 0:
-            u_c = None
             return lnpi_coefs(
                 jnp.zeros((1,) + jnp.shape(jnp.asarray(lnpi0))), lnpi0, mudotn, order
             )

@@ -12,6 +12,8 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import logging
+import os
+import stat
 import subprocess
 import tempfile
 from pathlib import Path
@@ -27,22 +29,60 @@ _LIB = None
 _LIB_FAILED = False
 
 
+def _cache_dir() -> Path | None:
+    """Per-user 0700 cache dir; never trust a dir another user could own.
+
+    A predictable path under the world-writable tempdir would let any
+    local user pre-plant a ``fastloader_<tag>.so`` (the tag is computable
+    from the public source) that ``ctypes.CDLL`` would then execute in
+    this process — so the directory is keyed by uid, created 0700, and
+    rejected unless owned by us with no group/other write bits.
+    """
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = Path(tempfile.gettempdir()) / f"thermoextrap_tpu_native_{uid}"
+    try:
+        d.mkdir(parents=True, exist_ok=True, mode=0o700)
+        if d.is_symlink():
+            return None
+        st = d.stat()
+        owned = not hasattr(os, "getuid") or st.st_uid == os.getuid()
+        safe_mode = not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
+        if not (d.is_dir() and owned and safe_mode):
+            return None
+    except OSError:
+        return None
+    return d
+
+
 def _build_lib() -> Path | None:
     src = _SRC.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:12]
-    cache_dir = Path(tempfile.gettempdir()) / "thermoextrap_tpu_native"
-    cache_dir.mkdir(parents=True, exist_ok=True)
+    cache_dir = _cache_dir()
+    if cache_dir is None:
+        logger.warning(
+            "no trustworthy native cache dir; using np.loadtxt fallback"
+        )
+        return None
     lib_path = cache_dir / f"fastloader_{tag}.so"
     if lib_path.exists():
-        return lib_path
+        st = lib_path.stat()
+        owned = not hasattr(os, "getuid") or st.st_uid == os.getuid()
+        if owned and not (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+            return lib_path
+        return None  # untrusted artifact: do not load, do not overwrite
+    # build to a private temp name, then atomically publish
+    tmp = cache_dir / f".fastloader_{tag}.{os.getpid()}.so"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", str(lib_path), str(_SRC),
+        "-o", str(tmp), str(_SRC),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.chmod(tmp, 0o500)
+        os.replace(tmp, lib_path)
     except (OSError, subprocess.SubprocessError) as err:
         logger.warning("fastloader build failed (%s); using np.loadtxt", err)
+        tmp.unlink(missing_ok=True)
         return None
     return lib_path
 

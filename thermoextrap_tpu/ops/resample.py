@@ -93,7 +93,13 @@ def resample_raw_comoments(uv, xv, freq, order: int, weight=None):
     xv = jnp.asarray(xv)
     val_shape = xv.shape[1:]
     fw = _freq_weights(freq, weight, uv.dtype)  # (nrep, R)
+    # an all-zero replicate row (possible with the Poisson sampler at
+    # small R, P = e^-R per row, or zero weights) must not emit 0/0 NaN
+    # into every downstream bootstrap std; the safe divide gives that
+    # degenerate replicate zero raw moments (-> the global mean after
+    # the central recentering), the mildest finite stand-in
     wsum = fw.sum(axis=-1)  # (nrep,)
+    wsum = jnp.where(wsum > 0, wsum, 1.0)
 
     powers = u_power_stack(uv, order)  # (R, order+1)
     u = (fw @ powers) / wsum[:, None]  # (nrep, order+1)
@@ -184,7 +190,8 @@ def resample_central_umoments_batched(uv, freq, order: int, weight=None):
         rows.append(jnp.einsum("pr,...r->p...", f, p))
     sums = jnp.stack(rows)  # (order+1, nrep, *batch)
 
-    m = sums / sums[0]
+    # all-zero replicate rows: safe divide (see resample_raw_comoments)
+    m = sums / jnp.where(sums[0] > 0, sums[0], 1.0)
     uave_r = m[1] + ubar[None]  # (nrep, *batch)
     du_r = shift_raw_moments(m, m[1])
     du_r = du_r.at[0].set(1.0).at[1].set(0.0)

@@ -135,6 +135,18 @@ class RecursiveInterp:
             new_beta = beta_avail[
                 np.argmin(np.abs(beta_avail - beta_vals[check_ind[0]]))
             ]
+            # the nearest AVAILABLE point can fall on/outside the current
+            # interval (the reference indexes blindly and crashes); a point
+            # at/beyond either endpoint cannot split the interval — accept
+            # the interval as converged-as-possible instead of recursing
+            # into a zero-width (singular-solve) pair
+            if new_beta <= beta1 or new_beta >= beta2:
+                logger.info(
+                    "No available beta strictly inside (%f, %f); accepting "
+                    "interval at tolerance %g > %g",
+                    beta1, beta2, check_val, self.tol,
+                )
+                new_beta = None
         else:
             new_beta = beta_vals[check_ind[0]]
 
@@ -234,13 +246,20 @@ class RecursiveInterp:
             msg = "Single interpolation region; nothing to check."
             raise ValueError(msg)
 
+        _stats_cache: dict[tuple[int, int], tuple] = {}
+
         def coef_stats(i, j):
-            m = self.model_cls([self.states[i], self.states[j]])
-            coefs = np.asarray(m.coefs(order=self.max_order))
-            boot = np.asarray(
-                m.resample({"nrep": self.nrep}).coefs(order=self.max_order)
-            )  # (porder+1, nrep[, val])
-            return coefs, boot.std(axis=1)
+            # cached: the (a+1, a+2) pair of one loop iteration is the
+            # (a, a+1) pair of the next — each redundant call would repay
+            # a full bootstrap resample + host-f64 solve
+            if (i, j) not in _stats_cache:
+                m = self.model_cls([self.states[i], self.states[j]])
+                coefs = np.asarray(m.coefs(order=self.max_order))
+                boot = np.asarray(
+                    m.resample({"nrep": self.nrep}).coefs(order=self.max_order)
+                )  # (porder+1, nrep[, val])
+                _stats_cache[(i, j)] = (coefs, boot.std(axis=1))
+            return _stats_cache[(i, j)]
 
         all_pvals = []
         for a in range(len(self.edge_beta) - 2):

@@ -186,8 +186,13 @@ class StackedDerivatives:
         ``(order+1, Dy)`` (reference stack.py:344-381)."""
         x_rows, y_rows = [], []
         for a, m, v in zip(alphas, means, variances):
-            m = np.atleast_2d(np.asarray(m))
-            v = np.atleast_2d(np.asarray(v))
+            m = np.asarray(m)
+            v = np.asarray(v)
+            if m.ndim == 1:
+                # (order+1,) scalar observable → (order+1, 1); atleast_2d
+                # would TRANSPOSE the layout to one row of Dy=order+1
+                m = m.reshape(-1, 1)
+                v = v.reshape(-1, 1)
             order = m.shape[0] - 1
             x_rows.append(
                 np.stack([np.full(order + 1, a), np.arange(order + 1)], axis=1)
@@ -233,6 +238,9 @@ class GPRData(StateCollection):
         super().__init__(states, **kws)
         self._order = order
         self.nrep = nrep
+        # StateCollection.resample/append rebuild via type(self)(states,
+        # **self.kws) — record our settings there or they silently reset
+        self.kws = {"order": order, "nrep": nrep, **kws}
 
     @property
     def order(self):
@@ -240,7 +248,9 @@ class GPRData(StateCollection):
 
     def stacked(self, order=None):
         return StackedDerivatives.from_states(
-            self.states, order=order or self.order, nrep=self.nrep
+            self.states,
+            order=self.order if order is None else order,  # 0 is valid
+            nrep=self.nrep,
         )
 
     def array_data(self, order=None):
