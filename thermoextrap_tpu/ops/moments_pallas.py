@@ -765,6 +765,48 @@ def _dot_span(subrows: int) -> tuple[int, int]:
     return span, subrows // span
 
 
+def _span_cat(ref2d, s0, span, stride):
+    """Strided span gather (see :func:`_dot_span`): concatenate ``span``
+    stride-separated subrows along lanes so one MXU dot contracts
+    ``span * lanes`` samples."""
+    return jnp.concatenate(
+        [
+            ref2d[s0 + stride * t : s0 + stride * t + 1, :]
+            for t in range(span)
+        ],
+        axis=1,
+    )
+
+
+def _span_mask(j, subrows, s0, span, stride, lanes, n_real):
+    """Validity mask for a span-concatenated segment (same stride
+    arithmetic as :func:`_span_cat`), as f32 for the weight product."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    return jnp.concatenate(
+        [
+            ((j * subrows + s0 + stride * t) * lanes + lane < n_real)
+            for t in range(span)
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+
+
+def _poisson_draw(rep_block, s_len):
+    """One ``(rep_block, s_len)`` Poisson(1) frequency tile from the
+    in-kernel PRNG via the u32 CDF threshold sum.  The draw size and
+    threshold order are part of the seed contract — BOTH Poisson kernels
+    share this helper so their streams stay bit-identical per (i, j)."""
+    bits = pltpu.bitcast(
+        pltpu.prng_random_bits((rep_block, s_len)), jnp.uint32
+    )
+    f = jnp.zeros((rep_block, s_len), jnp.float32)
+    for cdf in _POISSON1_CDF:
+        f = f + (bits > jnp.uint32(int(cdf * 4294967296.0))).astype(
+            jnp.float32
+        )
+    return f
+
+
 def _poisson_resample_kernel(
     su_ref, sx_ref, seed_ref, u_ref, x_ref, *rest, order, use_w, n_real, v
 ):
@@ -809,44 +851,26 @@ def _poisson_resample_kernel(
     # segment follow the same stride in the mask arithmetic
     span, stride = _dot_span(subrows)
     s_len = span * lanes
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros((rep_block, (1 + v) * (order + 1)), jnp.float32)
 
-    def cat(ref2d, s0):
-        return jnp.concatenate(
-            [
-                ref2d[s0 + stride * t : s0 + stride * t + 1, :]
-                for t in range(span)
-            ],
-            axis=1,
-        )
-
     for s0 in range(stride):
-        du = cat(u_ref, s0).astype(jnp.float32) - su_ref[0, 0]  # (1, S)
-        mask = jnp.concatenate(
-            [
-                ((j * subrows + s0 + stride * t) * lanes + lane128 < n_real)
-                for t in range(span)
-            ],
-            axis=1,
-        ).astype(jnp.float32)
-        p0 = cat(w_ref, s0) * mask if use_w else mask
+        du = _span_cat(u_ref, s0, span, stride).astype(jnp.float32) - su_ref[0, 0]
+        mask = _span_mask(j, subrows, s0, span, stride, lanes, n_real)
+        p0 = _span_cat(w_ref, s0, span, stride) * mask if use_w else mask
 
         prows = [p0]
         for _ in range(order):
             prows.append(prows[-1] * du)
         crows = []
         for k in range(v):
-            xt = cat(x_ref[k], s0).astype(jnp.float32) - sx_ref[0, k]
+            xt = (
+                _span_cat(x_ref[k], s0, span, stride).astype(jnp.float32)
+                - sx_ref[0, k]
+            )
             crows.extend(p * xt for p in prows)
         contrib = jnp.concatenate(prows + crows, axis=0)  # (m, S)
 
-        bits = pltpu.prng_random_bits((rep_block, s_len))
-        bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, s_len), jnp.float32)
-        for cdf in _POISSON1_CDF:
-            thr = jnp.uint32(int(cdf * 4294967296.0))
-            f = f + (bits > thr).astype(jnp.float32)
+        f = _poisson_draw(rep_block, s_len)
 
         acc += jax.lax.dot_general(
             f, contrib, (((1,), (1,)), ((), ())),
@@ -978,40 +1002,22 @@ def _poisson_resample_u_batched_kernel(
     # identical frequency tiles
     span, stride = _dot_span(subrows)
     s_len = span * lanes
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     acc = jnp.zeros_like(out_ref[0])
 
-    def cat(ref2d, s0):
-        return jnp.concatenate(
-            [
-                ref2d[s0 + stride * t : s0 + stride * t + 1, :]
-                for t in range(span)
-            ],
-            axis=1,
-        )
-
     for s0 in range(stride):
-        du = cat(u_ref[0], s0).astype(jnp.float32) - su_ref[b, 0]  # (1, S)
-        mask = jnp.concatenate(
-            [
-                ((j * subrows + s0 + stride * t) * lanes + lane128 < n_real)
-                for t in range(span)
-            ],
-            axis=1,
-        ).astype(jnp.float32)
-        p0 = cat(w_ref[0], s0) * mask if use_w else mask
+        du = (
+            _span_cat(u_ref[0], s0, span, stride).astype(jnp.float32)
+            - su_ref[b, 0]
+        )
+        mask = _span_mask(j, subrows, s0, span, stride, lanes, n_real)
+        p0 = _span_cat(w_ref[0], s0, span, stride) * mask if use_w else mask
 
         prows = [p0]
         for _ in range(order):
             prows.append(prows[-1] * du)
         p = jnp.concatenate(prows, axis=0)  # (order+1, S)
 
-        bits = pltpu.prng_random_bits((rep_block, s_len))
-        bits = pltpu.bitcast(bits, jnp.uint32)
-        f = jnp.zeros((rep_block, s_len), jnp.float32)
-        for cdf in _POISSON1_CDF:
-            thr = jnp.uint32(int(cdf * 4294967296.0))
-            f = f + (bits > thr).astype(jnp.float32)
+        f = _poisson_draw(rep_block, s_len)
 
         acc += jax.lax.dot_general(
             f, p, (((1,), (1,)), ((), ())),
