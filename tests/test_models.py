@@ -187,6 +187,45 @@ class TestStateCollection:
         assert pred.shape == (4, 2)
 
 
+class TestStatisticalInefficiency:
+    def test_cross_form(self):
+        """Two-series (cross) statistical inefficiency: symmetric, ~1 for
+        independent white series, and it catches slow CROSS correlation
+        that both marginals miss (the reference's g(x, pot) term)."""
+        from thermoextrap_tpu.models.mbar import statistical_inefficiency
+
+        rng = np.random.default_rng(0)
+        n = 6000
+        # shared slow AR(1) component visible only via the cross term is
+        # hard to build; instead check the standard properties:
+        white1 = rng.normal(size=n)
+        white2 = rng.normal(size=n)
+        g12 = float(statistical_inefficiency(white1, white2))
+        g21 = float(statistical_inefficiency(white2, white1))
+        assert g12 == g21  # symmetric by construction
+        assert g12 < 2.0  # independent: no common correlation
+
+        # identical series: cross g == auto g
+        g_auto = float(statistical_inefficiency(white1))
+        g_same = float(statistical_inefficiency(white1, white1))
+        np.testing.assert_allclose(g_same, g_auto, rtol=1e-10)
+
+        # AR(1) pair driven by the SAME innovations: large cross g,
+        # matching the marginal correlation time
+        ar = np.empty(n)
+        ar[0] = 0.0
+        eps = rng.normal(size=n)
+        for t in range(1, n):
+            ar[t] = 0.9 * ar[t - 1] + eps[t]
+        g_cross = float(statistical_inefficiency(ar, 0.5 * ar + 1.0))
+        assert g_cross > 8.0  # (1+rho)/(1-rho) = 19 up to estimator noise
+
+        # anticorrelated pair: normalization by a negative <dx dy> still
+        # yields a finite, >= 1 result
+        g_anti = float(statistical_inefficiency(ar, -ar))
+        assert np.isfinite(g_anti) and g_anti >= 1.0
+
+
 class TestMBAR:
     @pytest.mark.slow
     def test_ig_statistical(self):
