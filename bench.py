@@ -233,5 +233,41 @@ def main() -> None:
     )
 
 
+def _watchdog(budget_s: float = 2700.0) -> None:
+    """Emit the contract JSON line and exit if the run wedges.
+
+    A killed TPU process can wedge the chip claim for a long time
+    (observed: hours); the very first device op then blocks inside
+    backend init with no exception to catch.  The daemon thread turns an
+    infinite hang into a recorded failure; on a normal run the process
+    exits long before the budget and the thread dies with it.
+    """
+    import os
+    import sys
+    import threading
+
+    def fire():
+        time.sleep(budget_s)
+        print(
+            json.dumps(
+                {
+                    "metric": "order6_central_comoment_reduction_throughput",
+                    "value": 0.0,
+                    "unit": "Gsamples/s",
+                    "vs_baseline": 0.0,
+                    "error": (
+                        f"watchdog: no result within {budget_s:.0f}s — "
+                        "TPU chip claim unavailable/wedged"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 if __name__ == "__main__":
+    _watchdog()
     main()
