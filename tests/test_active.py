@@ -102,6 +102,31 @@ class TestUpdates:
         new_alpha, _mu, _std = upd(gpr, alphas)
         assert np.min(alphas) <= new_alpha <= np.max(alphas)
 
+    def test_alc_hypothetical_cov_in_original_units(self, ig_gpr, monkeypatch):
+        """ALC rebuilds hypothetical models from ORIGINAL-unit y, so the
+        stored (scale-divided) likelihood.cov must be rescaled by
+        scale_fac**2 before it seeds them — capture what reaches
+        create_base_GP_model and check the units."""
+        gpr, alphas = ig_gpr
+        captured = {}
+        real = au.create_base_GP_model
+
+        def spy(data, **kws):
+            captured.setdefault("cov", np.asarray(data[2]))
+            return real(data, **kws)
+
+        monkeypatch.setattr(au, "create_base_GP_model", spy)
+        au.UpdateALCbrute(rng=0, n_grid=20, n_candidates=3)(gpr, alphas)
+        n = np.asarray(gpr.likelihood.cov).shape[-1]
+        want = np.asarray(gpr.likelihood.cov) * (
+            np.asarray(gpr.scale_fac).reshape(-1, 1, 1) ** 2
+        )
+        got = captured["cov"][:, :n, :n]
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+        # the fixture's model must exercise a nontrivial scale for the
+        # test to mean anything
+        assert float(np.max(np.asarray(gpr.scale_fac))) != 1.0
+
     def test_spacefill_midpoint(self, ig_gpr):
         gpr, alphas = ig_gpr
         upd = au.UpdateSpaceFill(rng=0, n_grid=100)
