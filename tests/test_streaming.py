@@ -179,6 +179,31 @@ def test_streaming_pipeline_matches_one_shot(vals):
     )
 
 
+def test_streaming_pipeline_weighted(vals):
+    """Weighted chunks through update == weighted one-shot pipeline."""
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_streaming_extrap_pipeline,
+    )
+
+    uv, xv = vals
+    rng = np.random.default_rng(29)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, R))
+    betas = jnp.asarray([0.9, 1.0, 1.1])
+    run = make_extrap_pipeline(order=4, beta0=1.0, weighted=True)
+    want = np.asarray(run(uv, xv, betas, w))
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        4, 1.0, val_shape=(3,), dtype=jnp.float64
+    )
+    for lo, hi in [(0, 1000), (1000, R)]:
+        state = update(state, uv[lo:hi], xv[lo:hi], weight=w[lo:hi])
+    np.testing.assert_allclose(
+        want, np.asarray(predict(state, betas)), rtol=1e-12
+    )
+    assert float(state.wsum) == pytest.approx(float(w.sum()), rel=1e-12)
+
+
 def test_streaming_pipeline_mesh_matches_single_device(vals):
     """mesh= streaming: sharded chunk reduce + exact merge equals the
     single-device streamed state and the one-shot pipeline."""
