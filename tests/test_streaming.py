@@ -393,6 +393,40 @@ def test_stateless_callback_subclass_equality():
     assert DataCallback() != MyCB()
 
 
+def test_merge_masks_zero_weight_members(vals):
+    """Zero-weight members must contribute NOTHING — not NaN: the empty
+    accumulator (uave=0) makes delta**order overflow f32 for large-mean
+    streams, and an all-zero-weight chunk carries 0/0 stats; both are
+    masked on w > 0 in the merge."""
+    from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+    uv, xv = vals
+    # (a) default-f32 pipeline, large-mean energies, FIRST update
+    rng = np.random.default_rng(31)
+    u_big = (1e7 + rng.normal(0, 1e3, 4000)).astype(np.float32)
+    x_big = rng.normal(2.0, 0.5, 4000).astype(np.float32)
+    state, update, predict = make_streaming_extrap_pipeline(6, 1.0)
+    s1 = update(state, u_big, x_big)
+    assert np.all(np.isfinite(np.asarray(s1.du)))
+    assert np.all(
+        np.isfinite(np.asarray(predict(s1, jnp.asarray([1.0], jnp.float32))))
+    )
+
+    # (b) an all-zero-weight (burn-in-masked) chunk merges as a no-op
+    good = DataCentralMoments.from_vals(xv, uv, ORDER)
+    burn = DataCentralMoments.from_vals(
+        xv, uv, ORDER, weight=jnp.zeros(R)
+    )
+    m = good.merge(burn)
+    assert_args_equal(good.derivs_args, m.derivs_args)
+
+    # (c) merging two empty states stays finite (still zero weight)
+    z = DataCentralMoments.zeros(ORDER, val_shape=(3,), dtype=jnp.float64)
+    zz = z.merge(z)
+    assert float(zz.wsum) == 0.0
+    assert np.all(np.isfinite(np.asarray(zz.du)))
+
+
 def test_merge_validation(vals):
     uv, xv = vals
     a = DataCentralMoments.from_vals(xv, uv, ORDER)

@@ -158,9 +158,16 @@ def merge_central_comoments(xave, uave, du, dxdu, wsum, axis: int = 0):
     order = du.shape[0] - 1
     wtot = wsum.sum(axis=0)  # (*b,)
     w = wsum / wtot
-    u_pool = (w * uave).sum(axis=0)  # (*b,)
-    w_x = _pad_trailing(w, xave.ndim)
-    x_pool = (w_x * xave).sum(axis=0)  # (*b, *val)
+    # ZERO-WEIGHT MEMBERS CONTRIBUTE NOTHING — and must not poison the
+    # pool: an empty accumulator state carries uave=0 (so delta_u**order
+    # can overflow f32 to inf for large-mean streams) and an all-zero-
+    # weight chunk carries 0/0=NaN stats; 0 * inf and 0 * NaN are both
+    # NaN, so every weighted contribution is masked on w > 0 instead of
+    # relying on the multiply.
+    w_m = jnp.where(w > 0, w, 0.0)
+    u_pool = jnp.where(w > 0, w * uave, 0.0).sum(axis=0)  # (*b,)
+    w_x = _pad_trailing(w_m, xave.ndim)
+    x_pool = jnp.where(w_x > 0, w_x * xave, 0.0).sum(axis=0)  # (*b, *val)
 
     # raw moments of each set about the pooled u mean:
     # <(u - u_pool)^n>_b = sum_k C(n,k) du_b[k] (uave_b - u_pool)^{n-k}
@@ -182,10 +189,10 @@ def merge_central_comoments(xave, uave, du, dxdu, wsum, axis: int = 0):
         axis=0,
     )
 
-    w_u = _pad_trailing(w, shifted_u.ndim - 1)
-    w_xu = _pad_trailing(w, shifted_xu.ndim - 1)
-    du_m = (w_u * shifted_u).sum(axis=1)
-    dxdu_m = (w_xu * shifted_xu).sum(axis=1)
+    w_u = _pad_trailing(w_m, shifted_u.ndim - 1)
+    w_xu = _pad_trailing(w_m, shifted_xu.ndim - 1)
+    du_m = jnp.where(w_u > 0, w_u * shifted_u, 0.0).sum(axis=1)
+    dxdu_m = jnp.where(w_xu > 0, w_xu * shifted_xu, 0.0).sum(axis=1)
     du_m = du_m.at[0].set(1.0).at[1].set(0.0)
     dxdu_m = dxdu_m.at[0].set(0.0)
     return x_pool, u_pool, du_m, dxdu_m, wtot

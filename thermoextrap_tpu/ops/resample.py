@@ -98,11 +98,14 @@ def resample_raw_comoments(uv, xv, freq, order: int, weight=None):
     # into every downstream bootstrap std; the safe divide gives that
     # degenerate replicate zero raw moments (-> the global mean after
     # the central recentering), the mildest finite stand-in
-    wsum = fw.sum(axis=-1)  # (nrep,)
-    wsum = jnp.where(wsum > 0, wsum, 1.0)
+    wsum0 = fw.sum(axis=-1)  # (nrep,)
+    wsum = jnp.where(wsum0 > 0, wsum0, 1.0)
 
     powers = u_power_stack(uv, order)  # (R, order+1)
     u = (fw @ powers) / wsum[:, None]  # (nrep, order+1)
+    # a degenerate (masked-out) replicate still honors the raw-moment
+    # contract u[0] = <u^0> = 1; higher moments stay 0
+    u = u.at[:, 0].set(jnp.where(wsum0 > 0, u[:, 0], 1.0))
 
     xflat = xv.reshape(uv.shape[0], -1)  # (R, V)
     contrib = powers[:, :, None] * xflat[:, None, :]  # (R, order+1, V)

@@ -127,14 +127,22 @@ class RecursiveInterp:
         check_ind = np.unravel_index(np.argmax(rel_err), rel_err.shape)
         check_val = rel_err[check_ind]
         logger.info("Maximum bootstrapped error within interval: %s", check_val)
+        # a new point must lie STRICTLY inside the interval: the linspace
+        # endpoints coincide with the existing states (a near-zero
+        # prediction there can spike rel_err), and splitting at an
+        # endpoint recurses into a zero-width, singular interpolation —
+        # select from the interior grid only
+        interior_err = rel_err[1:-1]
+        interior_ind = np.unravel_index(
+            np.argmax(interior_err), interior_err.shape
+        )
+        select_beta = beta_vals[1:-1][interior_ind[0]]
 
         if check_val <= self.tol:
             new_beta = None
         elif beta_avail is not None:
             beta_avail = np.asarray(beta_avail)
-            new_beta = beta_avail[
-                np.argmin(np.abs(beta_avail - beta_vals[check_ind[0]]))
-            ]
+            new_beta = beta_avail[np.argmin(np.abs(beta_avail - select_beta))]
             # the nearest AVAILABLE point can fall on/outside the current
             # interval (the reference indexes blindly and crashes); a point
             # at/beyond either endpoint cannot split the interval — accept
@@ -148,7 +156,7 @@ class RecursiveInterp:
                 )
                 new_beta = None
         else:
-            new_beta = beta_vals[check_ind[0]]
+            new_beta = select_beta
 
         if new_beta is not None:
             logger.info("Selected new extrapolation point: %f", new_beta)
