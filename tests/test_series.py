@@ -96,3 +96,28 @@ def test_derivs_coefs_roundtrip(rng_np):
         np.testing.assert_allclose(
             np.asarray(d[n]), c[n] * math.factorial(n), rtol=1e-14
         )
+
+
+def test_series_compose_linear_and_subsample():
+    """Direct gates for the two public helpers with no other test path:
+    coefficient rescale under Delta -> s*Delta, and decorrelated-subsample
+    index strides (pymbar subsample_correlated_data role)."""
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.models.mbar import subsample_correlated_data
+    from thermoextrap_tpu.ops.series import series_compose_linear
+
+    # f(D) = 1 + 2D + 3D^2; f(sD) coefficients are c_n s^n
+    c = jnp.asarray([1.0, 2.0, 3.0])
+    got = np.asarray(series_compose_linear(c, 0.5))
+    np.testing.assert_allclose(got, [1.0, 1.0, 0.75], rtol=1e-12)
+    # batched coefficients rescale along the leading (moment) axis only
+    cb = jnp.asarray([[1.0, 10.0], [2.0, 20.0]])
+    gotb = np.asarray(series_compose_linear(cb, 2.0))
+    np.testing.assert_allclose(gotb, [[1.0, 10.0], [4.0, 40.0]], rtol=1e-12)
+
+    idx = subsample_correlated_data(np.zeros(100), g=9.2)
+    np.testing.assert_array_equal(idx, np.arange(0, 100, 10))
+    rng = np.random.default_rng(0)
+    idx2 = subsample_correlated_data(rng.normal(size=500))  # iid: g ~ 1
+    assert len(idx2) > 400
