@@ -85,6 +85,19 @@ def main() -> None:
     # prediction accuracy vs the analytic ideal gas at beta0
     assert np.abs(got[2] - exact[2]) < 5e-3
 
+    # ---- restartable ingest: checkpoint the accumulator to one npz file;
+    # a preempted producer resumes from it and replays only later chunks
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ckpt = Path(td) / "stream_ckpt.npz"
+        state.save(ckpt)
+        resumed = type(state).load(ckpt)
+    np.testing.assert_array_equal(
+        np.asarray(predict(resumed, betas)), got
+    )
+    print("checkpoint/restore round-trip: exact")
+
     # ---- streaming a macrostate grid (lnPi): each chunk carries the whole
     # grid's new energy samples; the state pools elementwise per macrostate
     n_grid, r_chunk = (12, 2_000) if SMOKE else (256, 1 << 18)

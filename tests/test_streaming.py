@@ -438,3 +438,53 @@ def test_merge_validation(vals):
     # batch shapes must agree (flat vs batched cannot pool)
     with pytest.raises(ValueError, match="batch shape"):
         a.merge(batched)
+
+
+def test_save_load_checkpoint_roundtrip(vals, tmp_path):
+    """Mid-stream checkpoint/restore == uninterrupted stream, exactly."""
+    uv, xv = vals
+    path = tmp_path / "stream_state.npz"
+
+    acc = DataCentralMoments.zeros(ORDER, val_shape=(3,), dtype=jnp.float64)
+    acc = acc.push_vals(xv[:1100], uv[:1100])
+    acc.save(path)
+
+    resumed = DataCentralMoments.load(path)
+    assert resumed.order == ORDER
+    assert resumed.val_ndim == 1
+    assert resumed.du.dtype == acc.du.dtype
+    resumed = resumed.push_vals(xv[1100:], uv[1100:])
+
+    unbroken = DataCentralMoments.zeros(
+        ORDER, val_shape=(3,), dtype=jnp.float64
+    ).push_vals(xv[:1100], uv[:1100]).push_vals(xv[1100:], uv[1100:])
+    assert_args_equal(unbroken.derivs_args, resumed.derivs_args)
+    # the restored state is a live pytree: jitted update still works
+    jitted = jax.jit(lambda s, x, u: s.push_vals(x, u))
+    again = jitted(DataCentralMoments.load(path), xv[1100:], uv[1100:])
+    assert_args_equal(unbroken.derivs_args, again.derivs_args)
+
+
+def test_save_load_bf16_and_batched(vals, tmp_path):
+    uv, xv = vals
+    # bf16 accumulator stored as f32 (exact superset), restored to bf16
+    # (note: bare push_vals promotes with the chunk dtype — the bf16-held
+    # state arises via the pipeline update, which casts back; emulate it)
+    b = DataCentralMoments.from_vals(xv[:, 0], uv, ORDER)
+    b = jax.tree.map(lambda a: a.astype(jnp.bfloat16), b)
+    p = tmp_path / "bf16.npz"
+    b.save(p)
+    rb = DataCentralMoments.load(p)
+    assert rb.dxdu.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(rb.dxdu, np.float32), np.asarray(b.dxdu, np.float32)
+    )
+    # batched (grid) states checkpoint too, x_is_u preserved
+    g = DataCentralMoments.from_vals(
+        None, uv.reshape(4, -1), ORDER
+    )
+    p2 = tmp_path / "grid.npz"
+    g.save(p2)
+    rg = DataCentralMoments.load(p2)
+    assert rg.x_is_u and rg.wsum.shape == (4,)
+    assert_args_equal(g.derivs_args, rg.derivs_args)

@@ -933,6 +933,65 @@ class DataCentralMoments:
         )
         return self.merge(chunk)
 
+    def save(self, path) -> None:
+        """Checkpoint the moment state to one ``.npz`` file — the restart
+        seam for streaming ingestion (a crashed/preempted producer resumes
+        from the last checkpoint and replays only the chunks after it;
+        the GPR stack persists its parameters the same way,
+        ``HeteroscedasticGPR.save_params``, and the reference persists
+        active-learning state in ``active_history.npz``).
+
+        Arrays are stored at their own dtype when numpy can serialize it
+        (f32/f64); a bfloat16 accumulator is stored as f32 (exact — f32
+        is a superset) and restored to bfloat16.  The ``meta`` callback is
+        NOT serialized: pass the (stateless) callback back to :meth:`load`.
+        """
+        import json as _json
+
+        import numpy as _np
+
+        arrays = {}
+        dtypes = {}
+        for k in ("xave", "uave", "du", "dxdu", "wsum"):
+            a = getattr(self, k)
+            dtypes[k] = str(a.dtype)
+            a = _np.asarray(
+                a.astype(jnp.float32) if a.dtype == jnp.bfloat16 else a
+            )
+            arrays[k] = a
+        header = {
+            "order": self.order,
+            "central": self.central,
+            "x_is_u": self.x_is_u,
+            "xalpha": self.xalpha,
+            "val_ndim": self.val_ndim,
+            "dtypes": dtypes,
+        }
+        _np.savez(path, _header=_json.dumps(header), **arrays)
+
+    @classmethod
+    def load(cls, path, *, meta: DataCallbackABC | None = None):
+        """Restore a state checkpointed by :meth:`save`."""
+        import json as _json
+
+        import numpy as _np
+
+        with _np.load(path) as z:
+            header = _json.loads(str(z["_header"]))
+            fields = {
+                k: jnp.asarray(z[k], dtype=header["dtypes"][k])
+                for k in ("xave", "uave", "du", "dxdu", "wsum")
+            }
+        return cls(
+            **fields,
+            meta=meta if meta is not None else DataCallback(),
+            order=int(header["order"]),
+            central=bool(header["central"]),
+            x_is_u=bool(header["x_is_u"]),
+            xalpha=bool(header["xalpha"]),
+            val_ndim=int(header["val_ndim"]),
+        )
+
 
 class DataCentralMomentsVals(DataValues):
     """Values-backed central-moment data (reference data.py:1643-1813).
