@@ -488,3 +488,43 @@ def test_save_load_bf16_and_batched(vals, tmp_path):
     rg = DataCentralMoments.load(p2)
     assert rg.x_is_u and rg.wsum.shape == (4,)
     assert_args_equal(g.derivs_args, rg.derivs_args)
+
+
+def test_streaming_interp_pipeline_matches_one_shot(vals):
+    """Multi-state streaming interpolation == InterpModel over one-shot
+    reduced data at every reference state."""
+    from thermoextrap_tpu.models.extrap import InterpModel
+    from thermoextrap_tpu.pipeline import make_streaming_interp_pipeline
+
+    uv, xv = vals
+    beta0s = [0.8, 1.3]
+    # two "simulations": disjoint halves of the fixture at different betas
+    ua, xa = uv[: R // 2], xv[: R // 2, 0]
+    ub, xb = uv[R // 2 :] * 1.1, xv[R // 2 :, 0] + 0.2
+
+    states, update, predict = make_streaming_interp_pipeline(
+        4, beta0s, dtype=jnp.float64
+    )
+    # interleaved chunk arrival across the two states
+    states = update(states, 0, ua[:700], xa[:700])
+    states = update(states, 1, ub[:400], xb[:400])
+    states = update(states, 0, ua[700:], xa[700:])
+    states = update(states, 1, ub[400:], xb[400:])
+    betas = jnp.asarray([0.8, 1.0, 1.25])
+    got = np.asarray(predict(states, betas))
+
+    one = InterpModel(
+        [
+            beta_xpan.factory_extrapmodel(
+                b, DataCentralMoments.from_vals(x, u, 4)
+            )
+            for b, (u, x) in zip(beta0s, [(ua, xa), (ub, xb)])
+        ]
+    )
+    want = np.asarray(one.predict(betas))
+    # chunked merge vs one-shot reduce differ by f64 summation order only
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    # jackknife composes: per-chunk states for state 0, pooled predict
+    with pytest.raises(ValueError, match=">= 2 reference states"):
+        make_streaming_interp_pipeline(4, [1.0])

@@ -368,6 +368,89 @@ def make_streaming_lnpi_pipeline(
     return state0, update, predict
 
 
+def make_streaming_interp_pipeline(
+    order: int,
+    beta0s,
+    *,
+    minus_log: bool = False,
+    val_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+    bf16: bool = False,
+    mesh=None,
+):
+    r"""Multi-state streaming interpolation serving: one online accumulator
+    per reference inverse temperature, predictions from the JOINT
+    polynomial through all states (:class:`~thermoextrap_tpu.models.extrap.
+    InterpModel`, reference models.py:853-932) available at any time.
+
+    This is the production topology of the reference's interpolation
+    workflow (one simulation worker per state point feeding a shared
+    interpolated surface, reference Temperature_Interp notebook) with the
+    reference's one-shot reduction replaced by exact online accumulation —
+    no samples retained anywhere.
+
+    Parameters
+    ----------
+    order : per-state Taylor order (joint polynomial order is
+        ``len(beta0s) * (order + 1) - 1``).
+    beta0s : sequence of reference inverse temperatures.
+    minus_log : interpolate ``-log <x>``.
+    val_shape, dtype, bf16, mesh : as in
+        :func:`make_streaming_extrap_pipeline` (shared by every state).
+
+    Returns
+    -------
+    ``(states0, update, predict)`` — ``states0`` a tuple of empty
+    accumulators (one per β); ``update(states, i, uv, xv, weight=None) ->
+    states`` folds a chunk from the simulation at ``beta0s[i]`` (the inner
+    chunk reduce+merge is the jitted streaming update; ``i`` selects
+    host-side); ``predict(states, betas) -> (A, *val_shape)`` solves the
+    joint derivative-matching system (host f64 — the system is tiny and
+    ill-conditioned in f32, see ``InterpModel.coefs``) over the current
+    states.
+    """
+    beta0s = [float(b) for b in beta0s]
+    if len(beta0s) < 2:
+        msg = f"interpolation needs >= 2 reference states, got {len(beta0s)}"
+        raise ValueError(msg)
+    state0, _update, _ = make_streaming_extrap_pipeline(
+        order,
+        beta0s[0],
+        val_shape=val_shape,
+        dtype=dtype,
+        bf16=bf16,
+        mesh=mesh,
+    )
+    states0 = tuple(state0 for _ in beta0s)
+
+    def update(states, i, uv, xv, weight=None):
+        i = int(i)
+        states = list(states)
+        states[i] = _update(states[i], uv, xv, weight=weight)
+        return tuple(states)
+
+    def predict(states, betas):
+        from .beta import factory_derivatives
+        from .models.extrap import ExtrapModel, InterpModel
+
+        derivatives = factory_derivatives("x_ave", central=True)
+        models = [
+            ExtrapModel(
+                alpha0=b,
+                data=s,
+                derivatives=derivatives,
+                order=order,
+                alpha_name="beta",
+            )
+            for b, s in zip(beta0s, states)
+        ]
+        return InterpModel(models).predict(
+            jnp.atleast_1d(jnp.asarray(betas)), minus_log=minus_log
+        )
+
+    return states0, update, predict
+
+
 def streaming_jackknife(states, predict, *args):
     r"""Delete-one-block jackknife over retained streaming chunk states:
     prediction + standard error with NO sample retention.
