@@ -145,57 +145,54 @@ def main() -> None:
     }
     print(json.dumps({"streaming_update": results["streaming_update"]}))
 
-    # streaming ingest DEVICE rate: a lax.scan of push_vals over pre-chunked
-    # arrays inside ONE jitted program (how a production ingest loop embeds
-    # the update), K-chained and differenced like bench.py so the fixed
-    # tunnel dispatch cancels.  This must land at the one-shot fused-kernel
-    # rate — the exact merge epilogue is O(order²) scalar work per chunk.
+    # streaming ingest DEVICE rate: push_vals on a per-chunk buffer inside
+    # one jitted program (the realistic ingest topology — every update call
+    # receives its own chunk buffer), K-chained and differenced like
+    # bench.py so the fixed tunnel dispatch cancels.  This must land near
+    # the one-shot fused-kernel rate — the exact merge epilogue is
+    # O(order²) scalar work per chunk.  (A lax.scan over ONE pre-chunked
+    # monolithic array is NOT this number: XLA materializes each
+    # dynamic-sliced chunk before the Pallas call, ~2 extra stream copies
+    # per chunk — measured ~11 Gs/s in that topology.)
     from thermoextrap_tpu.data import DataCentralMoments
 
-    n_chunks = 8
-    u8 = uv[: (r // n_chunks) * n_chunks].reshape(n_chunks, -1)
-    x8 = xv[: (r // n_chunks) * n_chunks, 0].reshape(n_chunks, -1)
+    uc8, xc8 = uv[:chunk], xv[:chunk, 0]
 
     @jax.jit
-    def ingest_k(u8, x8, k):
-        def body(s, cx):
-            u, x = cx
-            return s.push_vals(x, u), jnp.float32(0.0)
-
-        def outer(_, carry):
+    def ingest_k(u, x, k):
+        def body(_, carry):
             s, uu, xx = carry
             uu, xx = jax.lax.optimization_barrier((uu, xx))
-            s, _ = jax.lax.scan(body, s, (uu, xx))
-            return s, uu, xx
+            return s.push_vals(xx, uu), uu, xx
 
         s0 = DataCentralMoments.zeros(order)
-        s, _, _ = jax.lax.fori_loop(0, k, outer, (s0, u8, x8))
+        s, _, _ = jax.lax.fori_loop(0, k, body, (s0, u, x))
         return s
 
-    def scan_time(k):
-        float(jnp.asarray(ingest_k(u8, x8, k).wsum))  # warm (k is traced)
+    def chunk_time(k):
+        float(jnp.asarray(ingest_k(uc8, xc8, k).wsum))  # warm (k is traced)
         best = float("inf")
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            float(jnp.asarray(ingest_k(u8, x8, k).wsum))
+            float(jnp.asarray(ingest_k(uc8, xc8, k).wsum))
             best = min(best, time.perf_counter() - t0)
         return best
 
     if on_accel:
-        k_lo, k_hi = 4, 36  # delta ~36 ms at the one-shot f32 rate
+        k_lo, k_hi = 8, 328  # ~40 ms differenced interval at ~100 Gs/s
     else:
         k_lo, k_hi = 1, 3
-    t_lo, t_hi = scan_time(k_lo), scan_time(k_hi)
-    n_scanned = u8.shape[0] * u8.shape[1]
+    t_lo, t_hi = chunk_time(k_lo), chunk_time(k_hi)
     if t_hi > t_lo:
-        rate = (k_hi - k_lo) * n_scanned / (t_hi - t_lo)
-        results["streaming_scan_device"] = {
-            "chunks_per_pass": n_chunks,
-            "chunk": u8.shape[1],
+        rate = (k_hi - k_lo) * chunk / (t_hi - t_lo)
+        results["streaming_chunk_device"] = {
+            "chunk": chunk,
             "gsamples_per_s": round(rate / 1e9, 2),
         }
         print(
-            json.dumps({"streaming_scan_device": results["streaming_scan_device"]})
+            json.dumps(
+                {"streaming_chunk_device": results["streaming_chunk_device"]}
+            )
         )
 
     results["backend"] = jax.default_backend()

@@ -263,6 +263,37 @@ def test_fused_resample_lane_shapes(rng_np, r, nrep):
         )
 
 
+@pytest.mark.parametrize("r", [127, 1025, 12_832])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fused_reduce_flat1d_misaligned(rng_np, r, weighted):
+    """v==1 misaligned-R streams take the flat-1D block path (no host-side
+    pad copy; in-kernel ``(blk,) -> (rows, lanes)`` reshape) — exact vs the
+    f64 two-pass reference for sub-block, one-block-plus-tail, and
+    multi-block-plus-tail shapes, weighted and unweighted."""
+    from thermoextrap_tpu.ops.moments_pallas import (
+        reduce_central_comoments_fused,
+    )
+
+    order = 4
+    u = rng_np.normal(5.0, 1.0, r).astype(np.float32)
+    x = rng_np.normal(2.0, 0.5, (r, 1)).astype(np.float32)
+    w = rng_np.uniform(0.5, 1.5, r).astype(np.float32) if weighted else None
+
+    ref = reduce_central_comoments(
+        np.float64(u),
+        np.float64(x),
+        order,
+        weight=None if w is None else np.float64(w),
+    )
+    got = reduce_central_comoments_fused(
+        u, x, order, weight=w, block=1024, interpret=True
+    )
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float64), np.asarray(b), rtol=2e-3, atol=1e-5
+        )
+
+
 def test_fused_resample_fractional_freq(rng_np):
     """Float (fractional-weight) frequency tables — e.g. Bayesian-bootstrap
     Dirichlet weights — must NOT be truncated to integers."""

@@ -171,7 +171,18 @@ def _pack(a, rows_total):
 
 
 def _reduce_kernel(
-    su_ref, sx_ref, u_ref, x_ref, *rest, order, use_w, rows, n_real, v, lanes
+    su_ref,
+    sx_ref,
+    u_ref,
+    x_ref,
+    *rest,
+    order,
+    use_w,
+    rows,
+    n_real,
+    v,
+    lanes,
+    flat1d=False,
 ):
     """Inputs per grid step: u ``(rows, B)``, x ``(v, rows, B)``; partial
     sums accumulate into per-(sublane, lane) tiles ``(order+1, 8, B)`` /
@@ -213,9 +224,22 @@ def _reduce_kernel(
 
     su = su_ref[0, 0]
     sx = [sx_ref[0, k] for k in range(v)]
-    u = u_ref[:].astype(jnp.float32)
-    xs = [x_ref[k].astype(jnp.float32) for k in range(v)]
-    w = w_ref[:].astype(jnp.float32) if use_w else None
+    if flat1d:
+        # misaligned-R path: streams arrive as flat (rows*lanes,) blocks of
+        # the ORIGINAL array (no host-side pad copy); the in-register
+        # reshape costs a relayout (~70% of the bitcast stream rate on-chip
+        # vs ~40% for the padded copy it replaces).  v == 1 only.
+        u = u_ref[:].astype(jnp.float32).reshape(rows, lanes)
+        xs = [x_ref[:].astype(jnp.float32).reshape(rows, lanes)]
+        w = (
+            w_ref[:].astype(jnp.float32).reshape(rows, lanes)
+            if use_w
+            else None
+        )
+    else:
+        u = u_ref[:].astype(jnp.float32)
+        xs = [x_ref[k].astype(jnp.float32) for k in range(v)]
+        w = w_ref[:].astype(jnp.float32) if use_w else None
     g_count = rows // 8
 
     def body(masked: bool):
@@ -365,20 +389,47 @@ def reduce_central_comoments_fused(
     # blocks (see resample_central_comoments_fused).  Device path keeps
     # the minimal zero-copy packing (partial last block is fine on TPU).
     rows_pad = grid * rows if interpret else rows_total
+    blk = rows * lanes
+    # misaligned R: (R,) -> (rows, lanes) is NOT a bitcast, and both
+    # jnp.pad and prefix slices materialize a full copy of every stream
+    # before the kernel (measured 2.1x end-to-end at R=12.5e6+32).  Stream
+    # flat 1-D blocks of the ORIGINAL array instead and reshape in-register
+    # inside the kernel (~70% of the bitcast rate vs ~45% for the copy).
+    # v == 1 only: the v > 1 x-path pays a transposed copy regardless.
+    # r >= one full HBM tile (sub*lanes = 1024 f32 / 2048 bf16) is required:
+    # below that XLA lays the 1-D array out with a SMALLER tile (e.g.
+    # {0:T(128)} for f32[127]) and Mosaic rejects the operand (its 1-D
+    # blocks assume the native T(8*128) tiling); the pad copy is free at
+    # those sizes anyway.
+    flat1d = (r % lanes != 0) and v == 1 and r >= sub * lanes
 
-    def pack1(a):
-        if r == rows_pad * lanes:
-            return a.reshape(rows_pad, lanes)  # bitcast, zero copy
-        return _pad_flat(a, rows_pad * lanes).reshape(rows_pad, lanes)
-
-    u_p = pack1(uv)
-    if v == 1:
-        x_p = pack1(xv[:, 0])[None]  # free reshape, no transpose
+    if flat1d:
+        # interpret mode still needs full block coverage (poison defense)
+        n_flat = grid * blk if interpret else r
+        u_p = _pad_flat(uv, n_flat)
+        x_p = _pad_flat(xv[:, 0], n_flat)
+        u_spec = pl.BlockSpec((blk,), lambda i: (i,))
+        x_spec = pl.BlockSpec((blk,), lambda i: (i,))
+        w_spec = pl.BlockSpec((blk,), lambda i: (i,))
     else:
-        # one transposed copy for all observable columns (vs a pass per column)
-        x_p = jnp.pad(xv, ((0, rows_pad * lanes - r), (0, 0))).T.reshape(
-            v, rows_pad, lanes
-        )
+
+        def pack1(a):
+            if r == rows_pad * lanes:
+                return a.reshape(rows_pad, lanes)  # bitcast, zero copy
+            return _pad_flat(a, rows_pad * lanes).reshape(rows_pad, lanes)
+
+        u_p = pack1(uv)
+        if v == 1:
+            x_p = pack1(xv[:, 0])[None]  # free reshape, no transpose
+        else:
+            # one transposed copy for all observable columns (vs a pass per
+            # column)
+            x_p = jnp.pad(xv, ((0, rows_pad * lanes - r), (0, 0))).T.reshape(
+                v, rows_pad, lanes
+            )
+        u_spec = pl.BlockSpec((rows, lanes), lambda i: (i, 0))
+        x_spec = pl.BlockSpec((v, rows, lanes), lambda i: (0, i, 0))
+        w_spec = pl.BlockSpec((rows, lanes), lambda i: (i, 0))
 
     operands = [
         jnp.reshape(s_u, (1, 1)),
@@ -389,13 +440,15 @@ def reduce_central_comoments_fused(
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((rows, lanes), lambda i: (i, 0)),
-        pl.BlockSpec((v, rows, lanes), lambda i: (0, i, 0)),
+        u_spec,
+        x_spec,
     ]
     use_w = w_flat is not None
     if use_w:
-        operands.append(pack1(w_flat))
-        in_specs.append(pl.BlockSpec((rows, lanes), lambda i: (i, 0)))
+        operands.append(
+            _pad_flat(w_flat, n_flat) if flat1d else pack1(w_flat)
+        )
+        in_specs.append(w_spec)
 
     out_u, out_xu = pl.pallas_call(
         functools.partial(
@@ -406,6 +459,7 @@ def reduce_central_comoments_fused(
             n_real=r,
             v=v,
             lanes=lanes,
+            flat1d=flat1d,
         ),
         grid=(grid,),
         in_specs=in_specs,

@@ -203,7 +203,12 @@ def make_streaming_extrap_pipeline(
     shifted-moment merge as the sharded reduction, so the final state is
     bit-for-bit the one-shot answer up to floating-point associativity).
     The state is a pytree: ``update`` may also be used as a ``lax.scan``
-    body over pre-chunked arrays inside a larger jitted program.
+    body over pre-chunked arrays inside a larger jitted program.  (Perf
+    note: feeding chunks as separate buffers — one ``update`` call per
+    chunk, or a ``fori_loop`` over per-chunk operands — runs at the fused
+    kernel rate; a ``lax.scan`` over ONE monolithic ``(C, chunk)`` array
+    makes XLA materialize each dynamic-sliced chunk before the Pallas
+    call, ~2 extra stream copies per chunk.)
 
     Parameters
     ----------
