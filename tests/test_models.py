@@ -186,6 +186,20 @@ class TestStateCollection:
         pred = np.asarray(rs[0].predict(0.6))
         assert pred.shape == (4, 2)
 
+    def test_map_concat(self, states):
+        """map_concat stacks per-state results along a new leading axis in
+        ``alpha0`` order (reference models.py:658-672 xr.concat analogue)."""
+        sc = xtpu.StateCollection(states)
+        out = sc.map_concat("predict", 0.8)
+        assert out.shape == (3, 2)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.stack([np.asarray(s.predict(0.8)) for s in sc]),
+        )
+        # callables work too
+        out2 = sc.map_concat(lambda s: s.predict(0.8))
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
+
 
 class TestStatisticalInefficiency:
     def test_cross_form(self):

@@ -174,6 +174,13 @@ class StateCollection:
             return [getattr(s, func)(*args, **kws) for s in self]
         return [func(s, *args, **kws) for s in self]
 
+    def map_concat(self, func, *args, **kws):
+        """Apply ``func`` (callable or method name) to every state and stack
+        the results along a new leading per-state axis (reference
+        models.py:658-672 concatenates along an ``alpha0`` pandas index;
+        here the axis order IS ``self.alpha0``)."""
+        return jnp.stack([jnp.asarray(o) for o in self.map(func, *args, **kws)])
+
     def append(self, states, sort: bool = True, key: Callable | None = None):
         new_states = list(self.states) + list(states)
         if sort:
