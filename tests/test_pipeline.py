@@ -247,3 +247,43 @@ def test_pipeline_bf16_flag_cpu_noop(rng_np):
     p0 = np.asarray(make_extrap_pipeline(order, beta0)(u, x, betas))
     p1 = np.asarray(make_extrap_pipeline(order, beta0, bf16=True)(u, x, betas))
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_gpr_pipeline_serving(rng_np):
+    """make_gpr_pipeline: trained-once GPR + bucketed compile-once predict.
+
+    Ragged query sizes must return the same per-point posterior as a direct
+    ``predict_f`` call (the bucket pad is repeat-last-point and sliced off),
+    and the GP mean must interpolate the training observable to a few
+    percent."""
+    from thermoextrap_tpu.pipeline import make_gpr_pipeline
+
+    order, R = 2, 4000
+    states = []
+    for b in (0.6, 1.0, 1.6):
+        u = rng_np.normal(3.0 / b, 0.5, R)
+        x = 1.0 / b + 0.1 * (u - u.mean()) + rng_np.normal(0, 0.05, R)
+        states.append(_model(u, x, order, b))
+
+    gpr, predict = make_gpr_pipeline(states, bucket=8)
+
+    alphas = np.array([0.8, 1.0, 1.4])
+    mean, var = predict(alphas)
+    assert mean.shape == (3, 1) and var.shape == (3, 1)
+    assert np.all(var > 0)
+    # GP mean at a training alpha ~ training observable
+    np.testing.assert_allclose(mean[1, 0], 1.0, rtol=0.1)
+
+    # ragged sizes hit the same bucketed program and agree pointwise with
+    # the direct (unpadded) predict_f path
+    x_new = np.column_stack([alphas, np.zeros(3)])
+    m_ref, v_ref = gpr.predict_f(x_new)
+    np.testing.assert_allclose(mean, np.asarray(m_ref), rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(var, np.asarray(v_ref), rtol=1e-8, atol=1e-10)
+    m5, _ = predict(np.linspace(0.7, 1.5, 5))
+    np.testing.assert_allclose(m5[3, 0], predict(np.array([1.3]))[0][0, 0], rtol=1e-8)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        predict(alphas, order=1)

@@ -34,8 +34,10 @@ from .ops.series import series_neg_log
 
 __all__ = [
     "make_extrap_pipeline",
+    "make_gpr_pipeline",
     "make_lnpi_pipeline",
     "make_streaming_extrap_pipeline",
+    "make_streaming_interp_pipeline",
     "make_streaming_lnpi_pipeline",
     "streaming_jackknife",
 ]
@@ -640,3 +642,76 @@ def make_lnpi_pipeline(
         return _run(uv, lnpi0, mudotn, betas, seed)
 
     return run
+
+
+def make_gpr_pipeline(
+    states,
+    *,
+    log_scale: bool = False,
+    base_kwargs=None,
+    start_params=None,
+    orders=(0,),
+    bucket: int = 64,
+):
+    """Train a derivative-informed GPR on extrapolation states and return
+    ``(gpr, predict)`` — a compile-once posterior serving closure.
+
+    Serving counterpart of the extrap/lnΠ pipelines for the GPR model
+    family (no reference analogue — the reference workflow is eager
+    ``create_GPR`` + ``predict_f`` per grid, active_utils.py:872-975).
+    The GP linear algebra is pinned to host-CPU f64 (TPU has no f64
+    Cholesky; see ``gpr_active.gp_models._compute_ctx``), so the serving
+    concern here is COMPILE reuse, not dispatch fusion: ``predict_f``
+    compiles one XLA program per (derivative-order set, grid shape), and a
+    stream of ragged query grids would retrace every call.  ``predict``
+    therefore pads each query to the next multiple of ``bucket`` (repeating
+    the last point) and slices the pad back off — any query size reuses at
+    most a handful of cached programs.
+
+    Parameters
+    ----------
+    states : sequence of ``ExtrapModel`` (or callables returning
+        ``(x, y, cov)``) — the training states, as for ``create_GPR``.
+    log_scale : train on log10-transformed locations/derivatives
+        (``active_utils.input_GP_from_state``); ``predict`` applies the
+        same location transform, and its outputs stay in the transformed
+        y-space (invert with the delta method if original units are
+        needed).
+    base_kwargs, start_params : forwarded to ``create_GPR``.
+    orders : derivative orders ``predict`` may be asked for (static set;
+        order 0 = the observable itself).
+    bucket : query-grid size quantum (compile granularity).
+
+    Returns
+    -------
+    ``(gpr, predict)`` with ``predict(alphas, order=0) -> (mean, var)``,
+    each ``(len(alphas), out_dim)`` f64 numpy arrays.
+    """
+    import numpy as np
+
+    from .gpr_active.active_utils import create_GPR
+
+    orders = tuple(int(o) for o in orders)
+    gpr = create_GPR(
+        list(states),
+        log_scale=log_scale,
+        start_params=start_params,
+        base_kwargs=base_kwargs,
+    )
+
+    def predict(alphas, order: int = 0):
+        if order not in orders:
+            msg = f"{order=} not in the pipeline's static {orders=}"
+            raise ValueError(msg)
+        alphas = np.atleast_1d(np.asarray(alphas, dtype=np.float64))
+        n = alphas.shape[0]
+        n_pad = max(((n + bucket - 1) // bucket) * bucket, bucket)
+        locs = np.full(n_pad, alphas[-1], dtype=np.float64)
+        locs[:n] = alphas
+        if log_scale:
+            locs = np.log10(locs)
+        x_new = np.column_stack([locs, np.full(n_pad, order, np.float64)])
+        mean, var = gpr.predict_f(x_new)
+        return np.asarray(mean)[:n], np.asarray(var)[:n]
+
+    return gpr, predict
