@@ -490,6 +490,19 @@ def test_save_load_bf16_and_batched(vals, tmp_path):
     assert_args_equal(g.derivs_args, rg.derivs_args)
 
 
+def test_save_load_suffixless_path(vals, tmp_path):
+    """np.savez appends '.npz' to suffixless paths; save()/load() must
+    round-trip for a bare path anyway (the restart seam otherwise fails
+    exactly at restart time)."""
+    uv, xv = vals
+    s = DataCentralMoments.from_vals(xv[:, 0], uv, ORDER)
+    bare = tmp_path / "ckpt"  # no suffix
+    s.save(bare)
+    assert (tmp_path / "ckpt.npz").exists()
+    r = DataCentralMoments.load(bare)
+    assert_args_equal(s.derivs_args, r.derivs_args)
+
+
 def test_streaming_interp_pipeline_matches_one_shot(vals):
     """Multi-state streaming interpolation == InterpModel over one-shot
     reduced data at every reference state."""
@@ -525,6 +538,23 @@ def test_streaming_interp_pipeline_matches_one_shot(vals):
     # chunked merge vs one-shot reduce differ by f64 summation order only
     np.testing.assert_allclose(got, want, rtol=1e-8)
 
-    # jackknife composes: per-chunk states for state 0, pooled predict
+    # jackknife composes with the interp predict: retain per-chunk states
+    # for state 0 (state 1 stays pooled), close over the pooled partner,
+    # and the pooled-state prediction must equal the joint result above
+    from thermoextrap_tpu.pipeline import streaming_jackknife
+
+    zero = DataCentralMoments.zeros(4, dtype=jnp.float64)
+    chunks0 = [
+        zero.push_vals(xa[:700], ua[:700]),
+        zero.push_vals(xa[700:], ua[700:]),
+    ]
+    s1_pooled = states[1]
+    jk_pred, jk_se = streaming_jackknife(
+        chunks0, lambda s0, b: predict((s0, s1_pooled), b), betas
+    )
+    np.testing.assert_allclose(np.asarray(jk_pred), got, rtol=1e-12)
+    assert jk_se.shape == jk_pred.shape
+    assert np.all(np.asarray(jk_se) >= 0) and np.all(np.isfinite(jk_se))
+
     with pytest.raises(ValueError, match=">= 2 reference states"):
         make_streaming_interp_pipeline(4, [1.0])

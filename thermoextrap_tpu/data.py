@@ -967,15 +967,28 @@ class DataCentralMoments:
             "val_ndim": self.val_ndim,
             "dtypes": dtypes,
         }
+        # np.savez appends ".npz" to suffixless paths; normalize here so
+        # save(p) / load(p) round-trip for ANY p (a bare path otherwise
+        # written as p.npz would make load(p) fail — or silently read a
+        # stale file at the bare path)
+        path = str(path)
+        if not path.endswith(".npz"):
+            path += ".npz"
         _np.savez(path, _header=_json.dumps(header), **arrays)
 
     @classmethod
     def load(cls, path, *, meta: DataCallbackABC | None = None):
         """Restore a state checkpointed by :meth:`save`."""
         import json as _json
+        import os as _os
 
         import numpy as _np
 
+        # mirror save()'s suffix normalization (but keep an existing bare
+        # path working if the file really is there)
+        path = str(path)
+        if not path.endswith(".npz") and not _os.path.exists(path):
+            path += ".npz"
         with _np.load(path) as z:
             header = _json.loads(str(z["_header"]))
             fields = {

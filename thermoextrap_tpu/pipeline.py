@@ -436,11 +436,15 @@ def make_streaming_interp_pipeline(
         states[i] = _update(states[i], uv, xv, weight=weight)
         return tuple(states)
 
-    def predict(states, betas):
-        from .beta import factory_derivatives
-        from .models.extrap import ExtrapModel, InterpModel
+    # state-independent: build once at pipeline construction, not per
+    # predict call (the derivative engine and its coef kernels are shared
+    # by every anytime prediction)
+    from .beta import factory_derivatives
+    from .models.extrap import ExtrapModel, InterpModel
 
-        derivatives = factory_derivatives("x_ave", central=True)
+    derivatives = factory_derivatives("x_ave", central=True)
+
+    def predict(states, betas):
         models = [
             ExtrapModel(
                 alpha0=b,
@@ -705,6 +709,9 @@ def make_gpr_pipeline(
             raise ValueError(msg)
         alphas = np.atleast_1d(np.asarray(alphas, dtype=np.float64))
         n = alphas.shape[0]
+        if n == 0:
+            empty = np.zeros((0, int(gpr.out_dim)), dtype=np.float64)
+            return empty, empty.copy()
         n_pad = max(((n + bucket - 1) // bucket) * bucket, bucket)
         locs = np.full(n_pad, alphas[-1], dtype=np.float64)
         locs[:n] = alphas
