@@ -55,6 +55,15 @@ def main() -> None:
     for b, m, v in zip(xt, np.asarray(mu)[:, 0], np.asarray(var)[:, 0]):
         print(f"{b:6.2f} {m:10.5f} {np.sqrt(v):9.1e} {float(idealgas.x_ave(b)):10.5f}")
 
+    # serving: the same trained model behind a bucketed compile-once
+    # closure — ragged query-grid sizes reuse one cached predict program
+    from thermoextrap_tpu.pipeline import make_gpr_pipeline
+
+    _, predict = make_gpr_pipeline(states, bucket=16)
+    for grid_n in (3, 5, 11):
+        m, _ = predict(np.linspace(0.7, 2.3, grid_n))
+        print(f"serving predict n={grid_n:2d}: mean[0]={float(m[0, 0]):.5f}")
+
 
 if __name__ == "__main__":
     main()
