@@ -73,6 +73,7 @@ def main() -> None:
         "batched_comoments_f32_B8_R1e7_V2", "batched_umoments_f32_B512_R1e6",
         "batched_umoments_f32_B512_R2p20",
         "bootstrap_freq_matmul_R2p20_nrep256",
+        "bootstrap_freq_matmul_R2p20_nrep256_i8",
         "bootstrap_poisson_R1e7_nrep256", "bootstrap_poisson_R1e8_nrep256",
         "bootstrap_poisson_R1e8_nrep256_bf16",
         "bootstrap_poisson_batched_B64_R1e6_nrep256",
@@ -208,9 +209,50 @@ def main() -> None:
             lambda: resample_central_comoments_fused(ur, xr, freq, order),
             sync_reduce,
         )
+
+        # device rate via the K-chained in-jit method (the ~2 ms kernel is
+        # far below the tunnel's per-call overhead); WIDE 8-vs-64 spread so
+        # the differenced interval stays above the min-differencing bias
+        # floor (~20 ms, CLAUDE.md methodology note)
+        def _boot_chain_time(ftab, k):
+            @jax.jit
+            def _chain(u, x, f, kk):
+                def body(_, carry):
+                    acc, uu, xx, ff = carry
+                    uu, xx, ff = jax.lax.optimization_barrier((uu, xx, ff))
+                    o = resample_central_comoments_fused(uu, xx, ff, order)
+                    return acc + o[2][2, 0], uu, xx, ff
+
+                acc, _, _, _ = jax.lax.fori_loop(
+                    0, kk, body, (jnp.float32(0.0), u, x, f)
+                )
+                return acc
+
+            float(_chain(ur, xr, ftab, jnp.int32(k)))
+            best = float("inf")
+            for _ in range(REPEATS):
+                t0 = time.perf_counter()
+                float(_chain(ur, xr, ftab, jnp.int32(k)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        def _boot_device(ftab):
+            t_lo, t_hi = _boot_chain_time(ftab, 8), _boot_chain_time(ftab, 64)
+            return 56 * nrep * Rr / max(t_hi - t_lo, 1e-9) / 1e12
+
         record(
             "bootstrap_freq_matmul_R2p20_nrep256",
-            {"trep_samples_per_s": round(nrep * Rr / t / 1e12, 3)},
+            {
+                "trep_samples_per_s": round(nrep * Rr / t / 1e12, 3),
+                "device_treps": round(_boot_device(freq), 3),
+            },
+        )
+        # int8 table: 4x less table traffic (the dominant stream), opt-in
+        # via freq_from_indices(dtype=jnp.int8)
+        f8 = jax.block_until_ready(freq.astype(jnp.int8))
+        record(
+            "bootstrap_freq_matmul_R2p20_nrep256_i8",
+            {"device_treps": round(_boot_device(f8), 3)},
         )
 
         for rp in (10_000_000, 100_000_000):

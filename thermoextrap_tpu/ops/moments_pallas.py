@@ -31,10 +31,14 @@ for order 6 — and partial sums accumulate in VMEM with the lane axis
 reduced in a tiny XLA epilogue.
 
 **Bootstrap** (:func:`resample_central_comoments_fused`): per-replicate
-moments as ``freq @ per-sample-contributions`` with the contribution rows
-(powers of shifted u times x) built on the fly in VMEM — a real
-``(nrep, R) @ (R, (order+1)(V+1))`` MXU matmul without materializing the
-contribution matrix in HBM.
+moments as a frequency matmul with the contribution rows (powers of
+shifted u times x) built on the fly in VMEM — a real
+``contribs (m, R) @ freq^T (R, nrep)`` MXU product without materializing
+the contribution matrix in HBM.  The dot is TRANSPOSED on purpose: output
+lanes = replicates fills every MXU pass, the freq table streams in its
+native 2-D layout and int dtype (int8/int16/int32), and the sample
+streams are pre-permuted so the in-kernel span gather is relayout-free —
+see :func:`_resample_kernel` for the measured breakdown.
 
 All kernels accumulate in float32 (bf16 inputs upcast on load — bf16
 streams halve HBM traffic and are accuracy-gated at R=1e8, see
@@ -508,6 +512,22 @@ def _postprocess_shifted(sum_u, sum_xu, s_u, s_x, val_shape):
 
 
 _REC_CHUNK = 8192  # samples per resample grid step (subrows * lanes)
+_FREQ_SPAN = 8  # sample subrows lane-concatenated per freq-matmul MXU dot
+
+
+def _freq_permute_pack(a, n_chunks, subrows, lanes):
+    """(R,) -> (n_chunks*subrows, lanes) with an 8x8 subrow transpose per
+    chunk: permuted row ``8*b + q`` (chunk-relative, ``q = s // 8``,
+    ``b = s % 8``) holds natural subrow ``s = 8*q + b``.  Segment ``seg``'s
+    samples (natural subrows ``8*seg .. 8*seg+7``) then sit at permuted rows
+    ``seg, seg+nseg, seg+2*nseg, ...`` — stride-``nseg`` slices with EQUAL
+    sublane offsets, the cheap lane-concat Mosaic accepts (see
+    :func:`_dot_span`) — while the freq table keeps its NATIVE 2-D layout.
+    One XLA copy of the R-length sample streams, 1/nrep of the freq-table
+    traffic it avoids relayouting."""
+    a = _pad_flat(a, n_chunks * subrows * lanes)
+    a = a.reshape(n_chunks, subrows // _FREQ_SPAN, _FREQ_SPAN, lanes)
+    return a.swapaxes(1, 2).reshape(n_chunks * subrows, lanes)
 
 
 def _resample_kernel(
@@ -524,22 +544,35 @@ def _resample_kernel(
     lanes,
     subrows,
 ):
-    """Freq blocks stream in their NATIVE int dtype (no host-side cast —
-    casting the (nrep, R) table to f32 before the call would materialize a
-    full copy costing more HBM traffic than the kernel itself); conversion
-    to f32 happens per block in VMEM.  Sample streams may be bfloat16
-    (upcast on load — half HBM traffic, accuracy-gated like the fused
-    reduce).  Tail blocks use ``jnp.where`` masks on every operand that may
-    alias undefined memory (bitcast packing + partial final grid blocks).
+    """Round-3 rewrite (3.8x, benches/bench_freq_v2.py sweep; the kernel now
+    reads the frequency table at ~88%% of the measured HBM read roof):
 
-    Per-subrow K=128 dots are DELIBERATE here: the lane-span fusion that
-    bought 1.7x on :func:`_poisson_resample_kernel` measured consistently
-    SLOWER for this kernel (back-to-back: ~45 vs ~35 ms at
-    R=2^20/nrep=256) — unlike the Poisson path, whose frequency tile is
-    generated in-register already span-wide, this kernel would have to
-    materialize the span-concatenated freq tile from strided VMEM
-    slices, and those relayout copies cost more than the saved MXU
-    issues."""
+    - **Native-layout 2-D freq blocks** ``(rep_block, subrows*lanes)``: the
+      per-dot freq tile is a CONTIGUOUS lane slice (tile-aligned, no
+      relayout).  Freq streams in its native dtype — int8/int16/int32
+      tables all pass through untouched (casting the (nrep, R) table
+      host-side would materialize a copy costing more HBM traffic than the
+      kernel itself; narrow int tables cut the dominant stream 4x/2x and
+      measured +27%%); conversion to f32 happens per block in VMEM.  The
+      SAMPLE packing is pre-permuted instead (:func:`_freq_permute_pack`),
+      so its span-concat uses stride-``nseg`` equal-offset slices — the
+      original span-fusion attempt concatenated the FREQ tile from strided
+      3-D block slices, and those relayout copies made it slower than no
+      fusion at all.
+    - **Span-fused K**: each ``dot_general`` contracts
+      ``_FREQ_SPAN * lanes = 1024`` samples (2.5x over per-subrow K=128
+      dots).
+    - **Transposed dot orientation**: ``contrib (m, K) @ freq^T (K, reps)``
+      — output lanes = replicates, so every MXU pass fills all 128 output
+      lanes and only ``m = (1+v)(order+1)`` rows stream through, instead
+      of streaming ``rep_block`` rows for a 14-wide output (~89%% of every
+      pass wasted).  This orientation alone measured +56%% on top of the
+      span fusion.  (Relaxing ``Precision.HIGHEST`` was measured SLOWER
+      and 2e-3 inaccurate; ``HIGH`` is unsupported by Mosaic.)
+
+    Sample streams may be bfloat16 (upcast on load — half HBM traffic,
+    accuracy-gated like the fused reduce).  Tail blocks use ``jnp.where``
+    masks on every operand that may alias undefined memory."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -551,22 +584,37 @@ def _resample_kernel(
         out_u_ref[:] = jnp.zeros_like(out_u_ref)
         out_xu_ref[:] = jnp.zeros_like(out_xu_ref)
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    nseg = subrows // _FREQ_SPAN
+    s_len = _FREQ_SPAN * lanes
+    chunk = subrows * lanes
+    rep_block = out_u_ref.shape[0]
+    m_rows = (1 + v) * (order + 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
+
+    def seg_cat(ref2d, seg):
+        # permuted-row gather: segment seg = rows seg, seg+nseg, ... (equal
+        # sublane offsets; lane position t*lanes+l = natural sample
+        # seg*s_len + t*lanes + l, matching the freq lane slice below)
+        return jnp.concatenate(
+            [
+                ref2d[seg + nseg * t : seg + nseg * t + 1, :]
+                for t in range(_FREQ_SPAN)
+            ],
+            axis=1,
+        )
 
     def body(masked: bool):
-        acc_u = jnp.zeros_like(out_u_ref)
-        acc_xu = jnp.zeros_like(out_xu_ref)
-        for s in range(subrows):
-            du = u_ref[s : s + 1, :].astype(jnp.float32) - su_ref[0, 0]  # (1, B)
-            f = f_ref[:, s, :].astype(jnp.float32)  # (RB, B)
+        acc = jnp.zeros((m_rows, rep_block), jnp.float32)
+        for seg in range(nseg):
+            du = seg_cat(u_ref, seg).astype(jnp.float32) - su_ref[0, 0]
+            f = f_ref[:, seg * s_len : (seg + 1) * s_len].astype(jnp.float32)
             p0 = (
-                w_ref[s : s + 1, :].astype(jnp.float32)
+                seg_cat(w_ref, seg).astype(jnp.float32)
                 if use_w
                 else jnp.ones_like(du)
             )
             if masked:
-                base = (j * subrows + s) * lanes
-                mask = base + lane_ids < n_real
+                mask = j * chunk + seg * s_len + pos < n_real
                 zero = jnp.zeros_like(du)
                 du = jnp.where(mask, du, zero)
                 p0 = jnp.where(mask, p0, zero)
@@ -575,29 +623,24 @@ def _resample_kernel(
             prows = [p0]
             for _ in range(order):
                 prows.append(prows[-1] * du)
-            p = jnp.concatenate(prows, axis=0)  # (order+1, B)
 
-            xs = [
-                x_ref[k, s : s + 1, :].astype(jnp.float32) - sx_ref[0, k]
-                for k in range(v)
-            ]
-            if masked:
-                xs = [jnp.where(mask, xk, zero) for xk in xs]
-            crows = [p * xk for xk in xs]
-            contrib = jnp.concatenate(
-                [p, *crows], axis=0
-            )  # ((order+1)*(1+V), B) — one MXU dot per subrow
-            acc = jax.lax.dot_general(
-                f,
+            crows = []
+            for k in range(v):
+                xt = seg_cat(x_ref[k], seg).astype(jnp.float32) - sx_ref[0, k]
+                if masked:
+                    xt = jnp.where(mask, xt, zero)
+                crows.extend(p * xt for p in prows)
+            contrib = jnp.concatenate(prows + crows, axis=0)  # (m, s_len)
+            acc += jax.lax.dot_general(
                 contrib,
+                f,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            acc_u += acc[:, : order + 1]
-            acc_xu += acc[:, order + 1 :]
-        out_u_ref[:] += acc_u
-        out_xu_ref[:] += acc_xu
+        accT = acc.T  # (rep_block, m) — once per chunk
+        out_u_ref[:] += accT[:, : order + 1]
+        out_xu_ref[:] += accT[:, order + 1 :]
 
     last = pl.num_programs(1) - 1
     has_tail = n_real % (subrows * lanes) != 0
@@ -651,47 +694,45 @@ def resample_central_comoments_fused(
 
     s_u, s_x = _head_shift(uv, w_flat, xv)
 
-    # zero-copy packing at the layout-preserving 128-lane width (see the
-    # module docstring) so every stream — including the big (nrep, R) freq
-    # table, kept in its NATIVE int dtype — reshapes as a bitcast; partial
-    # final grid blocks in both the rep and the rec dimension are handled
-    # by output slicing / where-masked tails
+    # the (nrep, R) freq table — the dominant HBM stream — keeps its NATIVE
+    # 2-D layout and dtype (no reshape, no cast, no relayout); the sample
+    # streams are pre-permuted instead so the kernel's span gather is cheap
+    # (_freq_permute_pack — one XLA copy of the R-length streams, 1/nrep of
+    # the table traffic).  Partial final grid blocks in both the rep and
+    # the rec dimension are handled by output slicing / where-masked tails.
     lanes = _LANES
     subrows = _REC_CHUNK // lanes
     if interpret:
         # see reduce_central_comoments_fused: interpret mode executes the
-        # unrolled subrow loop as a traced jax program — keep blocks small
+        # unrolled segment loop as a traced jax program — keep blocks small
         subrows = min(subrows, 16)
-    nb = (r + lanes - 1) // lanes
+    chunk = subrows * lanes
     grid_i = (nrep + rep_block - 1) // rep_block
-    grid_j = (nb + subrows - 1) // subrows
-    rp = nb * lanes
+    grid_j = (r + chunk - 1) // chunk
     pp = grid_i * rep_block
 
-    def pack1(a):
-        if r % lanes == 0:
-            return a.reshape(nb, lanes)  # bitcast, zero copy
-        return _pad_flat(a, rp).reshape(nb, lanes)
-
-    u_p = pack1(uv)
+    u_p = _freq_permute_pack(uv, grid_j, subrows, lanes)
     if v == 1:
-        x_p = pack1(xv[:, 0])[None]
+        x_p = _freq_permute_pack(xv[:, 0], grid_j, subrows, lanes)[None]
     else:
-        x_p = jnp.pad(xv, ((0, rp - r), (0, 0))).T.reshape(v, nb, lanes)
+        xpad = jnp.pad(xv, ((0, grid_j * chunk - r), (0, 0))).T
+        x_p = (
+            xpad.reshape(v, grid_j, subrows // _FREQ_SPAN, _FREQ_SPAN, lanes)
+            .swapaxes(2, 3)
+            .reshape(v, grid_j * subrows, lanes)
+        )
     freq = jnp.asarray(freq)
-    # integer tables stream natively (int32) and convert in VMEM; FLOAT
-    # tables (fractional weights, e.g. Bayesian-bootstrap Dirichlet * R)
-    # must stay floating — truncating them to int would silently corrupt
-    # the replicate moments
+    # integer tables stream natively — int8/int16/int32 all pass through
+    # (narrow tables cut the dominant stream 4x/2x; see
+    # ops.resample.freq_from_indices(dtype=...)) — and convert in VMEM;
+    # FLOAT tables (fractional weights, e.g. Bayesian-bootstrap
+    # Dirichlet * R) must stay floating — truncating them to int would
+    # silently corrupt the replicate moments
     if jnp.issubdtype(freq.dtype, jnp.floating):
         if freq.dtype not in (jnp.float32, jnp.bfloat16):
             freq = freq.astype(jnp.float32)
-    elif freq.dtype != jnp.int32:
+    elif freq.dtype not in (jnp.int8, jnp.int16, jnp.int32):
         freq = freq.astype(jnp.int32)  # e.g. x64-mode int64 tables
-    if r % lanes == 0:
-        f_p = freq.reshape(nrep, nb, lanes)  # bitcast, zero copy, no cast
-    else:
-        f_p = jnp.pad(freq, ((0, 0), (0, rp - r))).reshape(nrep, nb, lanes)
 
     if interpret:
         # jax's hlo interpreter fills out-of-bounds block regions with
@@ -701,34 +742,26 @@ def resample_central_comoments_fused(
         # (observed: rep- or rec-padded freq + any second operand).  Pad
         # every operand to full block coverage with zeros instead: the
         # n_real mask already excludes the padded region, and a leaked
-        # zero contributes nothing.  Device (Mosaic) runs are unaffected
-        # and keep the zero-copy bitcast packing.
-        rows_cov = grid_j * subrows
-        u_p = jnp.pad(u_p, ((0, rows_cov - nb), (0, 0)))
-        x_p = jnp.pad(x_p, ((0, 0), (0, rows_cov - nb), (0, 0)))
-        f_p = jnp.pad(
-            f_p, ((0, pp - nrep), (0, rows_cov - nb), (0, 0))
-        )
+        # zero contributes nothing.  Device (Mosaic) runs are unaffected.
+        # (The permuted sample packs already cover every block.)
+        freq = jnp.pad(freq, ((0, pp - nrep), (0, grid_j * chunk - r)))
     operands = [
         jnp.reshape(s_u, (1, 1)),
         jnp.reshape(s_x, (1, v)),
-        f_p,
+        freq,
         u_p,
         x_p,
     ]
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, v), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((rep_block, subrows, lanes), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((rep_block, chunk), lambda i, j: (i, j)),
         pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
         pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
     ]
     use_w = w_flat is not None
     if use_w:
-        w_p = pack1(w_flat)
-        if interpret:
-            w_p = jnp.pad(w_p, ((0, grid_j * subrows - nb), (0, 0)))
-        operands.append(w_p)
+        operands.append(_freq_permute_pack(w_flat, grid_j, subrows, lanes))
         in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     out_u, out_xu = pl.pallas_call(
@@ -873,14 +906,21 @@ def _poisson_resample_kernel(
     not PRNG generation — capped the old kernel at ~60 Grep-samples/s):
     ``_POISSON_SPAN`` consecutive subrows are concatenated along lanes so
     each ``dot_general`` contracts K = span·lanes samples, and the
-    u-moment and x-comoment contribution rows ride ONE fused dot
-    (``(rep, K) @ (K, (1+v)(order+1))``) instead of two — 2·span fewer
-    MXU issues per sample.  The draw order changes (one
-    ``(rep_block, span·lanes)`` tile per span instead of span
+    u-moment and x-comoment contribution rows ride ONE fused dot instead
+    of two — 2·span fewer MXU issues per sample.  The draw order changes
+    (one ``(rep_block, span·lanes)`` tile per span instead of span
     ``(rep_block, lanes)`` tiles), which relabels (rep, sample)→u32
     assignments within a block: statistically identical iid streams,
     different concrete frequencies for the same seed than pre-span
-    kernels."""
+    kernels.
+
+    The dot runs TRANSPOSED — ``contrib (m, K) @ freq^T (K, reps)`` — so
+    every MXU pass fills all 128 output lanes (replicates) and only
+    ``m = (1+v)(order+1)`` rows stream through, instead of streaming
+    ``rep_block`` rows for an m-wide output with ~89%% of every pass
+    wasted (same rewrite as :func:`_resample_kernel`, measured there at
+    +56%%; the frequency VALUES are unchanged — only the accumulation
+    association differs, at f32 roundoff)."""
     if use_w:
         w_ref, out_u_ref, out_xu_ref = rest
     else:
@@ -905,7 +945,7 @@ def _poisson_resample_kernel(
     # segment follow the same stride in the mask arithmetic
     span, stride = _dot_span(subrows)
     s_len = span * lanes
-    acc = jnp.zeros((rep_block, (1 + v) * (order + 1)), jnp.float32)
+    acc = jnp.zeros(((1 + v) * (order + 1), rep_block), jnp.float32)
 
     for s0 in range(stride):
         du = _span_cat(u_ref, s0, span, stride).astype(jnp.float32) - su_ref[0, 0]
@@ -927,12 +967,13 @@ def _poisson_resample_kernel(
         f = _poisson_draw(rep_block, s_len)
 
         acc += jax.lax.dot_general(
-            f, contrib, (((1,), (1,)), ((), ())),
+            contrib, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_u_ref[:] += acc[:, : order + 1]
-    out_xu_ref[:] += acc[:, order + 1 :]
+    accT = acc.T  # (rep_block, m) — once per chunk
+    out_u_ref[:] += accT[:, : order + 1]
+    out_xu_ref[:] += accT[:, order + 1 :]
 
 
 @_interpret_eager_jit("nrep", "order", "rep_block", "interpret")
@@ -1056,7 +1097,9 @@ def _poisson_resample_u_batched_kernel(
     # identical frequency tiles
     span, stride = _dot_span(subrows)
     s_len = span * lanes
-    acc = jnp.zeros_like(out_ref[0])
+    # transposed dot orientation, as in _poisson_resample_kernel: output
+    # lanes = replicates, only order+1 rows stream per pass
+    acc = jnp.zeros((order + 1, rep_block), jnp.float32)
 
     for s0 in range(stride):
         du = (
@@ -1074,11 +1117,11 @@ def _poisson_resample_u_batched_kernel(
         f = _poisson_draw(rep_block, s_len)
 
         acc += jax.lax.dot_general(
-            f, p, (((1,), (1,)), ((), ())),
+            p, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_ref[0] += acc
+    out_ref[0] += acc.T
 
 
 @_interpret_eager_jit("nrep", "order", "rep_block", "interpret")

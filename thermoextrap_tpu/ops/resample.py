@@ -46,25 +46,36 @@ def random_indices(rng, nrep: int, nrec: int, nsamp: int | None = None):
     return jax.random.randint(rng, (nrep, nsamp), 0, nrec)
 
 
-def freq_from_indices(indices, nrec: int):
-    """Count table ``freq[r, i] = #{j : indices[r, j] == i}`` via scatter-add."""
+def freq_from_indices(indices, nrec: int, dtype=jnp.int32):
+    """Count table ``freq[r, i] = #{j : indices[r, j] == i}`` via scatter-add.
+
+    ``dtype``: storage dtype of the table.  The Pallas bootstrap kernel
+    streams the table in its native int dtype, and the table is its
+    dominant HBM stream — ``jnp.int8`` cuts that traffic 4x (measured +27%
+    end to end, benches/bench_freq_v2.py).  Bootstrap counts are
+    ~Binomial(nrec, 1/nrec) ≈ Poisson(1); at ``nrec >= 64`` the chance any
+    count exceeds int8's 127 is < 1e-200, so the narrow table is
+    statistically safe — but it is an *opt-in* because a pathological
+    ``indices`` input (e.g. a constant column) can overflow it silently.
+    """
     nrep = indices.shape[0]
-    freq = jnp.zeros((nrep, nrec), dtype=jnp.int32)
+    freq = jnp.zeros((nrep, nrec), dtype=dtype)
     rep_ids = jnp.broadcast_to(jnp.arange(nrep)[:, None], indices.shape)
     return freq.at[rep_ids, indices].add(1)
 
 
-def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial"):
+def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial", dtype=jnp.int32):
     """Random frequency table.
 
     ``multinomial``: exact bootstrap distribution (each row sums to nrec).
     ``poisson``: Poisson(1) bootstrap — iid entries, embarrassingly parallel,
     asymptotically equivalent; row sums vary (weights normalize per replicate).
+    ``dtype``: table storage dtype (see :func:`freq_from_indices`).
     """
     if method == "multinomial":
-        return freq_from_indices(random_indices(rng, nrep, nrec), nrec)
+        return freq_from_indices(random_indices(rng, nrep, nrec), nrec, dtype=dtype)
     if method == "poisson":
-        return jax.random.poisson(rng, 1.0, (nrep, nrec)).astype(jnp.int32)
+        return jax.random.poisson(rng, 1.0, (nrep, nrec)).astype(dtype)
     msg = f"unknown method {method!r}"
     raise ValueError(msg)
 
