@@ -630,3 +630,55 @@ class TestHetGaussianSimple:
         assert "likelihood/p" not in model.trainable_names()
         mu, _ = model.predict_f(X)
         np.testing.assert_allclose(np.asarray(mu), y, atol=0.2)
+
+
+class TestPredictFBatched:
+    """predict_f_batched == per-model predict_f, model by model (the
+    vmapped compiled core behind the UpdateALCbrute candidate scan)."""
+
+    def _make_model(self, loc_shift, p_val, rng):
+        xs = np.linspace(0.0, 2.0 * np.pi, 6) + loc_shift
+        y0 = np.sin(xs) + rng.normal(0, 0.02, xs.shape)
+        y1 = np.cos(xs) + rng.normal(0, 0.05, xs.shape)
+        X = np.concatenate(
+            [
+                np.stack([xs, np.zeros_like(xs)], axis=1),
+                np.stack([xs, np.ones_like(xs)], axis=1),
+            ]
+        )
+        Y = np.concatenate([y0, y1])[:, None]
+        cov = np.diag(np.concatenate([np.full_like(xs, 4e-4), np.full_like(xs, 2.5e-3)]))
+        m = HeteroscedasticGPR(
+            (X, Y, cov), kernel=RBFDerivKernel(), likelihood_kwargs={"p": p_val}
+        )
+        m.set_parameters({"kernel/l": 1.0 + 0.2 * loc_shift, "kernel/var": 0.8})
+        return m
+
+    def test_matches_per_model(self):
+        from thermoextrap_tpu.gpr_active.gp_models import predict_f_batched
+
+        rng = np.random.default_rng(3)
+        # different data AND different parameter values per model
+        models = [self._make_model(s, p, rng) for s, p in
+                  [(0.0, 1.0), (0.3, 0.5), (-0.2, 2.0)]]
+        xt = np.linspace(0.5, 5.5, 9)
+        Xt = np.stack([xt, np.zeros_like(xt)], axis=1)
+        bm, bv = predict_f_batched(models, Xt)
+        bm, bv = np.asarray(bm), np.asarray(bv)
+        assert bm.shape == (3, 9, 1) and bv.shape == (3, 9, 1)
+        for i, m in enumerate(models):
+            mu, var = m.predict_f(Xt)
+            np.testing.assert_allclose(bm[i], np.asarray(mu), rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(bv[i], np.asarray(var), rtol=1e-10, atol=1e-12)
+
+    def test_rejects_structure_mismatch(self):
+        from thermoextrap_tpu.gpr_active.gp_models import predict_f_batched
+
+        rng = np.random.default_rng(4)
+        m1 = self._make_model(0.0, 1.0, rng)
+        m2 = self._make_model(0.1, 1.0, rng)
+        m2._groups = m1._groups  # same groups; now break the data shape
+        m2._locs_np = m2._locs_np[:-1]
+        m2.X = m2.X[:-1]
+        with pytest.raises(ValueError, match="structurally identical"):
+            predict_f_batched([m1, m2], np.array([[1.0, 0.0]]))

@@ -748,31 +748,39 @@ class UpdateALCbrute(UpdateFuncBase):
             cand = alpha_select
         else:
             cand = alpha_select[:: max(len(alpha_select) // self.n_candidates, 1)]
-        new_int_std = np.zeros(len(cand))
         grid_x = np.stack(
             [alpha_grid, self.d_order_pred * np.ones_like(alpha_grid)], axis=1
         )
-        for i, val in enumerate(cand):
+        # hypothetical data-augmented models share one compiled structure
+        # (identical shapes/groups; only array values differ per candidate),
+        # so the whole candidate scan evaluates as ONE vmapped predict
+        # (gp_models.predict_f_batched) instead of a full-grid predict_f
+        # dispatch per candidate — the reference's O(grid^2) GPflow rebuild
+        # loop (active_utils.py:1418-1507) collapsed to a single call
+        this_y = np.vstack([orig_y, np.zeros((max_order + 1, orig_y.shape[1]))])
+        n_new = orig_x.shape[0] + max_order + 1
+        this_cov = np.zeros((cov.shape[0], n_new, n_new))
+        this_cov[:, : cov.shape[1], : cov.shape[2]] = cov
+        for k in range(cov.shape[0]):
+            this_cov[k, cov.shape[1] :, cov.shape[2] :] = np.eye(
+                max_order + 1
+            ) * np.mean(np.diag(cov[k]))
+        models = []
+        for val in cand:
             add_x = np.stack(
                 [val * np.ones(max_order + 1), np.arange(max_order + 1)], axis=1
             )
-            this_x = np.vstack([orig_x, add_x])
-            this_y = np.vstack([orig_y, np.zeros((max_order + 1, orig_y.shape[1]))])
-            n_new = this_x.shape[0]
-            this_cov = np.zeros((cov.shape[0], n_new, n_new))
-            this_cov[:, : cov.shape[1], : cov.shape[2]] = cov
-            for k in range(cov.shape[0]):
-                this_cov[k, cov.shape[1] :, cov.shape[2] :] = np.eye(
-                    max_order + 1
-                ) * np.mean(np.diag(cov[k]))
             model = create_base_GP_model(
-                (this_x, this_y, this_cov), kernel=gpr.kernel
+                (np.vstack([orig_x, add_x]), this_y, this_cov), kernel=gpr.kernel
             )
             model.set_parameters(params)
-            _m, v = model.predict_f(grid_x)
-            new_int_std[i] = integrate.simpson(
-                np.sqrt(np.asarray(v)[:, 0]), x=alpha_grid
-            )
+            models.append(model)
+        from .gp_models import predict_f_batched
+
+        _m, v = predict_f_batched(models, grid_x)
+        new_int_std = integrate.simpson(
+            np.sqrt(np.asarray(v)[:, :, 0]), x=alpha_grid, axis=1
+        )
 
         new_ind = int(np.argmin(new_int_std))
         sel_ind = np.argmin(np.abs(alpha_select - cand[new_ind]))

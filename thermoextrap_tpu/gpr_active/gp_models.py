@@ -932,6 +932,91 @@ class HeteroscedasticGPR(TrainableGPModel):
         raise NotImplementedError(msg)
 
 
+def predict_f_batched(models, Xnew, full_cov: bool = False):
+    """Posterior predict for MANY structurally identical models in ONE
+    vmapped compiled call.
+
+    The compiled predict core is a pure function of (parameter vector,
+    data arrays, query arrays); models that share a structure key (same
+    kernel expression, derivative-order groups, parameter layout, and
+    data shapes) differ only in array VALUES, so a batch of them — e.g.
+    the hypothetical data-augmented models of an ALC candidate scan
+    (:class:`~.active_utils.UpdateALCbrute`), or an ensemble of fits —
+    evaluates as one ``vmap`` over stacked arguments instead of one
+    dispatch per model.  Every per-model quantity is stacked (parameters
+    included), so the models may hold different data AND different
+    parameter values; only the query grid ``Xnew`` is shared.
+
+    No reference analogue (the reference rebuilds a GPflow model and a TF
+    graph per candidate, active_utils.py:1418-1507).
+
+    Returns ``(mean, var)`` with leading model axis: ``(len(models), M,
+    out_dim)`` each.
+    """
+    models = list(models)
+    if not models:
+        msg = "predict_f_batched needs at least one model"
+        raise ValueError(msg)
+    m0 = models[0]
+    key0 = m0._structure_key()
+    shape0 = m0.X.shape
+    for m in models[1:]:
+        if m._structure_key() != key0 or m.X.shape != shape0:
+            msg = (
+                "predict_f_batched requires structurally identical models "
+                "(same kernel structure, parameter layout, and data shapes)"
+            )
+            raise ValueError(msg)
+
+    Xnew = np.asarray(Xnew, dtype=np.float64)
+    obs = m0.kernel.obs_dims
+    d_new = np.asarray(np.rint(Xnew[:, obs:]), dtype=int)
+    groups_new, gid_new = _group_order_rows(d_new)
+
+    key = ("predict_batched", key0, groups_new, bool(full_cov))
+    if key not in _COMPILED_CORE:
+        base = _build_predict_fn(
+            m0.kernel,
+            m0._groups,
+            groups_new,
+            m0._spec_struct(),
+            float(m0.likelihood.stable_var_min),
+            bool(full_cov),
+        )
+        # per-model things (params + data) ride axis 0; the query grid is
+        # shared.  predict args: (vec, fixed, locs, gid, y, cov, dplus,
+        # mean_x, locs_new, gid_new, mean_new, scale_fac)
+        _COMPILED_CORE[key] = jax.jit(
+            jax.vmap(base, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, 0, 0))
+        )
+
+    def stack(parts):
+        return jnp.asarray(np.stack([np.asarray(p, np.float64) for p in parts]))
+
+    with _compute_ctx():
+        vecs = jnp.stack([jnp.asarray(m.get_unconstrained()) for m in models])
+        bound = [m._bound_args() for m in models]
+        fixed, locs, gid, y, cov, dplus, mean_x = (
+            stack([b[i] for b in bound]) for i in range(7)
+        )
+        mean_new = stack([np.asarray(m._mean(Xnew)) for m in models])
+        scale = stack([np.asarray(m.scale_fac) for m in models])
+        return _COMPILED_CORE[key](
+            vecs,
+            fixed,
+            locs,
+            gid.astype(jnp.int32),
+            y,
+            cov,
+            dplus,
+            mean_x,
+            np.asarray(Xnew[:, :obs], dtype=np.float64),
+            gid_new,
+            mean_new,
+            scale,
+        )
+
+
 def print_summary(gpr) -> None:
     """Print a parameter/data summary of a GPR model (role of
     ``gpflow.utilities.print_summary`` in the reference loop,
