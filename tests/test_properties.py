@@ -313,3 +313,143 @@ def test_merge_central_comoments_matches_one_shot(seed, k, cuts, weighted):
     np.testing.assert_allclose(float(xm), exp_xm, rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(np.asarray(dum), exp_du, rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(np.asarray(dxdum), exp_dxdu, rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# XLA reduction / bootstrap paths vs per-replicate numpy statistics
+# ---------------------------------------------------------------------------
+
+
+@COMMON
+@given(
+    seed=seeds,
+    k=orders,
+    n=st.integers(min_value=4, max_value=150),
+    nb=st.integers(min_value=0, max_value=2),
+    v=st.integers(min_value=1, max_value=3),
+    weighted=st.booleans(),
+)
+def test_reduce_central_comoments_matches_oracle(seed, k, n, nb, v, weighted):
+    from thermoextrap_tpu.ops.moments import reduce_central_comoments
+
+    rng = _rng(seed)
+    batch = tuple(rng.integers(1, 3, size=nb))
+    uv = rng.normal(1.0, 0.8, size=(*batch, n))
+    xv = rng.normal(-0.5, 1.1, size=(*batch, n, v))
+    w = rng.uniform(0.1, 2.0, size=(*batch, n)) if weighted else None
+
+    xave, uave, du, dxdu = reduce_central_comoments(
+        jnp.asarray(uv), jnp.asarray(xv), k, weight=None if w is None else jnp.asarray(w)
+    )
+
+    wo = np.ones((*batch, n)) if w is None else w
+    wt = wo.sum(-1)
+    um = (wo * uv).sum(-1) / wt
+    xm = (wo[..., None] * xv).sum(-2) / wt[..., None]
+    duo = np.stack(
+        [(wo * (uv - um[..., None]) ** m).sum(-1) / wt for m in range(k + 1)]
+    )
+    dxduo = np.stack(
+        [
+            (
+                wo[..., None]
+                * (xv - xm[..., None, :])
+                * ((uv - um[..., None]) ** m)[..., None]
+            ).sum(-2)
+            / wt[..., None]
+            for m in range(k + 1)
+        ]
+    )
+    duo[0], duo[1], dxduo[0] = 1.0, 0.0, 0.0
+    np.testing.assert_allclose(np.asarray(uave), um, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(xave), xm, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(du), duo, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dxdu), dxduo, rtol=1e-8, atol=1e-10)
+
+
+@COMMON
+@given(
+    seed=seeds,
+    k=orders,
+    n=st.integers(min_value=4, max_value=120),
+    nrep=st.integers(min_value=1, max_value=8),
+    weighted=st.booleans(),
+)
+def test_resample_central_comoments_matches_oracle(seed, k, n, nrep, weighted):
+    from thermoextrap_tpu.ops.resample import resample_central_comoments
+
+    rng = _rng(seed)
+    uv = rng.normal(2.0, 0.7, size=n)
+    xv = rng.normal(0.0, 1.0, size=(n, 2))
+    w = rng.uniform(0.2, 1.5, size=n) if weighted else None
+    # multinomial bootstrap counts; every row draws n samples so no
+    # zero-weight replicates occur
+    freq = rng.multinomial(n, np.ones(n) / n, size=nrep)
+
+    xave, uave, du, dxdu = resample_central_comoments(
+        jnp.asarray(uv),
+        jnp.asarray(xv),
+        jnp.asarray(freq),
+        k,
+        weight=None if w is None else jnp.asarray(w),
+    )
+
+    wo = np.ones(n) if w is None else w
+    for r in range(nrep):
+        wr = freq[r] * wo
+        wt = wr.sum()
+        um = (wr * uv).sum() / wt
+        xm = (wr[:, None] * xv).sum(0) / wt
+        duo = np.stack([(wr * (uv - um) ** m).sum() / wt for m in range(k + 1)])
+        dxduo = np.stack(
+            [
+                (wr[:, None] * (xv - xm) * ((uv - um) ** m)[:, None]).sum(0) / wt
+                for m in range(k + 1)
+            ]
+        )
+        duo[0], duo[1], dxduo[0] = 1.0, 0.0, 0.0
+        np.testing.assert_allclose(float(uave[r]), um, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(xave)[r], xm, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(du)[:, r], duo, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(dxdu)[:, r], dxduo, rtol=1e-7, atol=1e-9
+        )
+
+
+@COMMON
+@given(
+    seed=seeds,
+    k=orders,
+    n=st.integers(min_value=4, max_value=100),
+    nrep=st.integers(min_value=1, max_value=6),
+    nb=st.integers(min_value=1, max_value=2),
+)
+def test_resample_umoments_batched_matches_oracle(seed, k, n, nrep, nb):
+    from thermoextrap_tpu.ops.resample import resample_central_umoments_batched
+
+    rng = _rng(seed)
+    batch = tuple(rng.integers(1, 4, size=nb))
+    uv = rng.normal(-1.0, 0.9, size=(*batch, n))
+    freq = rng.multinomial(n, np.ones(n) / n, size=nrep)
+
+    uave, du = resample_central_umoments_batched(
+        jnp.asarray(uv), jnp.asarray(freq), k
+    )
+    assert uave.shape == (nrep, *batch)
+    assert du.shape == (k + 1, nrep, *batch)
+
+    flat = uv.reshape(-1, n)
+    for r in range(nrep):
+        wr = freq[r].astype(float)
+        wt = wr.sum()
+        um = (flat * wr).sum(-1) / wt
+        duo = np.stack(
+            [(wr * (flat - um[:, None]) ** m).sum(-1) / wt for m in range(k + 1)]
+        )
+        duo[0], duo[1] = 1.0, 0.0
+        np.testing.assert_allclose(
+            np.asarray(uave)[r].ravel(), um, rtol=1e-9, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(du)[:, r].reshape(k + 1, -1), duo, rtol=1e-7, atol=1e-9
+        )
