@@ -389,3 +389,33 @@ class TestXalphaMomentObservables:
         np.testing.assert_allclose(
             np.asarray(model.derivs(order=dorder))[:, 0], expected, rtol=1e-8
         )
+
+
+class TestHighOrder:
+    """Order-10 gate: the reference's sympy engine is arbitrary-order by
+    construction; this pins that the closed-form series recursions (and the
+    data layer's f64 weighted reduction) stay exact well past the usual
+    order 6 — factorial/binomial handling, series truncation indices, and
+    the raw->central transform all bind harder at order 10."""
+
+    ORDER = 10
+
+    def test_x_ave_order10_exact(self):
+        rng = np.random.default_rng(11)
+        m = 6
+        u_c = rng.uniform(0.5, 2.0, size=m)
+        w_c = rng.uniform(0.5, 1.5, size=m)
+        x_c = rng.uniform(1.0, 3.0, size=m)
+        b = sp.symbols("b")
+        expr = sym_ensemble_avg([sp.nsimplify(v) for v in x_c], u_c, w_c, b)
+        expected = sym_derivs(expr, b, self.ORDER)  # ~30 s of sympy
+
+        w = boltzmann_weights(u_c, w_c)
+        for central in (True, False):
+            data = xtpu.factory_data_values(
+                uv=u_c, xv=x_c[:, None], order=self.ORDER,
+                central=central, weight=w,
+            )
+            model = beta_xpan.factory_extrapmodel(BETA0, data)
+            got = np.asarray(model.derivs())[:, 0]
+            np.testing.assert_allclose(got, expected, rtol=1e-10)

@@ -1071,3 +1071,37 @@ def factory_data_values(
         x_is_u=x_is_u,
         meta=meta,
     )
+
+
+# ---------------------------------------------------------------------------
+# reference base-class parity (virtual ABCs)
+# ---------------------------------------------------------------------------
+# The reference exposes an abstract hierarchy (AbstractData -> DataValuesBase
+# / DataCentralMomentsBase, data.py:253-339, 828-1013); the collapsed
+# two-class design here shares no implementation, so these are *virtual*
+# bases: reference-style ``isinstance(data, AbstractData)`` checks keep
+# working without entangling the concrete classes.
+
+import abc as _abc
+
+
+class AbstractData(_abc.ABC):
+    """Virtual common base of every data class (reference data.py:253-339)."""
+
+
+class DataValuesBase(_abc.ABC):
+    """Virtual base of the value-backed classes (reference data.py:342-449)."""
+
+
+class DataCentralMomentsBase(_abc.ABC):
+    """Virtual base of the moment-backed classes (reference data.py:828-1013)."""
+
+
+for _cls in (DataValues, DataCentralMoments):
+    AbstractData.register(_cls)
+DataValuesBase.register(DataValues)
+for _cls in (DataCentralMoments, DataCentralMomentsVals):
+    DataCentralMomentsBase.register(_cls)
+del _cls
+
+__all__ += ["AbstractData", "DataCentralMomentsBase", "DataValuesBase"]

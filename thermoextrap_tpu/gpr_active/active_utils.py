@@ -32,7 +32,15 @@ from .gp_models import (
     HeteroscedasticGPR,
     LinearWithDerivs,
 )
-from .kernels import RBFDerivKernel
+# kernel factories live in .kernels here; the reference defines them in
+# active_utils (active_utils.py:460-674), so re-export for import parity
+from .kernels import (
+    ChangeInnerOuterRBFDerivKernel,
+    RBFDerivKernel,
+    make_matern_expr,
+    make_poly_expr,
+    make_rbf_expr,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -40,6 +48,7 @@ __all__ = [
     "AvgAbsRelDeviation",
     "AvgRelVar",
     "AvgVar",
+    "ChangeInnerOuterRBFDerivKernel",
     "DataWrapper",
     "ErrorStability",
     "MSD",
@@ -50,6 +59,7 @@ __all__ = [
     "MaxRelVar",
     "MaxVar",
     "MetricBase",
+    "RBFDerivKernel",
     "SimWrapper",
     "StopCriteria",
     "UpdateALCbrute",
@@ -66,6 +76,9 @@ __all__ = [
     "identityTransform",
     "input_GP_from_state",
     "load_active_history",
+    "make_matern_expr",
+    "make_poly_expr",
+    "make_rbf_expr",
     "train_GPR",
 ]
 

@@ -1183,3 +1183,19 @@ class HeteroscedasticGPRAnalyticalScale(HeteroscedasticGPR):
             np.asarray(self.scale_fac, dtype=np.float64),
         )
 
+
+
+# reference-name parity: the reference defines the snake_case class name
+# (gp_models.py:812) and hosts the experimental noise-GP pair in this
+# module (gp_models.py:261-476); here they live in .experimental — lazy
+# re-export (PEP 562) to avoid a circular import at module load.
+HeteroscedasticGPR_analytical_scale = HeteroscedasticGPRAnalyticalScale  # noqa: N816
+
+
+def __getattr__(name: str):
+    if name in ("HetGaussianNoiseGP", "FullyHeteroscedasticGPR"):
+        from . import experimental
+
+        return getattr(experimental, name)
+    msg = f"module {__name__!r} has no attribute {name!r}"
+    raise AttributeError(msg)
