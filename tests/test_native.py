@@ -95,3 +95,157 @@ def test_datawrapper_uses_fastloader(tmp_path, rng_np):
     state = dw.build_state(max_order=2)
     assert state.order == 2
     assert np.isfinite(np.asarray(state.derivs())).all()
+
+
+# ---------------------------------------------------------------------------
+# native C++ moments engine (cmoments.cpp) vs the XLA implementations
+# ---------------------------------------------------------------------------
+
+from thermoextrap_tpu import native
+from thermoextrap_tpu.ops import dispatch, moments, resample
+
+
+@pytest.fixture
+def flat_samples(rng_np):
+    R = 777
+    uv = rng_np.normal(3.0, 1.0, R)
+    xv = rng_np.normal(0.5, 2.0, (R, 3))
+    w = rng_np.uniform(0.2, 1.5, R)
+    return uv, xv, w
+
+
+def test_engine_available():
+    assert native.available()
+
+
+def test_reduce_central_matches_xla(flat_samples):
+    uv, xv, w = flat_samples
+    got = native.reduce_central_comoments(uv, xv, 6, weight=w)
+    want = moments.reduce_central_comoments(uv, xv, 6, weight=w)
+    for g, e in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-12, atol=1e-14)
+    # exact conventions
+    assert got[2][0] == 1.0 and got[2][1] == 0.0
+    np.testing.assert_array_equal(got[3][0], 0.0)
+
+
+def test_reduce_central_unweighted_scalar_val(flat_samples):
+    uv, xv, _ = flat_samples
+    got = native.reduce_central_comoments(uv, xv[:, :1], 4)
+    want = moments.reduce_central_comoments(uv, xv[:, :1], 4)
+    for g, e in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-12, atol=1e-14)
+
+
+def test_reduce_central_batched_matches_xla(rng_np):
+    uv = rng_np.normal(1.0, 0.5, (2, 3, 250))
+    xv = rng_np.normal(0.0, 1.0, (2, 3, 250, 2))
+    w = rng_np.uniform(0.5, 1.0, (2, 3, 250))
+    got = native.reduce_central_comoments(uv, xv, 5, weight=w)
+    want = moments.reduce_central_comoments(uv, xv, 5, weight=w)
+    for g, e in zip(got, want):
+        assert g.shape == np.asarray(e).shape
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-12, atol=1e-14)
+
+
+def test_reduce_raw_matches_xla(flat_samples):
+    uv, xv, w = flat_samples
+    got = native.reduce_raw_comoments(uv, xv, 6, weight=w)
+    want = moments.reduce_raw_comoments(uv, xv, 6, weight=w)
+    for g, e in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-11)
+
+
+def test_resample_matches_xla(flat_samples, rng_np):
+    uv, xv, w = flat_samples
+    nrep, R = 16, uv.shape[0]
+    idx = rng_np.integers(0, R, (nrep, R))
+    freq = np.zeros((nrep, R), dtype=np.int64)
+    np.add.at(freq, (np.repeat(np.arange(nrep), R), idx.ravel()), 1)
+    got = native.resample_central_comoments(uv, xv, freq, 4, weight=w)
+    want = resample.resample_central_comoments(uv, xv, freq, 4, weight=w)
+    for g, e in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-9, atol=1e-12)
+
+
+def test_resample_zero_replicate_degenerate_standin(flat_samples):
+    # an all-zero frequency row must produce the XLA path's stand-in
+    # (global means, trivial central moments), not an error or NaN
+    uv, xv, w = flat_samples
+    freq = np.ones((3, uv.shape[0]))
+    freq[1] = 0.0
+    got = native.resample_central_comoments(uv, xv, freq, 3, weight=w)
+    want = resample.resample_central_comoments(uv, xv, freq, 3, weight=w)
+    for g, e in zip(got, want):
+        assert np.isfinite(g).all()
+        np.testing.assert_allclose(g, np.asarray(e), rtol=1e-9, atol=1e-12)
+
+
+def test_zero_total_weight_raises(flat_samples):
+    uv, xv, _ = flat_samples
+    with pytest.raises(ValueError, match="zero total weight"):
+        native.reduce_central_comoments(uv, xv, 3, weight=np.zeros_like(uv))
+
+
+def test_dispatch_native_routing(flat_samples):
+    import jax
+    import jax.numpy as jnp
+
+    uv, xv, w = flat_samples
+    dispatch.set_impl("native")
+    try:
+        got = dispatch.reduce_central(uv, xv, 4, weight=w)
+        # concrete call served by the C++ engine -> numpy outputs
+        assert all(isinstance(g, np.ndarray) for g in got)
+        want = moments.reduce_central_comoments(uv, xv, 4, weight=w)
+        for g, e in zip(got, want):
+            np.testing.assert_allclose(g, np.asarray(e), rtol=1e-12, atol=1e-14)
+
+        # traced call falls through to XLA (native cannot run under jit)
+        jitted = jax.jit(
+            lambda u, x: dispatch.reduce_central(u, x, 4, weight=None)[2]
+        )
+        du_jit = jitted(jnp.asarray(uv), jnp.asarray(xv))
+        du_eager = moments.reduce_central_comoments(uv, xv, 4)[2]
+        np.testing.assert_allclose(
+            np.asarray(du_jit), np.asarray(du_eager), rtol=1e-12
+        )
+    finally:
+        dispatch.set_impl(None)
+
+
+def test_dispatch_native_resample_and_raw(flat_samples, rng_np):
+    uv, xv, w = flat_samples
+    freq = rng_np.poisson(1.0, (8, uv.shape[0])).astype(np.float64)
+    dispatch.set_impl("native")
+    try:
+        got = dispatch.resample_central(uv, xv, freq, 3, weight=w)
+        want = resample.resample_central_comoments(uv, xv, freq, 3, weight=w)
+        for g, e in zip(got, want):
+            np.testing.assert_allclose(g, np.asarray(e), rtol=1e-9, atol=1e-12)
+        got_raw = dispatch.reduce_raw(uv, xv, 3, weight=w)
+        want_raw = moments.reduce_raw_comoments(uv, xv, 3, weight=w)
+        for g, e in zip(got_raw, want_raw):
+            np.testing.assert_allclose(g, np.asarray(e), rtol=1e-11)
+    finally:
+        dispatch.set_impl(None)
+
+
+def test_native_data_layer_end_to_end(flat_samples):
+    # DataCentralMoments built while the native backend is forced must give
+    # the same derivatives as the XLA path
+    from thermoextrap_tpu import factory_data_values
+    from thermoextrap_tpu.beta import factory_extrapmodel
+
+    uv, xv, w = flat_samples
+
+    def build():
+        data = factory_data_values(uv=uv, xv=xv[:, 0], order=3, central=True)
+        return np.asarray(factory_extrapmodel(1.0, data).derivs())
+
+    dispatch.set_impl("native")
+    try:
+        d_native = build()
+    finally:
+        dispatch.set_impl(None)
+    np.testing.assert_allclose(d_native, build(), rtol=1e-10)

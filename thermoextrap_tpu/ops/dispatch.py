@@ -4,6 +4,13 @@ The data layer calls these wrappers; they route the flat hot path
 (``batch == ()``) to the fused single-pass Pallas kernels when running on an
 accelerator, and fall back to the two-pass XLA implementation on CPU (where
 f64 accuracy is available and Pallas TPU kernels cannot compile).
+
+A third backend, ``"native"``, routes *concrete* (non-traced) calls to the
+compiled C++ host engine (``native/cmoments.cpp`` — the cmomy/numba role):
+eager numpy workflows skip JAX dispatch entirely and reduce at compiled-loop
+speed in f64.  Calls made under a jit/vmap trace keep the XLA path (a host
+callout cannot appear inside a compiled program), so ``set_impl("native")``
+is safe to leave on globally.
 """
 
 from __future__ import annotations
@@ -13,16 +20,24 @@ import jax.numpy as jnp
 
 from . import moments, moments_pallas, resample
 
-_FORCE: str | None = None  # None = auto; "xla" | "pallas" for tests
+_FORCE: str | None = None  # None = auto; "xla" | "pallas" | "native" for tests
 
 
 def set_impl(impl: str | None) -> None:
     """Force an implementation globally (``None`` restores auto)."""
     global _FORCE
-    if impl not in (None, "xla", "pallas"):
-        msg = f"impl must be None, 'xla' or 'pallas'; got {impl!r}"
+    if impl not in (None, "xla", "pallas", "native"):
+        msg = f"impl must be None, 'xla', 'pallas' or 'native'; got {impl!r}"
         raise ValueError(msg)
     _FORCE = impl
+
+
+def _use_native(*arrays) -> bool:
+    """True when the forced native backend can serve this call: every operand
+    must be concrete (host-transferable) — tracers fall through to XLA."""
+    if _FORCE != "native":
+        return False
+    return not any(isinstance(a, jax.core.Tracer) for a in arrays if a is not None)
 
 
 def _use_pallas() -> bool:
@@ -39,6 +54,14 @@ def _use_pallas() -> bool:
 
 
 def reduce_central(uv, xv, order, weight=None, val_ndim=1, x_is_u=False):
+    if _use_native(uv, xv, weight):
+        # comoments of (u, u-shaped x) already satisfy the x_is_u contract
+        # (dxdu[n] = du[n+1]); no special routing needed off-accelerator
+        from .. import native
+
+        return native.reduce_central_comoments(
+            uv, xv, order, weight=weight, val_ndim=val_ndim
+        )
     flat = getattr(uv, "ndim", 1) == 1
     if _use_pallas():
         # Weights stay f32 even for bf16 sample streams — the kernels
@@ -79,14 +102,24 @@ def reduce_central(uv, xv, order, weight=None, val_ndim=1, x_is_u=False):
 
 
 def reduce_raw(uv, xv, order, weight=None, val_ndim=1):
+    if _use_native(uv, xv, weight) and getattr(uv, "ndim", 1) == 1:
+        from .. import native
+
+        return native.reduce_raw_comoments(
+            uv, xv, order, weight=weight, val_ndim=val_ndim
+        )
     # raw moments are only numerically sensible in f64 / for parity paths;
-    # keep the XLA implementation everywhere.
+    # keep the XLA implementation everywhere on-device.
     return moments.reduce_raw_comoments(
         uv, xv, order, weight=weight, val_ndim=val_ndim
     )
 
 
 def resample_central(uv, xv, freq, order, weight=None):
+    if _use_native(uv, xv, freq, weight):
+        from .. import native
+
+        return native.resample_central_comoments(uv, xv, freq, order, weight=weight)
     if _use_pallas():
         return moments_pallas.resample_central_comoments_fused_ad(
             uv, xv, freq, order, weight
