@@ -26,6 +26,7 @@ from . import (
     beta,
     data,
     idealgas,
+    io_stream,
     lnpi,
     parallel,
     pipeline,
@@ -77,6 +78,7 @@ __all__ = [
     "data",
     "factory_data_values",
     "idealgas",
+    "io_stream",
     "lnpi",
     "parallel",
     "pipeline",

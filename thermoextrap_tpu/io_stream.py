@@ -1,0 +1,134 @@
+"""Prefetching ingest runtime: overlap host IO/parsing with device compute.
+
+Framework role: the data-loader runtime around the streaming pipelines.  A
+bounded-depth background prefetcher parses trajectory chunks on a worker
+thread (the C++ ``native.loadtxt_fast`` parser for text tables), optionally
+stages them onto a device ahead of use, and hands the consumer a plain
+iterator — so the jitted ``update`` step of
+:func:`pipeline.make_streaming_extrap_pipeline` runs concurrently with the
+parse + host→device transfer of the *next* chunk (jax dispatch is
+asynchronous; ``jax.device_put`` overlaps with compute).
+
+No reference analogue: the reference loads complete timeseries up front
+(``DataWrapper.get_data``, /root/reference/src/thermoextrap/gpr_active/
+active_utils.py:173-258) and reduces them in one shot.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+__all__ = ["ingest_stream", "prefetch_chunks", "read_table_chunks"]
+
+_END = ("end", None)
+
+
+def prefetch_chunks(sources, load=None, depth: int = 2, device=None):
+    """Iterate ``load(source)`` for each source, computed ahead on a worker
+    thread.
+
+    Parameters
+    ----------
+    sources : iterable
+        Work items (file paths, chunk ids, closures...).  Consumed lazily.
+    load : callable, optional
+        Applied to each source on the worker thread (defaults to identity).
+        This is where file parsing / preprocessing should happen.
+    depth : int
+        Maximum number of loaded-but-unconsumed chunks (bounded memory;
+        ``depth=2`` double-buffers).
+    device : optional
+        If given, each loaded chunk (a pytree of arrays) is staged with
+        ``jax.device_put(..., device)`` on the worker thread, overlapping
+        the transfer with the consumer's compute.
+
+    Yields
+    ------
+    The loaded chunks, in source order.  An exception raised by ``load``
+    (or the sources iterator) propagates to the consumer at the point of
+    consumption.  Abandoning the iterator (``close`` / garbage collection)
+    stops the worker promptly.
+    """
+    if depth < 1:
+        msg = f"depth must be >= 1; got {depth}"
+        raise ValueError(msg)
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded-blocking put that stays responsive to consumer abandon
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.05)
+            except queue.Full:
+                continue
+            return True
+        return False
+
+    def _worker() -> None:
+        try:
+            for src in sources:
+                if stop.is_set():
+                    return
+                item = load(src) if load is not None else src
+                if device is not None:
+                    import jax
+
+                    item = jax.device_put(item, device)
+                if not _put(("item", item)):
+                    return
+        except BaseException as err:  # noqa: BLE001 - relayed to the consumer
+            _put(("err", err))
+        else:
+            _put(_END)
+
+    worker = threading.Thread(target=_worker, daemon=True, name="xtpu-prefetch")
+    worker.start()
+    try:
+        while True:
+            kind, val = q.get()
+            if kind == "end":
+                return
+            if kind == "err":
+                raise val
+            yield val
+    finally:
+        stop.set()
+
+
+def read_table_chunks(paths, usecols=None, columns=None, depth: int = 2, device=None):
+    """Prefetched iterator over whitespace/comma tables (one chunk per file),
+    parsed with the native C++ loader (:func:`native.loadtxt_fast`).
+
+    ``columns``: optional tuple of column selectors — each chunk is then
+    yielded as ``tuple(table[:, c] for c in columns)``, ready to splat into
+    a streaming-pipeline ``update(state, uv, xv)`` via
+    :func:`ingest_stream` (e.g. ``columns=(0, 1)`` for a ``u x`` table).
+    """
+    from . import native
+
+    def _load(p):
+        table = native.loadtxt_fast(p, usecols=usecols)
+        if columns is None:
+            return table
+        return tuple(table[:, c] for c in columns)
+
+    return prefetch_chunks(paths, load=_load, depth=depth, device=device)
+
+
+def ingest_stream(update, state, chunks, depth: int = 2, load=None, device=None):
+    """Fold a streaming-pipeline ``update`` over a prefetched chunk stream.
+
+    ``update(state, *chunk) -> state`` (chunks that are tuples/lists are
+    splatted; anything else is passed as a single argument).  Returns the
+    final state.  Because ``update`` is jitted and jax dispatch is
+    asynchronous, each chunk's reduction overlaps the parse/transfer of the
+    next one.
+    """
+    for chunk in prefetch_chunks(chunks, load=load, depth=depth, device=device):
+        if isinstance(chunk, (tuple, list)):
+            state = update(state, *chunk)
+        else:
+            state = update(state, chunk)
+    return state
