@@ -287,3 +287,46 @@ def test_gpr_pipeline_serving(rng_np):
 
     with pytest.raises(ValueError):
         predict(alphas, order=1)
+
+
+class TestBucketedRunner:
+    def test_padding_is_exact(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_bucketed_extrap_runner,
+            make_extrap_pipeline,
+        )
+
+        uv = rng_np.normal(2.0, 1.0, 1000)
+        xv = rng_np.normal(1.0, 0.5, (1000, 2))
+        betas = np.array([1.8, 2.0, 2.2])
+        serve = make_bucketed_extrap_runner(4, 2.0, buckets=(1 << 9, 1 << 11))
+        run = make_extrap_pipeline(4, 2.0)
+        got = np.asarray(serve(uv, xv, betas))
+        want = np.asarray(run(uv, xv, betas))
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+    def test_bucket_selection_and_overflow(self):
+        from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+        serve = make_bucketed_extrap_runner(2, 1.0, buckets=(8, 32))
+        assert serve.buckets == (8, 32)
+        uv = np.linspace(0.5, 1.5, 100)  # above largest bucket: one-off shape
+        out = serve(uv, uv[:, None] * 2, np.array([1.0]))
+        np.testing.assert_allclose(np.asarray(out)[0, 0], np.mean(2 * uv), rtol=1e-12)
+
+    def test_weighted_and_bootstrap(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+        uv = rng_np.normal(2.0, 1.0, 700)
+        xv = rng_np.normal(1.0, 0.5, (700, 1))
+        w = rng_np.uniform(0.5, 1.5, 700)
+        serve = make_bucketed_extrap_runner(3, 2.0, buckets=(1 << 10,), nrep=32)
+        pred, std = serve(uv, xv, np.array([2.0, 2.1]), weight=w, seed=3)
+        assert np.isfinite(np.asarray(pred)).all()
+        assert (np.asarray(std) > 0).all()
+
+    def test_warmup_compiles_buckets(self):
+        from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+        serve = make_bucketed_extrap_runner(2, 1.0, buckets=(8, 16))
+        serve.warmup(val_shape=(1,), n_betas=2)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .models.derivatives import (
     central_u_ave_coefs,
@@ -33,6 +34,7 @@ from .ops import dispatch
 from .ops.series import series_neg_log
 
 __all__ = [
+    "make_bucketed_extrap_runner",
     "make_extrap_pipeline",
     "make_gpr_pipeline",
     "make_lnpi_pipeline",
@@ -722,3 +724,104 @@ def make_gpr_pipeline(
         return np.asarray(mean)[:n], np.asarray(var)[:n]
 
     return gpr, predict
+
+
+def make_bucketed_extrap_runner(
+    order: int,
+    beta0: float,
+    *,
+    buckets=None,
+    minus_log: bool = False,
+    nrep: int = 0,
+    bf16: bool = False,
+):
+    r"""Serving wrapper around :func:`make_extrap_pipeline` that accepts ANY
+    sample count without recompiling.
+
+    XLA compiles one program per static shape, so serving traffic with
+    varying ``R`` would recompile per request (minutes cold on the remote
+    TPU compile service).  This runner pads every request up to the
+    smallest configured bucket with **zero-weight** samples — exact for the
+    weighted reduction (a zero-weight sample contributes nothing), so the
+    mean prediction is bit-equal to the unpadded run — and dispatches to
+    the per-bucket compiled program.  With ``nrep``, the bootstrap over the
+    padded stream is the Poissonized bootstrap (each real sample's
+    replicate count stays ~Poisson(1); padded samples carry zero weight),
+    the same family as the on-accelerator in-kernel Poisson path.
+
+    Parameters
+    ----------
+    buckets : increasing sample-count buckets; defaults to powers of two
+        ``2^12 .. 2^27``.  Requests above the largest bucket fall back to
+        exact-shape compilation (one-off).
+    order, beta0, minus_log, nrep, bf16 : as in :func:`make_extrap_pipeline`.
+
+    Returns
+    -------
+    ``serve(uv, xv, betas, weight=None, seed=0)``; also exposes
+    ``serve.warmup(val_shape=(1,), n_betas=1, max_bucket=None)`` to
+    precompile bucket programs ahead of traffic (pair with
+    :func:`utils.compile_cache.enable_compilation_cache` to persist them).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> serve = make_bucketed_extrap_runner(2, 1.0, buckets=(8, 16))
+    >>> uv = np.array([1.0, 2.0, 3.0, 4.0, 5.0])   # R=5 -> bucket 8
+    >>> pred = serve(uv, 2.0 * uv[:, None], np.array([1.0]))
+    >>> float(np.asarray(pred)[0, 0])
+    6.0
+    """
+    run = make_extrap_pipeline(
+        order, beta0, minus_log=minus_log, nrep=nrep, weighted=True, bf16=bf16
+    )
+    buckets = (
+        tuple(1 << p for p in range(12, 28))
+        if buckets is None
+        else tuple(sorted(int(b) for b in buckets))
+    )
+
+    def _bucket_for(r: int) -> int:
+        for b in buckets:
+            if b >= r:
+                return b
+        return r  # beyond the largest bucket: exact-shape one-off
+
+    def serve(uv, xv, betas, weight=None, seed=0):
+        uv = np.asarray(uv)
+        xv = np.asarray(xv)
+        r = uv.shape[0]
+        if r == 0:
+            msg = "serve() needs at least one sample"
+            raise ValueError(msg)
+        rp = _bucket_for(r)
+        w = (
+            np.ones(r, dtype=np.float32)
+            if weight is None
+            else np.asarray(weight, dtype=np.float32)
+        )
+        if rp == r:
+            return run(uv, xv, betas, w, seed)
+        pad = rp - r
+        # pad value replicates the last sample (finite, in-distribution for
+        # bf16 range); its weight is zero so it cannot affect any moment
+        uvp = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
+        xvp = np.concatenate(
+            [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
+        )
+        wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
+        return run(uvp, xvp, betas, wp, seed)
+
+    def warmup(val_shape=(1,), n_betas: int = 1, max_bucket: int | None = None):
+        """Precompile the bucket programs with dummy traffic."""
+        for b in buckets:
+            if max_bucket is not None and b > max_bucket:
+                break
+            uv = np.linspace(0.5, 1.5, b)
+            xv = np.ones((b, *val_shape))
+            out = serve(uv, xv, np.full(n_betas, beta0))
+            jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+
+    serve.warmup = warmup
+    serve.buckets = buckets
+    return serve
