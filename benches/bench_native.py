@@ -40,6 +40,14 @@ def best_of(fn, n=5):
 
 
 def main() -> None:
+    # keep everything off the TPU chip even on a host without g++: the
+    # XLA fallback would otherwise run eager ops on the forced "axon,cpu"
+    # platform (sitecustomize overrides env-var steering; only an
+    # in-process config update works — see CLAUDE.md gotchas)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from thermoextrap_tpu import native
 
     rng = np.random.default_rng(0)

@@ -130,3 +130,30 @@ def test_read_table_chunks_columns_splat(tmp_path, rng_np):
     want = np.asarray(run(uv, xv[:, None], np.array([1.0])))[:, 0]
     got = np.asarray(predict(state, np.array([1.0])))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_read_table_chunks_single_column_splat(tmp_path, rng_np):
+    # single-column tables come back squeezed from loadtxt_fast; columns=
+    # must still index them
+    data = rng_np.normal(size=80)
+    p = tmp_path / "one_col.txt"
+    np.savetxt(p, data)
+    (chunk,) = list(io_stream.read_table_chunks([p], columns=(0,)))
+    np.testing.assert_allclose(chunk[0], data, rtol=1e-10)
+
+
+def test_ingest_stream_consumes_prefetched_directly():
+    # already-prefetched iterators are NOT wrapped in a second prefetch
+    # layer: the stream object must be consumed as-is
+    consumed = []
+
+    class Probe:
+        def __iter__(self):
+            return iter([(1.0,), (2.0,)])
+
+    def update(state, v):
+        consumed.append(v)
+        return state + v
+
+    out = io_stream.ingest_stream(update, 0.0, Probe())
+    assert out == 3.0 and consumed == [1.0, 2.0]

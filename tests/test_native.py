@@ -181,10 +181,34 @@ def test_resample_zero_replicate_degenerate_standin(flat_samples):
         np.testing.assert_allclose(g, np.asarray(e), rtol=1e-9, atol=1e-12)
 
 
-def test_zero_total_weight_raises(flat_samples):
+def test_zero_total_weight_matches_xla_nan_convention(flat_samples):
     uv, xv, _ = flat_samples
-    with pytest.raises(ValueError, match="zero total weight"):
-        native.reduce_central_comoments(uv, xv, 3, weight=np.zeros_like(uv))
+    w0 = np.zeros_like(uv)
+    got = native.reduce_central_comoments(uv, xv, 3, weight=w0)
+    want = moments.reduce_central_comoments(uv, xv, 3, weight=w0)
+    for g, e in zip(got, want):
+        e = np.asarray(e)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(e))
+        np.testing.assert_allclose(g[~np.isnan(g)], e[~np.isnan(e)], rtol=1e-12)
+    # raw path: NaN everywhere, like XLA
+    u, xu = native.reduce_raw_comoments(uv, xv, 3, weight=w0)
+    assert np.isnan(u).all() and np.isnan(xu).all()
+
+
+def test_zero_weight_batch_row_nans_that_row_only(rng_np):
+    # one unvisited bin in a batched grid must not poison the others
+    uv = rng_np.normal(1.0, 0.5, (3, 200))
+    xv = rng_np.normal(0.0, 1.0, (3, 200, 1))
+    w = np.ones((3, 200))
+    w[1] = 0.0
+    got = native.reduce_central_comoments(uv, xv, 3, weight=w)
+    want = moments.reduce_central_comoments(uv, xv, 3, weight=w)
+    for g, e in zip(got, want):
+        e = np.asarray(e)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(e))
+        np.testing.assert_allclose(
+            g[~np.isnan(g)], e[~np.isnan(e)], rtol=1e-12, atol=1e-14
+        )
 
 
 def test_dispatch_native_routing(flat_samples):

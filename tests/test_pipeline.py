@@ -330,3 +330,18 @@ class TestBucketedRunner:
 
         serve = make_bucketed_extrap_runner(2, 1.0, buckets=(8, 16))
         serve.warmup(val_shape=(1,), n_betas=2)
+
+    def test_f64_weights_not_downcast(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_bucketed_extrap_runner,
+            make_extrap_pipeline,
+        )
+
+        uv = rng_np.normal(2.0, 1.0, 500)
+        xv = rng_np.normal(1.0, 0.5, (500, 1))
+        w = rng_np.uniform(0.5, 1.5, 500)  # float64
+        serve = make_bucketed_extrap_runner(3, 2.0, buckets=(1 << 10,))
+        run = make_extrap_pipeline(3, 2.0, weighted=True)
+        got = np.asarray(serve(uv, xv, np.array([2.1]), weight=w))
+        want = np.asarray(run(uv, xv, np.array([2.1]), w))
+        np.testing.assert_allclose(got, want, rtol=1e-13, atol=0)

@@ -112,6 +112,8 @@ def read_table_chunks(paths, usecols=None, columns=None, depth: int = 2, device=
         table = native.loadtxt_fast(p, usecols=usecols)
         if columns is None:
             return table
+        if table.ndim == 1:  # single-column tables come back squeezed
+            table = table[:, None]
         return tuple(table[:, c] for c in columns)
 
     return prefetch_chunks(paths, load=_load, depth=depth, device=device)
@@ -125,8 +127,17 @@ def ingest_stream(update, state, chunks, depth: int = 2, load=None, device=None)
     final state.  Because ``update`` is jitted and jax dispatch is
     asynchronous, each chunk's reduction overlaps the parse/transfer of the
     next one.
+
+    ``chunks`` may be raw sources (give ``load``/``device`` to prefetch
+    them here) or an already-prefetched iterator such as
+    :func:`read_table_chunks` — with no ``load``/``device`` the stream is
+    consumed directly rather than wrapped in a second prefetch layer.
     """
-    for chunk in prefetch_chunks(chunks, load=load, depth=depth, device=device):
+    if load is None and device is None:
+        stream = chunks
+    else:
+        stream = prefetch_chunks(chunks, load=load, depth=depth, device=device)
+    for chunk in stream:
         if isinstance(chunk, (tuple, list)):
             state = update(state, *chunk)
         else:

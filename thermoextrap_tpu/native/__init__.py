@@ -197,9 +197,9 @@ def _wbuf(uv, weight):
 
 
 def _check(rc: int, what: str) -> None:
-    if rc == -2:
-        msg = f"{what}: zero total weight"
-        raise ValueError(msg)
+    # zero-total-weight streams do not error: the C kernels emit the XLA
+    # 0/0 convention (NaN means, pinned-trivial du[0]/du[1]/dxdu[0]) so the
+    # native backend is a drop-in for the XLA path on every input
     if rc != 0:
         msg = f"{what}: native kernel error {rc}"
         raise RuntimeError(msg)
@@ -222,8 +222,9 @@ def reduce_central_comoments(uv, xv, order: int, weight=None, val_ndim: int = 1)
     (``uv (*batch, R)``, ``xv (*batch, R, *val)`` → ``(xave, uave, du,
     dxdu)`` with the moment order leading), computed in f64 by the C++
     engine; numpy outputs.  Falls back to the XLA implementation when the
-    native library is unavailable.  Raises ``ValueError`` on a zero total
-    weight (where the XLA path would emit NaN).
+    native library is unavailable.  A zero-total-weight stream (or batch
+    row) yields the XLA 0/0 convention: NaN means/moments with the
+    ``du[0]=1, du[1]=0, dxdu[0]=0`` pins intact.
     """
     lib = _cmoments()
     if lib is None:

@@ -26,6 +26,7 @@
 
 #include <cstddef>
 #include <cstdint>
+#include <limits>
 #include <vector>
 
 using std::size_t;
@@ -156,6 +157,25 @@ static int reduce_central_one(const double* uv, const double* xv,
     return 0;
 }
 
+// Zero-total-weight convention of the XLA path (0/0): NaN everywhere.
+// Used by the flat/batched entries so `set_impl("native")` is a true
+// drop-in — the XLA two-pass emits NaN for a zero-weight (batch row's)
+// stream rather than raising.
+static void fill_nan_one(int64_t V, int64_t order, double* uave,
+                         double* xave, double* du, double* dxdu) {
+    const double nan = std::numeric_limits<double>::quiet_NaN();
+    const int64_t N = order + 1;
+    *uave = nan;
+    for (int64_t v = 0; v < V; ++v) xave[v] = nan;
+    // du[0]/du[1]/dxdu[0] are pinned exactly by the XLA path even for a
+    // zero-weight stream (the .at[].set() epilogue, ops/moments.py:146-147)
+    du[0] = 1.0;
+    if (order >= 1) du[1] = 0.0;
+    for (int64_t n = 2; n < N; ++n) du[n] = nan;
+    for (int64_t v = 0; v < V; ++v) dxdu[v] = 0.0;
+    for (int64_t i = V; i < N * V; ++i) dxdu[i] = nan;
+}
+
 }  // namespace
 
 extern "C" {
@@ -166,7 +186,12 @@ int cm_reduce_central(const double* uv, const double* xv, const double* w,
                       int64_t R, int64_t V, int64_t order, double* uave,
                       double* xave, double* du, double* dxdu) {
     if (R <= 0 || V <= 0 || order < 0) return -1;
-    return reduce_central_one(uv, xv, w, R, V, order, uave, xave, du, dxdu);
+    int rc = reduce_central_one(uv, xv, w, R, V, order, uave, xave, du, dxdu);
+    if (rc == -2) {  // zero total weight: NaN like the XLA 0/0 path
+        fill_nan_one(V, order, uave, xave, du, dxdu);
+        return 0;
+    }
+    return rc;
 }
 
 // Batched reduction over B independent grids (lnPi macrostate layout).
@@ -183,7 +208,13 @@ int cm_reduce_central_batched(const double* uv, const double* xv,
         int rc = reduce_central_one(
             uv + b * R, xv + b * R * V, w ? w + b * R : nullptr, R, V, order,
             uave + b, xave + b * V, du + b * N, dxdu + b * N * V);
-        if (rc) return rc;
+        if (rc == -2) {  // zero-weight row (e.g. unvisited macrostate bin):
+            // NaN that row only, like the XLA path; keep reducing the rest
+            fill_nan_one(V, order, uave + b, xave + b * V, du + b * N,
+                         dxdu + b * N * V);
+        } else if (rc) {
+            return rc;
+        }
     }
     return 0;
 }
@@ -198,20 +229,36 @@ int cm_reduce_raw(const double* uv, const double* xv, const double* w,
     for (int64_t n = 0; n < N; ++n) u[n] = 0.0;
     for (int64_t i = 0; i < N * V; ++i) xu[i] = 0.0;
     double wsum = 0.0;
-    for (int64_t r = 0; r < R; ++r) {
-        const double p = w ? w[r] : 1.0;
-        const double ur = uv[r];
-        const double* xr = xv + r * V;
-        wsum += p;
-        double pn = p;
-        for (int64_t n = 0; n < N; ++n) {
-            u[n] += pn;
-            double* out = xu + n * V;
-            for (int64_t v = 0; v < V; ++v) out[v] += pn * xr[v];
-            pn *= ur;
+    std::vector<double> lu(static_cast<size_t>(N));
+    std::vector<double> lxu(static_cast<size_t>(N * V));
+    for (int64_t r0 = 0; r0 < R; r0 += kChunk) {  // blocked like the central path
+        const int64_t r1 = (r0 + kChunk < R) ? r0 + kChunk : R;
+        double wl = 0.0;
+        for (int64_t n = 0; n < N; ++n) lu[static_cast<size_t>(n)] = 0.0;
+        for (int64_t i = 0; i < N * V; ++i) lxu[static_cast<size_t>(i)] = 0.0;
+        for (int64_t r = r0; r < r1; ++r) {
+            const double p = w ? w[r] : 1.0;
+            const double ur = uv[r];
+            const double* xr = xv + r * V;
+            wl += p;
+            double pn = p;
+            for (int64_t n = 0; n < N; ++n) {
+                lu[static_cast<size_t>(n)] += pn;
+                double* out = lxu.data() + n * V;
+                for (int64_t v = 0; v < V; ++v) out[v] += pn * xr[v];
+                pn *= ur;
+            }
         }
+        wsum += wl;
+        for (int64_t n = 0; n < N; ++n) u[n] += lu[static_cast<size_t>(n)];
+        for (int64_t i = 0; i < N * V; ++i) xu[i] += lxu[static_cast<size_t>(i)];
     }
-    if (!(wsum > 0.0)) return -2;
+    if (!(wsum > 0.0)) {  // XLA raw path has no pinning: NaN everywhere
+        const double nan = std::numeric_limits<double>::quiet_NaN();
+        for (int64_t n = 0; n < N; ++n) u[n] = nan;
+        for (int64_t i = 0; i < N * V; ++i) xu[i] = nan;
+        return 0;
+    }
     const double inv = 1.0 / wsum;
     for (int64_t n = 0; n < N; ++n) u[n] *= inv;
     for (int64_t i = 0; i < N * V; ++i) xu[i] *= inv;
@@ -236,7 +283,13 @@ int cm_resample_central(const double* uv, const double* xv, const double* w,
     double ubar;
     std::vector<double> xbar(static_cast<size_t>(V));
     const double wtot = weighted_means(uv, xv, w, R, V, &ubar, xbar.data());
-    if (!(wtot > 0.0)) return -2;
+    if (!(wtot > 0.0)) {
+        // zero global weight: every replicate degenerates to the (NaN)
+        // global means with trivial central moments — the XLA convention
+        ubar = std::numeric_limits<double>::quiet_NaN();
+        for (int64_t v = 0; v < V; ++v)
+            xbar[static_cast<size_t>(v)] = ubar;
+    }
     std::vector<double> wrep(static_cast<size_t>(R));
     for (int64_t rep = 0; rep < nrep; ++rep) {
         const double* f = freq + rep * R;

@@ -795,11 +795,15 @@ def make_bucketed_extrap_runner(
             msg = "serve() needs at least one sample"
             raise ValueError(msg)
         rp = _bucket_for(r)
+        # weights keep their own dtype (>= f32): a silent f32 downcast of
+        # user f64 weights would break the padded == unpadded exactness
         w = (
-            np.ones(r, dtype=np.float32)
+            np.ones(r, dtype=np.promote_types(uv.dtype, np.float32))
             if weight is None
-            else np.asarray(weight, dtype=np.float32)
+            else np.asarray(weight)
         )
+        if w.dtype.kind != "f":
+            w = w.astype(np.float32)
         if rp == r:
             return run(uv, xv, betas, w, seed)
         pad = rp - r
@@ -812,13 +816,23 @@ def make_bucketed_extrap_runner(
         wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
         return run(uvp, xvp, betas, wp, seed)
 
-    def warmup(val_shape=(1,), n_betas: int = 1, max_bucket: int | None = None):
-        """Precompile the bucket programs with dummy traffic."""
+    def warmup(
+        val_shape=(1,),
+        n_betas: int = 1,
+        max_bucket: int | None = None,
+        dtype=np.float32,
+    ):
+        """Precompile the bucket programs with dummy traffic.
+
+        ``dtype`` must match the real traffic's sample dtype — compiled
+        programs are dtype-keyed, so f64 warmup would not serve f32
+        requests (matters in x64-enabled processes).
+        """
         for b in buckets:
             if max_bucket is not None and b > max_bucket:
                 break
-            uv = np.linspace(0.5, 1.5, b)
-            xv = np.ones((b, *val_shape))
+            uv = np.linspace(0.5, 1.5, b, dtype=dtype)
+            xv = np.ones((b, *val_shape), dtype=dtype)
             out = serve(uv, xv, np.full(n_betas, beta0))
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
 
