@@ -133,6 +133,48 @@ def main() -> None:
     )
     assert gerr < 1e-3  # f32 associativity on lnPi magnitudes
 
+    # ---- file-fed ingest with the prefetching loader: trajectory chunks
+    # are parsed (C++ loader) and staged on a worker thread while the
+    # jitted update reduces the previous chunk
+    import tempfile
+
+    from thermoextrap_tpu import io_stream
+
+    n_files, r_file = 4, (1_000 if SMOKE else 1 << 16)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(n_files):
+            x, u = idealgas.generate_data((r_file, 100), beta0, rng=100 + i)
+            p = Path(td) / f"traj_{i}.txt"
+            np.savetxt(p, np.stack([np.asarray(u), np.asarray(x)], axis=1))
+            paths.append(p)
+        f_state, f_update, f_predict = make_streaming_extrap_pipeline(
+            order, beta0
+        )
+        f_state = io_stream.ingest_stream(
+            f_update,
+            f_state,
+            io_stream.read_table_chunks(paths, columns=(0, 1), depth=2),
+        )
+    f_pred = np.asarray(f_predict(f_state, betas))
+    print(
+        f"prefetched file ingest ({n_files} files x {r_file:.0e} rows): "
+        f"max |pred - analytic| = {np.max(np.abs(f_pred - exact)):.2e}"
+    )
+    assert np.abs(f_pred[2] - exact[2]) < 5e-2
+
+    # ---- bucketed serving: any request size served without recompiles
+    from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+    serve = make_bucketed_extrap_runner(order, beta0, buckets=(1 << 11, 1 << 13))
+    for r_req in (1_500, 1_800, 5_000):  # three sizes, two compiled programs
+        x, u = idealgas.generate_data((r_req, 100), beta0, rng=r_req)
+        pred = np.asarray(
+            serve(np.asarray(u, np.float32), np.asarray(x, np.float32)[:, None], betas)
+        )
+        assert np.isfinite(pred).all()
+    print(f"bucketed serving: sizes (1500, 1800, 5000) -> buckets {serve.buckets}")
+
 
 if __name__ == "__main__":
     main()
