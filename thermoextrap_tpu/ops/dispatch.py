@@ -15,6 +15,8 @@ is safe to leave on globally.
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +32,22 @@ def set_impl(impl: str | None) -> None:
         msg = f"impl must be None, 'xla', 'pallas' or 'native'; got {impl!r}"
         raise ValueError(msg)
     _FORCE = impl
+
+
+@contextlib.contextmanager
+def use_impl(impl: str | None):
+    """Scoped :func:`set_impl`: force a backend inside a ``with`` block and
+    restore the previous setting on exit (exception-safe).
+
+    >>> with use_impl("xla"):
+    ...     pass  # calls in here take the XLA path
+    """
+    prev = _FORCE
+    set_impl(impl)
+    try:
+        yield
+    finally:
+        set_impl(prev)
 
 
 def _use_native(*arrays) -> bool:
