@@ -1,4 +1,6 @@
-"""Utility helpers: pytree dataclasses, the RNG seam, compile cache."""
+"""Utility helpers: pytree dataclasses, the RNG seam, compile cache,
+orbax checkpointing (``utils.checkpoint`` — imported on demand, orbax is
+heavy), K-chain timing (``utils.timing``)."""
 
 from .compile_cache import enable_compilation_cache
 from .random import validate_rng
