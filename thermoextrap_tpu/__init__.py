@@ -24,6 +24,7 @@ Top-level API mirrors the reference ``__init__.py:40-111``.
 from . import (
     adaptive_interp,
     beta,
+    compat,
     data,
     idealgas,
     io_stream,
@@ -75,6 +76,7 @@ __all__ = [
     "StateCollection",
     "adaptive_interp",
     "beta",
+    "compat",
     "data",
     "factory_data_values",
     "idealgas",

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _DEFAULT_SEED = 0
 
@@ -18,8 +19,10 @@ def validate_rng(rng=None) -> jax.Array:
     """Return a jax PRNG key from a key, an int seed, or None (fixed default)."""
     if rng is None:
         return jax.random.key(_DEFAULT_SEED)
-    if isinstance(rng, int):
-        return jax.random.key(rng)
+    if isinstance(rng, (int, np.integer)) and not isinstance(rng, (bool, np.bool_)):
+        # numpy integer seeds (e.g. rng.integers(...)) are accepted like the
+        # reference's cmomy.random.validate_rng seed handling
+        return jax.random.key(int(rng))
     if isinstance(rng, jax.Array) and jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
         return rng
     if isinstance(rng, jax.Array) and rng.dtype == jnp.uint32:
