@@ -145,6 +145,30 @@ def main() -> None:
     }
     print(json.dumps({"streaming_update": results["streaming_update"]}))
 
+    # fan-in ingest: 8 chunks folded per jitted dispatch — the fixed tunnel
+    # overhead (which dominates the per-chunk apparent rate above) is paid
+    # once per 8 chunks (io_stream.ingest_stream(fan_in=))
+    from thermoextrap_tpu import io_stream
+
+    chunks8 = [(uc, xc)] * 8
+    state = io_stream.ingest_stream(update, state, chunks8, fan_in=8)  # warm
+    float(jnp.asarray(state.wsum))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        s = io_stream.ingest_stream(update, state, chunks8, fan_in=8)
+        float(jnp.asarray(s.wsum))
+        best = min(best, time.perf_counter() - t0)
+    results["streaming_update_fan8"] = {
+        "chunk": chunk,
+        "fan_in": 8,
+        "wallclock_s": round(best, 4),
+        "gsamples_per_s": round(8 * chunk / best / 1e9, 2),
+    }
+    print(
+        json.dumps({"streaming_update_fan8": results["streaming_update_fan8"]})
+    )
+
     # streaming ingest DEVICE rate: push_vals on a per-chunk buffer inside
     # one jitted program (the realistic ingest topology — every update call
     # receives its own chunk buffer), K-chained and differenced like

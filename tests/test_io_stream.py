@@ -157,3 +157,37 @@ def test_ingest_stream_consumes_prefetched_directly():
 
     out = io_stream.ingest_stream(update, 0.0, Probe())
     assert out == 3.0 and consumed == [1.0, 2.0]
+
+
+def test_ingest_stream_fan_in_matches_sequential(rng_np):
+    # fan_in groups k chunks per jitted dispatch; the folded state must be
+    # identical to the one-at-a-time path, including a leftover tail
+    uv = rng_np.normal(3.0, 1.0, 700)
+    xv = rng_np.normal(1.0, 0.5, 700)
+    chunks = [
+        (uv[i * 100 : (i + 1) * 100], xv[i * 100 : (i + 1) * 100])
+        for i in range(7)  # 7 chunks, fan_in=3 -> 2 groups + tail of 1
+    ]
+    state0, update, predict = pipeline.make_streaming_extrap_pipeline(
+        3, 1.0, dtype=np.float64
+    )
+    seq = io_stream.ingest_stream(update, state0, iter(chunks))
+    fan = io_stream.ingest_stream(update, state0, iter(chunks), fan_in=3)
+    betas = np.array([0.8, 1.0, 1.2])
+    np.testing.assert_allclose(
+        np.asarray(predict(fan, betas)), np.asarray(predict(seq, betas)), rtol=1e-13
+    )
+
+
+def test_ingest_stream_fan_in_validation():
+    with pytest.raises(ValueError, match="fan_in"):
+        io_stream.ingest_stream(lambda s: s, 0.0, [], fan_in=0)
+
+
+def test_fan_in_group_program_cached_across_calls():
+    # a fresh jax.jit wrapper per ingest_stream call would recompile every
+    # call on a remote compile service — the group program must be reused
+    def update(state, v):
+        return state + v
+
+    assert io_stream._group_program(update) is io_stream._group_program(update)

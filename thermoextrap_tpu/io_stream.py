@@ -18,10 +18,40 @@ from __future__ import annotations
 
 import queue
 import threading
+import weakref
 
 __all__ = ["ingest_stream", "prefetch_chunks", "read_table_chunks"]
 
 _END = ("end", None)
+
+# fan-in group programs, cached per update callable: jit re-traces per group
+# pytree structure (i.e. per fan_in and chunk arity) but a fresh jax.jit
+# wrapper per ingest_stream call would RECOMPILE on every call (~seconds on a
+# remote compile service) — the cache key must outlive the call
+_GROUP_JITS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _group_program(update):
+    import jax
+
+    try:
+        prog = _GROUP_JITS.get(update)
+    except TypeError:  # unweakrefable callable: build fresh (correct, uncached)
+        prog = None
+
+    if prog is None:
+
+        def _update_group(st, group):
+            for ch in group:
+                st = update(st, *ch)
+            return st
+
+        prog = jax.jit(_update_group)
+        try:
+            _GROUP_JITS[update] = prog
+        except TypeError:
+            pass
+    return prog
 
 
 def prefetch_chunks(sources, load=None, depth: int = 2, device=None):
@@ -119,7 +149,9 @@ def read_table_chunks(paths, usecols=None, columns=None, depth: int = 2, device=
     return prefetch_chunks(paths, load=_load, depth=depth, device=device)
 
 
-def ingest_stream(update, state, chunks, depth: int = 2, load=None, device=None):
+def ingest_stream(
+    update, state, chunks, depth: int = 2, load=None, device=None, fan_in: int = 1
+):
     """Fold a streaming-pipeline ``update`` over a prefetched chunk stream.
 
     ``update(state, *chunk) -> state`` (chunks that are tuples/lists are
@@ -132,14 +164,43 @@ def ingest_stream(update, state, chunks, depth: int = 2, load=None, device=None)
     them here) or an already-prefetched iterator such as
     :func:`read_table_chunks` — with no ``load``/``device`` the stream is
     consumed directly rather than wrapped in a second prefetch layer.
+
+    ``fan_in > 1`` folds that many chunks per jitted dispatch (the inner
+    ``update`` traces inline into one compiled program over a tuple of
+    chunk buffers).  On a remote-dispatch backend each call pays a fixed
+    ~5-25 ms tunnel overhead, which dominates small-chunk streams
+    (BENCH_PIPELINE.json ``streaming_update``: 26 ms apparent per 12.5M
+    f32 chunk vs ~1.6 ms of device time); fan-in divides that overhead by
+    ``fan_in``.  Chunk shapes must repeat for the group program to compile
+    once (one compile per distinct shape combination); the leftover tail
+    (< ``fan_in`` chunks) reuses the single-chunk path.  The group program
+    is cached per ``update`` callable (module-level, weakly keyed), so
+    repeated ``ingest_stream`` calls with the same ``update`` reuse one
+    compiled program; ``update`` must be jax-traceable when ``fan_in > 1``.
     """
+    if fan_in < 1:
+        msg = f"fan_in must be >= 1; got {fan_in}"
+        raise ValueError(msg)
     if load is None and device is None:
         stream = chunks
     else:
         stream = prefetch_chunks(chunks, load=load, depth=depth, device=device)
+    if fan_in == 1:
+        for chunk in stream:
+            if isinstance(chunk, (tuple, list)):
+                state = update(state, *chunk)
+            else:
+                state = update(state, chunk)
+        return state
+
+    _update_group = _group_program(update)
+
+    buf: list[tuple] = []
     for chunk in stream:
-        if isinstance(chunk, (tuple, list)):
-            state = update(state, *chunk)
-        else:
-            state = update(state, chunk)
+        buf.append(tuple(chunk) if isinstance(chunk, (tuple, list)) else (chunk,))
+        if len(buf) == fan_in:
+            state = _update_group(state, tuple(buf))
+            buf.clear()
+    for ch in buf:
+        state = update(state, *ch)
     return state
