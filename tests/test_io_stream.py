@@ -191,3 +191,21 @@ def test_fan_in_group_program_cached_across_calls():
         return state + v
 
     assert io_stream._group_program(update) is io_stream._group_program(update)
+
+
+def test_fan_in_group_program_entry_collectable():
+    # the cached program must not strong-ref its key: a WeakKeyDictionary
+    # value referencing the key pins the entry forever (leaked compiled
+    # programs for ephemeral pipeline update closures)
+    import gc
+    import weakref
+
+    def update(state, v):
+        return state + v
+
+    out = io_stream.ingest_stream(update, 0.0, [(1.0,), (2.0,), (3.0,)], fan_in=2)
+    assert float(out) == 6.0
+    ref = weakref.ref(update)
+    del update
+    gc.collect()
+    assert ref() is None

@@ -34,12 +34,41 @@ _GROUP_JITS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 def _group_program(update):
     import jax
 
+    cacheable = True
     try:
         prog = _GROUP_JITS.get(update)
     except TypeError:  # unweakrefable callable: build fresh (correct, uncached)
         prog = None
+        cacheable = False
 
-    if prog is None:
+    if prog is not None:
+        return prog
+
+    if cacheable:
+        try:
+            uref = weakref.ref(update)
+        except TypeError:
+            cacheable = False
+
+    if cacheable:
+        # the closure must NOT strong-ref `update`: the cached program is
+        # the WeakKeyDictionary VALUE, and a value referencing its key pins
+        # the entry forever (ephemeral pipeline closures would leak their
+        # compiled programs).  The caller holds `update` for the duration
+        # of every call, so the weakref is always live when tracing runs;
+        # once the caller drops it, entry + program are collected together.
+        def _update_group(st, group):
+            u = uref()
+            if u is None:  # pragma: no cover - caller always holds update
+                msg = "ingest_stream update callable was garbage-collected"
+                raise RuntimeError(msg)
+            for ch in group:
+                st = u(st, *ch)
+            return st
+
+        prog = jax.jit(_update_group)
+        _GROUP_JITS[update] = prog
+    else:
 
         def _update_group(st, group):
             for ch in group:
@@ -47,10 +76,6 @@ def _group_program(update):
             return st
 
         prog = jax.jit(_update_group)
-        try:
-            _GROUP_JITS[update] = prog
-        except TypeError:
-            pass
     return prog
 
 
