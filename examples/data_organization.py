@@ -107,6 +107,22 @@ def main() -> None:
     d_u = DataCentralMoments.from_vals(None, u, order=order)
     print(f"{'x_is_u':>18}: <u>={float(np.asarray(d_u.uave)):.6f}")
 
+    # 10. migrating labeled (xarray-style) arrays: axes are matched by dim
+    # NAME, any order (the reference's dims contract); works with real
+    # xarray.DataArrays or the dependency-free LabeledArray
+    from thermoextrap_tpu.compat import LabeledArray, from_labeled
+
+    d_lab = from_labeled(
+        LabeledArray(u, ("rec",)),
+        LabeledArray(x[:, None].T, ("val", "rec")),  # transposed on purpose
+        order=order,
+        central=True,
+    )
+    print(
+        f"{'labeled dims':>18}: <x>={float(np.asarray(d_lab.xave)[0]):.6f} "
+        f"(transposed (val, rec) input, fixed by name)"
+    )
+
 
 if __name__ == "__main__":
     main()

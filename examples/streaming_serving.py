@@ -98,6 +98,21 @@ def main() -> None:
     )
     print("checkpoint/restore round-trip: exact")
 
+    # ---- async checkpointing while ingest continues: the orbax adapter
+    # snapshots the state and serializes on a worker; for mesh-sharded
+    # states every leaf is written from the devices that own it
+    from thermoextrap_tpu.utils import checkpoint as ck
+
+    with tempfile.TemporaryDirectory() as td, ck.AsyncPytreeSaver() as saver:
+        saver.save(Path(td) / "async_ckpt", state)
+        # ... producer keeps folding chunks here while the write runs ...
+        saver.wait()
+        restored = ck.restore_pytree(Path(td) / "async_ckpt", state)
+    np.testing.assert_array_equal(
+        np.asarray(predict(restored, betas)), got
+    )
+    print("async orbax checkpoint round-trip: exact")
+
     # ---- streaming a macrostate grid (lnPi): each chunk carries the whole
     # grid's new energy samples; the state pools elementwise per macrostate
     n_grid, r_chunk = (12, 2_000) if SMOKE else (256, 1 << 18)
