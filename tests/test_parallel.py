@@ -123,6 +123,17 @@ def test_poisson_bootstrap_interpret(rng_np):
     np.testing.assert_allclose(np.asarray(du[0]), 1.0)
     np.testing.assert_allclose(np.asarray(du[1]), 0.0, atol=1e-12)
 
+    # return_wsum: identical moments plus the per-replicate total weight
+    # (the streaming accumulator's merge weight); Poisson(1) total ~ R
+    xw, uw, duw, dxduw, wsum = resample_central_comoments_poisson(
+        u, x, nrep, order, seed=3, interpret=True, return_wsum=True
+    )
+    np.testing.assert_array_equal(np.asarray(xw), np.asarray(xave))
+    np.testing.assert_array_equal(np.asarray(duw), np.asarray(du))
+    assert wsum.shape == (nrep,)
+    w = np.asarray(wsum)
+    assert np.all(np.abs(w - R) < 6 * np.sqrt(R)), w
+
 
 def test_batched_umoments_interpret(rng_np):
     """Batched u-moment kernel (lnPi macrostate layout) vs the XLA two-pass
@@ -676,6 +687,20 @@ def test_poisson_umoments_batched_interpret(rng_np):
     )
     # replicate scatter is plausibly positive (not degenerate)
     assert uave[:, 0].std() > 1e-4
+
+    # return_wsum: identical moments plus the per-replicate resampled
+    # weight (the streaming lnPi accumulator's merge weight), Poisson(1)
+    # total ~ R and shared across the grid rows
+    uw, duw, wsum = resample_central_umoments_batched_poisson(
+        u, nrep, order, seed=7, interpret=True, return_wsum=True
+    )
+    np.testing.assert_array_equal(np.asarray(uw), uave)
+    np.testing.assert_array_equal(np.asarray(duw), du)
+    assert wsum.shape == (nrep, nbatch)
+    w = np.asarray(wsum)
+    for b in range(1, nbatch):
+        np.testing.assert_allclose(w[:, b], w[:, 0], rtol=1e-7)
+    assert np.all(np.abs(w[:, 0] - R) < 6 * np.sqrt(R)), w[:, 0]
 
 
 def test_bf16_bootstrap_interpret(rng_np):

@@ -558,3 +558,250 @@ def test_streaming_interp_pipeline_matches_one_shot(vals):
 
     with pytest.raises(ValueError, match=">= 2 reference states"):
         make_streaming_interp_pipeline(4, [1.0])
+
+
+class TestStreamingBootstrap:
+    """make_streaming_extrap_pipeline(nrep=): per-chunk Poisson replicate
+    folding must equal the one-shot bootstrap over the SAME frequency
+    table (the per-chunk draws concatenated)."""
+
+    def _pipeline(self, **kws):
+        from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+        return make_streaming_extrap_pipeline(
+            3, 1.0, val_shape=(2,), dtype=jnp.float64, nrep=16, seed=11, **kws
+        )
+
+    def _chunks(self, rng, n=4, c=250):
+        uv = rng.normal(5.0, 1.0, n * c)
+        xv = rng.normal(2.0, 0.5, (n * c, 2))
+        return uv, xv, [
+            (uv[i * c : (i + 1) * c], xv[i * c : (i + 1) * c]) for i in range(n)
+        ]
+
+    def test_streamed_ci_equals_oneshot_same_freq(self, rng_np):
+        from thermoextrap_tpu.models.derivatives import central_x_ave_coefs
+        from thermoextrap_tpu.models.extrap import _poly_eval
+        from thermoextrap_tpu.ops.resample import resample_central_comoments
+
+        uv, xv, chunks = self._chunks(rng_np)
+        state, update, predict = self._pipeline()
+        for c in chunks:
+            state = update(state, *c)
+        betas = np.array([0.8, 1.0, 1.2])
+        pred, std = predict(state, betas)
+
+        # reconstruct the per-chunk Poisson tables the CPU path drew
+        freqs = [
+            jax.random.poisson(
+                jax.random.fold_in(jax.random.key(11), step),
+                1.0,
+                (16, len(ch[0])),
+                dtype=jnp.int32,
+            )
+            for step, ch in enumerate(chunks)
+        ]
+        freq_full = jnp.concatenate(freqs, axis=1)
+        bx, _bu, bdu, bdxdu = resample_central_comoments(
+            uv, xv, freq_full, 3
+        )
+        bpred = _poly_eval(
+            central_x_ave_coefs(bx, bdu[:, :, None], bdxdu, 3),
+            betas - 1.0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(std), np.asarray(bpred.std(axis=1)), rtol=1e-9
+        )
+        # the mean leg is untouched by the replicate machinery
+        from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+        st_m, up_m, pr_m = make_streaming_extrap_pipeline(
+            3, 1.0, val_shape=(2,), dtype=jnp.float64
+        )
+        for c in chunks:
+            st_m = up_m(st_m, *c)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(pr_m(st_m, betas)), rtol=1e-13
+        )
+
+    def test_zero_weight_chunk_is_noop(self, rng_np):
+        uv, xv, chunks = self._chunks(rng_np, n=2)
+        state, update, predict = self._pipeline()
+        state = update(state, *chunks[0])
+        betas = np.array([0.9, 1.1])
+        before = [np.asarray(a) for a in predict(state, betas)]
+        state2 = update(state, *chunks[1], weight=np.zeros(len(chunks[1][0])))
+        after = [np.asarray(a) for a in predict(state2, betas)]
+        for b, a in zip(before, after):
+            np.testing.assert_allclose(a, b, rtol=1e-12)
+
+    def test_mesh_matches_unmeshed(self, rng_np):
+        from thermoextrap_tpu.parallel import make_mesh, shard_rec
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh8 = make_mesh(8, axis_names=("rep", "rec"))
+        uv, xv, chunks = self._chunks(rng_np, n=2, c=256)
+        s_cpu, up_cpu, pr_cpu = self._pipeline()
+        s_m, up_m, pr_m = self._pipeline(mesh=mesh8)
+        for c in chunks:
+            s_cpu = up_cpu(s_cpu, *c)
+            s_m = up_m(s_m, shard_rec(c[0], mesh8), shard_rec(c[1], mesh8))
+        betas = np.array([0.85, 1.15])
+        for a, b in zip(pr_cpu(s_cpu, betas), pr_m(s_m, betas)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+            )
+
+    def test_ci_tracks_oneshot_pipeline_ci(self, rng_np):
+        # statistical sanity: the streamed Poisson CI lands within a loose
+        # factor of the one-shot pipeline's bootstrap CI (different draws)
+        from thermoextrap_tpu.pipeline import make_extrap_pipeline
+
+        rng = np.random.default_rng(23)
+        uv = rng.normal(5.0, 1.0, 4000)
+        xv = rng.normal(2.0, 0.5, (4000, 1))
+        from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+        state, update, predict = make_streaming_extrap_pipeline(
+            2, 1.0, val_shape=(1,), dtype=jnp.float64, nrep=64, seed=3
+        )
+        for i in range(4):
+            state = update(state, uv[i * 1000 : (i + 1) * 1000], xv[i * 1000 : (i + 1) * 1000])
+        betas = np.array([0.9, 1.0, 1.1])
+        _pred, std = predict(state, betas)
+        run = make_extrap_pipeline(2, 1.0, nrep=64)
+        _p1, std1 = run(uv, xv, betas, seed=5)
+        ratio = np.asarray(std) / np.asarray(std1)
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0), ratio
+
+    def test_ingest_stream_fan_in_tuple_state(self, rng_np):
+        from thermoextrap_tpu import io_stream
+
+        uv, xv, chunks = self._chunks(rng_np)
+        state0, update, predict = self._pipeline()
+        direct = state0
+        for c in chunks:
+            direct = update(direct, *c)
+        fanned = io_stream.ingest_stream(update, state0, iter(chunks), fan_in=2)
+        betas = np.array([0.8, 1.2])
+        for a, b in zip(predict(direct, betas), predict(fanned, betas)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+
+
+class TestStreamingLnpiBootstrap:
+    """make_streaming_lnpi_pipeline(nrep=): per-chunk Poisson replicate
+    folding over the macrostate grid must equal the one-shot batched
+    bootstrap over the SAME frequency table (freqs shared across the grid:
+    replicates resample whole configurations, reference lnpi.py:258-286)."""
+
+    ORDER, G, NREP, SEED = 3, 5, 24, 13
+
+    def _pipeline(self, **kws):
+        from thermoextrap_tpu.pipeline import make_streaming_lnpi_pipeline
+
+        return make_streaming_lnpi_pipeline(
+            self.ORDER, 1.0, grid_shape=(self.G,), dtype=jnp.float64,
+            nrep=self.NREP, seed=self.SEED, **kws
+        )
+
+    def _data(self, rng, n=3, c=400):
+        uv = rng.normal(2.0, 0.4, (self.G, n * c)) + np.linspace(
+            0.0, 1.0, self.G
+        )[:, None]
+        lnpi0 = rng.normal(0.0, 1.0, self.G)
+        mudotn = np.linspace(0.0, 4.0, self.G)
+        chunks = [uv[:, i * c : (i + 1) * c] for i in range(n)]
+        return uv, lnpi0, mudotn, chunks
+
+    def test_streamed_ci_equals_oneshot_same_freq(self, rng_np):
+        from thermoextrap_tpu.models.derivatives import (
+            central_u_ave_coefs,
+            lnpi_coefs,
+        )
+        from thermoextrap_tpu.models.extrap import _poly_eval
+        from thermoextrap_tpu.ops.resample import (
+            resample_central_umoments_batched,
+        )
+
+        uv, lnpi0, mudotn, chunks = self._data(rng_np)
+        state, update, predict = self._pipeline()
+        for c in chunks:
+            state = update(state, c)
+        betas = np.array([0.9, 1.0, 1.15])
+        pred, std = predict(state, lnpi0, mudotn, betas)
+
+        # reconstruct the per-chunk Poisson tables the CPU path drew
+        freq = jnp.concatenate(
+            [
+                jax.random.poisson(
+                    jax.random.fold_in(jax.random.key(self.SEED), s),
+                    1.0,
+                    (self.NREP, c.shape[-1]),
+                    dtype=jnp.int32,
+                )
+                for s, c in enumerate(chunks)
+            ],
+            axis=1,
+        )
+        bu, bdu = resample_central_umoments_batched(uv, freq, self.ORDER)
+        c = lnpi_coefs(
+            central_u_ave_coefs(bu, bdu, self.ORDER - 1),
+            jnp.asarray(lnpi0)[None],
+            jnp.asarray(mudotn)[None],
+            self.ORDER,
+        )
+        bpred = _poly_eval(c, betas - 1.0)
+        np.testing.assert_allclose(
+            np.asarray(std), np.asarray(bpred.std(axis=1)), rtol=1e-9
+        )
+
+        # the mean leg is untouched by the replicate machinery
+        from thermoextrap_tpu.pipeline import make_streaming_lnpi_pipeline
+
+        s0, up0, pr0 = make_streaming_lnpi_pipeline(
+            self.ORDER, 1.0, grid_shape=(self.G,), dtype=jnp.float64
+        )
+        for ch in chunks:
+            s0 = up0(s0, ch)
+        np.testing.assert_allclose(
+            np.asarray(pred),
+            np.asarray(pr0(s0, lnpi0, mudotn, betas)),
+            rtol=1e-13,
+        )
+
+    def test_mesh_matches_unmeshed(self, rng_np):
+        from thermoextrap_tpu.parallel import make_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh8 = make_mesh(8, axis_names=("rep", "rec"))
+        uv, lnpi0, mudotn, chunks = self._data(rng_np, n=2, c=512)
+        s_cpu, up_cpu, pr_cpu = self._pipeline()
+        s_m, up_m, pr_m = self._pipeline(mesh=mesh8)
+        for c in chunks:
+            s_cpu = up_cpu(s_cpu, c)
+            s_m = up_m(s_m, c)
+        betas = np.array([0.85, 1.1])
+        for a, b in zip(
+            pr_cpu(s_cpu, lnpi0, mudotn, betas),
+            pr_m(s_m, lnpi0, mudotn, betas),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-9, atol=1e-12
+            )
+
+    def test_ci_tracks_oneshot_pipeline_ci(self, rng_np):
+        # statistical sanity vs the one-shot pipeline's CI (different draws)
+        from thermoextrap_tpu.pipeline import make_lnpi_pipeline
+
+        uv, lnpi0, mudotn, chunks = self._data(rng_np, n=4, c=500)
+        state, update, predict = self._pipeline()
+        for c in chunks:
+            state = update(state, c)
+        betas = np.array([0.9, 1.1])
+        _pred, std = predict(state, lnpi0, mudotn, betas)
+        run = make_lnpi_pipeline(self.ORDER, 1.0, nrep=64)
+        _p1, std1 = run(uv, lnpi0, mudotn, betas, seed=5)
+        ratio = np.asarray(std) / np.asarray(std1)
+        assert np.all(ratio > 0.4) and np.all(ratio < 2.5), ratio

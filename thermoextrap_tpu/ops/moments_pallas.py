@@ -792,7 +792,9 @@ def resample_central_comoments_fused(
     )
 
 
-def _resample_epilogue(sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape):
+def _resample_epilogue(
+    sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape, return_wsum=False
+):
     """Per-replicate shifted raw sums -> exact central comoments."""
     # contribution rows are v-major: row k*(order+1)+n
     sum_xu = jnp.moveaxis(
@@ -811,6 +813,14 @@ def _resample_epilogue(sum_u, sum_xu, s_u, s_x, nrep, order, v, val_shape):
     dxdu = x_du - c[0][None] * du[:, :, None]
     du = du.at[0].set(1.0).at[1].set(0.0)
     dxdu = dxdu.at[0].set(0.0).reshape((order + 1, nrep, *val_shape))
+    if return_wsum:
+        # per-replicate total resampled weight (n=0 raw power sum) — the
+        # pooling weight a streaming accumulator needs to merge this
+        # chunk's replicates exactly (pipeline.make_streaming_extrap_
+        # pipeline(nrep=)).  A zero row (possible with Poisson freqs)
+        # emits NaN stats above; the moment merge masks zero-weight
+        # members (ops/convert.merge_central_comoments).
+        return xave, uave, du, dxdu, wsum[:, 0]
     return xave, uave, du, dxdu
 
 
@@ -976,7 +986,7 @@ def _poisson_resample_kernel(
     out_xu_ref[:] += accT[:, order + 1 :]
 
 
-@_interpret_eager_jit("nrep", "order", "rep_block", "interpret")
+@_interpret_eager_jit("nrep", "order", "rep_block", "return_wsum", "interpret")
 def resample_central_comoments_poisson(
     uv,
     xv,
@@ -986,13 +996,18 @@ def resample_central_comoments_poisson(
     *,
     seed: int = 0,
     rep_block: int = 128,
+    return_wsum: bool = False,
     interpret: bool = False,
 ):
     r"""Poisson bootstrap entirely on-chip: per-replicate central comoments
     with the frequency table generated from the Pallas PRNG inside the
     kernel.  Scales to huge ``R`` (the ``(nrep, R)`` table never exists).
 
-    Same return contract as :func:`resample_central_comoments_fused`.
+    Same return contract as :func:`resample_central_comoments_fused`;
+    ``return_wsum=True`` appends the per-replicate total resampled weight
+    ``wsum (nrep,)`` (the in-kernel frequencies never exist in HBM, so the
+    streaming accumulator cannot recover it otherwise).  ``seed`` may be a
+    traced int32 scalar (streaming pipelines derive one per chunk).
     bfloat16 sample streams (both ``uv`` and ``xv``) halve HBM traffic —
     and this kernel's only HBM traffic IS the sample stream.
     """
@@ -1062,7 +1077,8 @@ def resample_central_comoments_poisson(
     )(*operands)
 
     return _resample_epilogue(
-        out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape
+        out_u[:nrep], out_xu[:nrep], s_u, s_x, nrep, order, v, val_shape,
+        return_wsum=return_wsum,
     )
 
 
@@ -1124,7 +1140,7 @@ def _poisson_resample_u_batched_kernel(
     out_ref[0] += acc.T
 
 
-@_interpret_eager_jit("nrep", "order", "rep_block", "interpret")
+@_interpret_eager_jit("nrep", "order", "rep_block", "return_wsum", "interpret")
 def resample_central_umoments_batched_poisson(
     uv,
     nrep: int,
@@ -1133,6 +1149,7 @@ def resample_central_umoments_batched_poisson(
     *,
     seed: int = 0,
     rep_block: int = 128,
+    return_wsum: bool = False,
     interpret: bool = False,
 ):
     r"""On-chip Poisson bootstrap of BATCHED central u-moments (the lnΠ
@@ -1142,6 +1159,11 @@ def resample_central_umoments_batched_poisson(
 
     ``uv (*batch, R)`` → ``(uave (nrep, *batch), du (order+1, nrep,
     *batch))``, matching :func:`ops.resample.resample_central_umoments_batched`.
+    ``return_wsum=True`` appends the per-replicate resampled weight
+    ``wsum (nrep, *batch)`` (the raw n=0 power sum — the pooling weight a
+    streaming accumulator needs; the in-kernel frequencies never exist in
+    HBM, so it cannot be recovered otherwise).  ``seed`` may be a traced
+    int32 scalar (streaming pipelines derive one per chunk).
     """
     uv = jnp.asarray(uv)
     if uv.dtype != jnp.bfloat16:
@@ -1213,10 +1235,15 @@ def resample_central_umoments_batched_poisson(
     uave_r = (m[1] + s_u[:, None]).T  # (nrep, nbatch)
     du_r = shift_raw_moments(m, m[1])  # (order+1, nbatch, nrep)
     du_r = jnp.swapaxes(du_r, 1, 2).at[0].set(1.0).at[1].set(0.0)
-    return (
+    ret = (
         uave_r.reshape((nrep, *batch_shape)),
         du_r.reshape((order + 1, nrep, *batch_shape)),
     )
+    if return_wsum:
+        # a zero replicate row (possible with Poisson freqs) emits NaN
+        # stats above; the streaming merge masks zero-weight members
+        return (*ret, sums[0].T.reshape((nrep, *batch_shape)))
+    return ret
 
 
 # ---------------------------------------------------------------------------

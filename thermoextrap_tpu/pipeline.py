@@ -195,6 +195,8 @@ def make_streaming_extrap_pipeline(
     dtype=jnp.float32,
     bf16: bool = False,
     mesh=None,
+    nrep: int = 0,
+    seed: int = 0,
 ):
     r"""Streaming variant of :func:`make_extrap_pipeline`: accumulate sample
     chunks online as a simulation runs, predict at any time — without
@@ -227,12 +229,27 @@ def make_streaming_extrap_pipeline(
         (``parallel/sharded.py``) before the exact merge — shard chunks
         with :func:`parallel.shard_rec`.  The tiny accumulator state stays
         replicated.
+    nrep : if > 0, the state additionally carries ``nrep`` Poisson-
+        bootstrap replicate accumulators and ``predict`` returns
+        ``(pred, std)``.  Each chunk is folded into every replicate with
+        independent Poisson(1) frequencies — chunk-wise independent
+        Poisson draws ARE one valid Poisson bootstrap of the whole stream
+        (per-sample independence), so the CI converges to the one-shot
+        bootstrap regardless of chunking; the realized replicate draws
+        (not their distribution) depend on the chunk boundaries.  On an
+        accelerator the frequencies come from the in-kernel PRNG (no
+        ``(nrep, chunk)`` table in HBM); on CPU / under ``mesh`` from a
+        ``jax.random.poisson`` table keyed on ``(seed, chunk index)``.
+        Replicate state memory is ``nrep * (order+2) * prod(val_shape)``
+        floats — negligible.
+    seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
 
     Returns
     -------
     ``(state0, update, predict)`` — ``state0`` the empty accumulator,
     ``update(state, uv, xv, weight=None) -> state`` (jitted),
-    ``predict(state, betas) -> (A, *val_shape)`` (jitted).
+    ``predict(state, betas) -> (A, *val_shape)`` (jitted), or
+    ``-> (pred, std)`` when ``nrep > 0``.
 
     Examples
     --------
@@ -244,11 +261,93 @@ def make_streaming_extrap_pipeline(
     5.0
     """
     from .data import DataCentralMoments
+    from .utils.trees import replace
 
-    use_bf16 = bf16 and jax.default_backend() != "cpu" and mesh is None
+    on_accel = jax.default_backend() != "cpu"
+    use_bf16 = bf16 and on_accel and mesh is None
     val_shape = tuple(val_shape)
+    pad = (1,) * len(val_shape)
 
-    state0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
+    mean0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
+    if nrep:
+        rep0 = DataCentralMoments.zeros(
+            order, batch_shape=(nrep,), val_shape=val_shape, dtype=dtype
+        )
+        state0 = (mean0, rep0, jnp.zeros((), jnp.int32))
+    else:
+        state0 = mean0
+
+    def _mean_update(state, uv, xv, weight):
+        if mesh is None:
+            return state.push_vals(xv, uv, weight=weight)
+        from .parallel import reduce_central_comoments_sharded
+
+        xave, uave, du, dxdu = reduce_central_comoments_sharded(
+            uv, xv.reshape(uv.shape[0], -1), order, mesh, weight=weight
+        )
+        wsum = (
+            jnp.asarray(float(uv.shape[0]), du.dtype)
+            if weight is None
+            else jnp.sum(jnp.asarray(weight))
+        )
+        chunk_state = replace(
+            state,
+            xave=xave.reshape(val_shape),
+            uave=uave,
+            du=du.reshape((order + 1, *pad)),
+            dxdu=dxdu.reshape((order + 1, *val_shape)),
+            wsum=wsum,
+        )
+        return state.merge(chunk_state)
+
+    def _rep_update(rep, step, uv, xflat, weight):
+        # fold this chunk into every bootstrap replicate with independent
+        # Poisson(1) frequencies: per-sample independence makes chunk-wise
+        # draws a valid Poisson bootstrap of the whole stream
+        if on_accel and mesh is None:
+            from .ops.moments_pallas import resample_central_comoments_poisson
+
+            # distinct in-kernel PRNG seed per chunk (Knuth multiplicative
+            # mix of the step counter; int32 wraparound is well-defined)
+            chunk_seed = jnp.asarray(seed, jnp.int32) + step * jnp.int32(
+                -1640531527
+            )
+            bx, _bu, bdu, bdxdu, bwsum = resample_central_comoments_poisson(
+                uv, xflat, nrep, order, weight=weight,
+                seed=chunk_seed, return_wsum=True,
+            )
+        else:
+            key = jax.random.fold_in(jax.random.key(seed), step)
+            freq = jax.random.poisson(
+                key, 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+            )
+            if mesh is not None:
+                from .parallel import resample_central_comoments_sharded
+
+                bx, _bu, bdu, bdxdu = resample_central_comoments_sharded(
+                    uv, xflat, freq, order, mesh, weight=weight
+                )
+            else:
+                from .ops.resample import resample_central_comoments
+
+                bx, _bu, bdu, bdxdu = resample_central_comoments(
+                    uv, xflat, freq, order, weight=weight
+                )
+            fw = freq.astype(rep.wsum.dtype)
+            if weight is not None:
+                fw = fw * jnp.asarray(weight, fw.dtype)[None, :]
+            bwsum = fw.sum(axis=1)
+        chunk_rep = replace(
+            rep,
+            xave=bx.reshape(nrep, *val_shape),
+            uave=_bu,
+            du=bdu.reshape((order + 1, nrep, *pad)),
+            dxdu=bdxdu.reshape((order + 1, nrep, *val_shape)),
+            wsum=bwsum.astype(rep.wsum.dtype),
+        )
+        # a zero-weight replicate row (possible with Poisson freqs) carries
+        # NaN/degenerate stats; the merge masks zero-weight members
+        return rep.merge(chunk_rep)
 
     @jax.jit
     def update(state, uv, xv, weight=None):
@@ -257,42 +356,37 @@ def make_streaming_extrap_pipeline(
         if use_bf16:
             uv = uv.astype(jnp.bfloat16)
             xv = xv.astype(jnp.bfloat16)
-        if mesh is None:
-            chunk = state.push_vals(xv, uv, weight=weight)
+        if nrep:
+            mean_s, rep_s, step = state
+            new = (
+                _mean_update(mean_s, uv, xv, weight),
+                _rep_update(rep_s, step, uv, xv.reshape(uv.shape[0], -1), weight),
+                step + 1,
+            )
         else:
-            from .parallel import reduce_central_comoments_sharded
-            from .utils.trees import replace
-
-            xave, uave, du, dxdu = reduce_central_comoments_sharded(
-                uv, xv.reshape(uv.shape[0], -1), order, mesh, weight=weight
-            )
-            wsum = (
-                jnp.asarray(float(uv.shape[0]), du.dtype)
-                if weight is None
-                else jnp.sum(jnp.asarray(weight))
-            )
-            chunk_state = replace(
-                state,
-                xave=xave.reshape(val_shape),
-                uave=uave,
-                du=du.reshape((order + 1,) + (1,) * len(val_shape)),
-                dxdu=dxdu.reshape((order + 1, *val_shape)),
-                wsum=wsum,
-            )
-            chunk = state.merge(chunk_state)
+            new = _mean_update(state, uv, xv, weight)
         # keep the carried state in the accumulator dtype regardless of the
         # chunk stream dtype, so repeated updates never change structure
         return jax.tree.map(
-            lambda new, old: new.astype(old.dtype), chunk, state
+            lambda new_leaf, old: new_leaf.astype(old.dtype), new, state
         )
+
+    def _coefs(xave, du, dxdu):
+        c = central_x_ave_coefs(xave, du, dxdu, order)
+        return series_neg_log(c) if minus_log else c
 
     @jax.jit
     def predict(state, betas):
         betas = jnp.atleast_1d(jnp.asarray(betas))
-        c = central_x_ave_coefs(state.xave, state.du, state.dxdu, order)
-        if minus_log:
-            c = series_neg_log(c)
-        return _poly_eval(c, betas - beta0)
+        dalpha = betas - beta0
+        if not nrep:
+            return _poly_eval(
+                _coefs(state.xave, state.du, state.dxdu), dalpha
+            )
+        mean_s, rep_s, _step = state
+        pred = _poly_eval(_coefs(mean_s.xave, mean_s.du, mean_s.dxdu), dalpha)
+        bpred = _poly_eval(_coefs(rep_s.xave, rep_s.du, rep_s.dxdu), dalpha)
+        return pred, bpred.std(axis=1)
 
     return state0, update, predict
 
@@ -304,6 +398,8 @@ def make_streaming_lnpi_pipeline(
     grid_shape: tuple[int, ...],
     dtype=jnp.float32,
     mesh=None,
+    nrep: int = 0,
+    seed: int = 0,
 ):
     r"""Streaming variant of :func:`make_lnpi_pipeline`: accumulate
     macrostate-grid energy-sample chunks online, predict lnΠ at any time.
@@ -323,12 +419,24 @@ def make_streaming_lnpi_pipeline(
     mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis — chunk
         reductions run psum-merged over devices; shard chunks on their
         LAST (rec) axis.
+    nrep : if > 0, the state additionally carries ``nrep`` Poisson-
+        bootstrap replicate grid accumulators and ``predict`` returns
+        ``(pred, std)`` — the streaming analogue of
+        :func:`make_lnpi_pipeline` ``nrep=`` (chunk-wise independent
+        Poisson draws are a valid Poisson bootstrap of the whole stream;
+        frequencies SHARED across the grid: replicates resample whole
+        configurations, reference lnpi.py:258-286 semantics).  On an
+        accelerator the frequencies come from the in-kernel PRNG; on
+        CPU / under ``mesh`` from a per-chunk ``jax.random.poisson``
+        table keyed on ``(seed, chunk index)``.
+    seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
 
     Returns
     -------
     ``(state0, update, predict)`` — ``update(state, uv) -> state``
     (``uv (*grid_shape, chunk)``, jitted) and
-    ``predict(state, lnpi0, mudotn, betas) -> (A, *grid_shape)`` (jitted).
+    ``predict(state, lnpi0, mudotn, betas) -> (A, *grid_shape)`` (jitted),
+    or ``-> (pred, std)`` when ``nrep > 0``.
     """
     if order < 1:
         msg = f"lnPi order must be >= 1, got {order}"
@@ -336,43 +444,126 @@ def make_streaming_lnpi_pipeline(
     from .data import DataCentralMoments
     from .utils.trees import replace
 
+    on_accel = jax.default_backend() != "cpu"
     grid_shape = tuple(grid_shape)
-    state0 = DataCentralMoments.zeros(
+    mean0 = DataCentralMoments.zeros(
         order, batch_shape=grid_shape, x_is_u=True, dtype=dtype
     )
+    if nrep:
+        rep0 = DataCentralMoments.zeros(
+            order, batch_shape=(nrep, *grid_shape), x_is_u=True, dtype=dtype
+        )
+        state0 = (mean0, rep0, jnp.zeros((), jnp.int32))
+    else:
+        state0 = mean0
+
+    def _mean_update(state, uv):
+        if mesh is None:
+            return state.push_vals(None, uv)
+        from .parallel import reduce_central_umoments_batched_sharded
+
+        # order+1 moments: the x_is_u state's dxdu is the shift view
+        uave, du_full = reduce_central_umoments_batched_sharded(
+            uv, order + 1, mesh
+        )
+        chunk_state = replace(
+            state,
+            xave=uave,
+            uave=uave,
+            du=du_full[: order + 1],
+            dxdu=du_full[1 : order + 2],
+            wsum=jnp.full(grid_shape, float(uv.shape[-1]), du_full.dtype),
+        )
+        return state.merge(chunk_state)
+
+    def _rep_update(rep, step, uv):
+        # fold this chunk into every replicate; freqs shared across the
+        # grid so each replicate resamples whole configurations
+        if on_accel and mesh is None:
+            from .ops.moments_pallas import (
+                resample_central_umoments_batched_poisson,
+            )
+
+            chunk_seed = jnp.asarray(seed, jnp.int32) + step * jnp.int32(
+                -1640531527
+            )
+            bu, bdu_full, bwsum = resample_central_umoments_batched_poisson(
+                uv, nrep, order + 1, seed=chunk_seed, return_wsum=True
+            )
+        else:
+            key = jax.random.fold_in(jax.random.key(seed), step)
+            freq = jax.random.poisson(
+                key, 1.0, (nrep, uv.shape[-1]), dtype=jnp.int32
+            )
+            if mesh is not None:
+                from .parallel import resample_central_umoments_batched_sharded
+
+                bu, bdu_full = resample_central_umoments_batched_sharded(
+                    uv, freq, order + 1, mesh
+                )
+            else:
+                from .ops.resample import resample_central_umoments_batched
+
+                bu, bdu_full = resample_central_umoments_batched(
+                    uv, freq, order + 1
+                )
+            bwsum = jnp.broadcast_to(
+                freq.sum(axis=1).astype(rep.wsum.dtype).reshape(
+                    (nrep,) + (1,) * len(grid_shape)
+                ),
+                (nrep, *grid_shape),
+            )
+        chunk_rep = replace(
+            rep,
+            xave=bu,
+            uave=bu,
+            du=bdu_full[: order + 1],
+            dxdu=bdu_full[1 : order + 2],
+            wsum=bwsum.astype(rep.wsum.dtype),
+        )
+        # a zero-weight replicate row carries NaN stats; the merge masks
+        # zero-weight members (ops/convert.merge_central_comoments)
+        return rep.merge(chunk_rep)
 
     @jax.jit
     def update(state, uv):
         uv = jnp.asarray(uv)
-        if mesh is None:
-            chunk = state.push_vals(None, uv)
+        if nrep:
+            mean_s, rep_s, step = state
+            new = (
+                _mean_update(mean_s, uv),
+                _rep_update(rep_s, step, uv),
+                step + 1,
+            )
         else:
-            from .parallel import reduce_central_umoments_batched_sharded
-
-            # order+1 moments: the x_is_u state's dxdu is the shift view
-            uave, du_full = reduce_central_umoments_batched_sharded(
-                uv, order + 1, mesh
-            )
-            chunk_state = replace(
-                state,
-                xave=uave,
-                uave=uave,
-                du=du_full[: order + 1],
-                dxdu=du_full[1 : order + 2],
-                wsum=jnp.full(grid_shape, float(uv.shape[-1]), du_full.dtype),
-            )
-            chunk = state.merge(chunk_state)
+            new = _mean_update(state, uv)
         return jax.tree.map(
-            lambda new, old: new.astype(old.dtype), chunk, state
+            lambda new_leaf, old: new_leaf.astype(old.dtype), new, state
         )
+
+    def _coefs(uave, du, lnpi0, mudotn):
+        u_c = central_u_ave_coefs(uave, du, order - 1)
+        return lnpi_coefs(u_c, lnpi0, mudotn, order)
 
     @jax.jit
     def predict(state, lnpi0, mudotn, betas):
+        lnpi0 = jnp.asarray(lnpi0)
+        mudotn = jnp.asarray(mudotn)
         betas = jnp.atleast_1d(jnp.asarray(betas))
-        du = state.du.reshape((order + 1, *grid_shape))
-        u_c = central_u_ave_coefs(state.uave, du, order - 1)
-        coefs = lnpi_coefs(u_c, jnp.asarray(lnpi0), jnp.asarray(mudotn), order)
-        return _poly_eval(coefs, betas - beta0)
+        dalpha = betas - beta0
+        if not nrep:
+            du = state.du.reshape((order + 1, *grid_shape))
+            return _poly_eval(
+                _coefs(state.uave, du, lnpi0, mudotn), dalpha
+            )
+        mean_s, rep_s, _step = state
+        du = mean_s.du.reshape((order + 1, *grid_shape))
+        pred = _poly_eval(_coefs(mean_s.uave, du, lnpi0, mudotn), dalpha)
+        bdu = rep_s.du.reshape((order + 1, nrep, *grid_shape))
+        bpred = _poly_eval(
+            _coefs(rep_s.uave, bdu, lnpi0[None], mudotn[None]), dalpha
+        )
+        return pred, bpred.std(axis=1)
 
     return state0, update, predict
 
