@@ -148,6 +148,25 @@ def main() -> None:
     )
     assert gerr < 1e-3  # f32 associativity on lnPi magnitudes
 
+    # ---- streaming uncertainty: nrep Poisson-bootstrap replicate
+    # accumulators ride in the state (in-kernel PRNG frequencies on the
+    # TPU — no (nrep, chunk) table ever exists); predict returns
+    # (pred, std) at any point in the stream
+    c_state, c_update, c_predict = make_streaming_extrap_pipeline(
+        order, beta0, nrep=64, seed=17
+    )
+    for i in range(n_chunks):
+        c_state = c_update(c_state, us[i], xs[i])
+    c_pred, c_std = (np.asarray(a) for a in c_predict(c_state, betas))
+    # CI sanity: the analytic answer sits within a few streamed sigmas
+    z = np.abs(c_pred - exact) / c_std
+    print(
+        f"streamed bootstrap CI (nrep=64): std range "
+        f"[{c_std.min():.2e}, {c_std.max():.2e}], max |z| = {z.max():.1f}"
+    )
+    np.testing.assert_allclose(c_pred, got, rtol=1e-6)  # mean leg untouched
+    assert np.all(c_std > 0)
+
     # ---- file-fed ingest with the prefetching loader: trajectory chunks
     # are parsed (C++ loader) and staged on a worker thread while the
     # jitted update reduces the previous chunk
