@@ -169,6 +169,29 @@ def main() -> None:
         json.dumps({"streaming_update_fan8": results["streaming_update_fan8"]})
     )
 
+    # streaming ingest WITH bootstrap CI: each update folds the chunk into
+    # the mean state AND nrep Poisson replicate accumulators (in-kernel
+    # PRNG frequencies); the apparent rate counts replicate-samples like
+    # the one-shot CI rows above
+    cstate0, cupdate, cpredict = make_streaming_extrap_pipeline(
+        order, beta0, val_shape=(1,), nrep=nrep, seed=3
+    )
+    cstate = cupdate(cstate0, uc, xc)  # compile + warm
+    float(jnp.asarray(cstate[0].wsum))
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        s = cupdate(cstate, uc, xc)
+        float(jnp.asarray(s[0].wsum))
+        best = min(best, time.perf_counter() - t0)
+    results["streaming_update_ci"] = {
+        "chunk": chunk,
+        "nrep": nrep,
+        "wallclock_s": round(best, 4),
+        "grep_samples_per_s": round(nrep * chunk / best / 1e9, 2),
+    }
+    print(json.dumps({"streaming_update_ci": results["streaming_update_ci"]}))
+
     # streaming ingest DEVICE rate: push_vals on a per-chunk buffer inside
     # one jitted program (the realistic ingest topology — every update call
     # receives its own chunk buffer), K-chained and differenced like
