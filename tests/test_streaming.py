@@ -689,6 +689,107 @@ class TestStreamingBootstrap:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
 
 
+class TestStreamingInterpBootstrap:
+    """make_streaming_interp_pipeline(nrep=): per-state replicate
+    accumulators solved jointly; CI must equal an InterpModel built over
+    replicate data assembled from the SAME per-state frequency tables."""
+
+    ORDER, NREP, SEED = 2, 12, 5
+    BETA0S = (0.7, 1.3)
+
+    def test_streamed_ci_equals_oneshot_same_freq(self, rng_np):
+        from thermoextrap_tpu.beta import factory_derivatives
+        from thermoextrap_tpu.data import DataCentralMoments
+        from thermoextrap_tpu.models.extrap import ExtrapModel, InterpModel
+        from thermoextrap_tpu.ops.resample import resample_central_comoments
+        from thermoextrap_tpu.pipeline import make_streaming_interp_pipeline
+
+        n, c, v = 2, 300, 2
+        data = []
+        for b in self.BETA0S:
+            uv = rng_np.normal(5.0 / b, 1.0, n * c)
+            xv = rng_np.normal(b, 0.3, (n * c, v))
+            data.append((uv, xv))
+
+        states, update, predict = make_streaming_interp_pipeline(
+            self.ORDER, self.BETA0S, val_shape=(v,), dtype=jnp.float64,
+            nrep=self.NREP, seed=self.SEED,
+        )
+        for i, (uv, xv) in enumerate(data):
+            for k in range(n):
+                states = update(
+                    states, i, uv[k * c : (k + 1) * c], xv[k * c : (k + 1) * c]
+                )
+        betas = np.array([0.8, 1.0, 1.2])
+        pred, std = predict(states, betas)
+
+        # oracle: reconstruct each state's per-chunk freq tables (seeds
+        # derived exactly as the pipeline derives them), bootstrap the full
+        # streams one-shot, and solve the joint system per replicate
+        derivs = factory_derivatives("x_ave", central=True)
+        rep_models, mean_models = [], []
+        for i, (b, (uv, xv)) in enumerate(zip(self.BETA0S, data)):
+            seed_i = int((self.SEED + 0x9E3779B9 * (i + 1)) & 0x7FFFFFFF)
+            freq = jnp.concatenate(
+                [
+                    jax.random.poisson(
+                        jax.random.fold_in(jax.random.key(seed_i), s),
+                        1.0,
+                        (self.NREP, c),
+                        dtype=jnp.int32,
+                    )
+                    for s in range(n)
+                ],
+                axis=1,
+            )
+            bx, bu, bdu, bdxdu = resample_central_comoments(
+                uv, xv, freq, self.ORDER
+            )
+            rep_data = DataCentralMoments.from_ave_central(
+                bx, bu, bdu, bdxdu, wsum=freq.sum(axis=1).astype(jnp.float64)
+            )
+            rep_models.append(
+                ExtrapModel(
+                    alpha0=b, data=rep_data, derivatives=derivs,
+                    order=self.ORDER, alpha_name="beta",
+                )
+            )
+        want_std = np.asarray(
+            InterpModel(rep_models).predict(betas).std(axis=1)
+        )
+        np.testing.assert_allclose(np.asarray(std), want_std, rtol=1e-9)
+
+        # mean leg untouched by the replicate machinery
+        s0, up0, pr0 = make_streaming_interp_pipeline(
+            self.ORDER, self.BETA0S, val_shape=(v,), dtype=jnp.float64
+        )
+        for i, (uv, xv) in enumerate(data):
+            for k in range(n):
+                s0 = up0(s0, i, uv[k * c : (k + 1) * c], xv[k * c : (k + 1) * c])
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(pr0(s0, betas)), rtol=1e-12
+        )
+        assert np.all(np.asarray(std) > 0)
+
+    def test_state_seeds_differ(self):
+        # independent simulations must not share bootstrap frequencies:
+        # with identical data in both states, replicate scatter must NOT
+        # be identical across states (it would be with a shared seed)
+        from thermoextrap_tpu.pipeline import make_streaming_interp_pipeline
+
+        rng = np.random.default_rng(2)
+        uv = rng.normal(5.0, 1.0, 400)
+        xv = rng.normal(2.0, 0.5, (400, 1))
+        states, update, predict = make_streaming_interp_pipeline(
+            self.ORDER, self.BETA0S, val_shape=(1,), dtype=jnp.float64,
+            nrep=self.NREP, seed=self.SEED,
+        )
+        states = update(states, 0, uv, xv)
+        states = update(states, 1, uv, xv)
+        rep0, rep1 = states[0][1], states[1][1]
+        assert not np.allclose(np.asarray(rep0.xave), np.asarray(rep1.xave))
+
+
 class TestStreamingLnpiBootstrap:
     """make_streaming_lnpi_pipeline(nrep=): per-chunk Poisson replicate
     folding over the macrostate grid must equal the one-shot batched

@@ -577,6 +577,8 @@ def make_streaming_interp_pipeline(
     dtype=jnp.float32,
     bf16: bool = False,
     mesh=None,
+    nrep: int = 0,
+    seed: int = 0,
 ):
     r"""Multi-state streaming interpolation serving: one online accumulator
     per reference inverse temperature, predictions from the JOINT
@@ -597,6 +599,15 @@ def make_streaming_interp_pipeline(
     minus_log : interpolate ``-log <x>``.
     val_shape, dtype, bf16, mesh : as in
         :func:`make_streaming_extrap_pipeline` (shared by every state).
+    nrep : if > 0, every state carries ``nrep`` Poisson-bootstrap
+        replicate accumulators (per-chunk folding as in
+        :func:`make_streaming_extrap_pipeline` ``nrep=``) and ``predict``
+        returns ``(pred, std)`` — the joint system is solved per replicate
+        (the replicate axis rides the solve's RHS batch dims).  Replicate
+        draws are INDEPENDENT across states (each state derives its own
+        PRNG seed): the states are independent simulations, so their
+        bootstrap noise must not be correlated.
+    seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
 
     Returns
     -------
@@ -607,26 +618,47 @@ def make_streaming_interp_pipeline(
     host-side); ``predict(states, betas) -> (A, *val_shape)`` solves the
     joint derivative-matching system (host f64 — the system is tiny and
     ill-conditioned in f32, see ``InterpModel.coefs``) over the current
-    states.
+    states, or ``-> (pred, std)`` when ``nrep > 0``.
     """
     beta0s = [float(b) for b in beta0s]
     if len(beta0s) < 2:
         msg = f"interpolation needs >= 2 reference states, got {len(beta0s)}"
         raise ValueError(msg)
-    state0, _update, _ = make_streaming_extrap_pipeline(
-        order,
-        beta0s[0],
-        val_shape=val_shape,
-        dtype=dtype,
-        bf16=bf16,
-        mesh=mesh,
-    )
-    states0 = tuple(state0 for _ in beta0s)
+    if nrep:
+        # one pipeline per state: each bakes a distinct replicate-PRNG
+        # seed (golden-ratio int mix; independent simulations must not
+        # share bootstrap frequencies)
+        pipes = [
+            make_streaming_extrap_pipeline(
+                order,
+                b,
+                val_shape=val_shape,
+                dtype=dtype,
+                bf16=bf16,
+                mesh=mesh,
+                nrep=nrep,
+                seed=int((seed + 0x9E3779B9 * (i + 1)) & 0x7FFFFFFF),
+            )
+            for i, b in enumerate(beta0s)
+        ]
+        states0 = tuple(p[0] for p in pipes)
+        updates = [p[1] for p in pipes]
+    else:
+        state0, _update, _ = make_streaming_extrap_pipeline(
+            order,
+            beta0s[0],
+            val_shape=val_shape,
+            dtype=dtype,
+            bf16=bf16,
+            mesh=mesh,
+        )
+        states0 = tuple(state0 for _ in beta0s)
+        updates = [_update] * len(beta0s)
 
     def update(states, i, uv, xv, weight=None):
         i = int(i)
         states = list(states)
-        states[i] = _update(states[i], uv, xv, weight=weight)
+        states[i] = updates[i](states[i], uv, xv, weight=weight)
         return tuple(states)
 
     # state-independent: build once at pipeline construction, not per
@@ -637,7 +669,7 @@ def make_streaming_interp_pipeline(
 
     derivatives = factory_derivatives("x_ave", central=True)
 
-    def predict(states, betas):
+    def _interp_predict(data_states, betas):
         models = [
             ExtrapModel(
                 alpha0=b,
@@ -646,11 +678,20 @@ def make_streaming_interp_pipeline(
                 order=order,
                 alpha_name="beta",
             )
-            for b, s in zip(beta0s, states)
+            for b, s in zip(beta0s, data_states)
         ]
-        return InterpModel(models).predict(
-            jnp.atleast_1d(jnp.asarray(betas)), minus_log=minus_log
-        )
+        return InterpModel(models).predict(betas, minus_log=minus_log)
+
+    def predict(states, betas):
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        if not nrep:
+            return _interp_predict(states, betas)
+        pred = _interp_predict([s[0] for s in states], betas)
+        # replicate leg: the (nrep,) batch axis of each state's replicate
+        # accumulator rides through the derivative engine and the joint
+        # solve's RHS batch dims — one solve for all replicates
+        bpred = _interp_predict([s[1] for s in states], betas)
+        return pred, bpred.std(axis=1)
 
     return states0, update, predict
 
