@@ -691,7 +691,12 @@ def make_streaming_interp_pipeline(
         # accumulator rides through the derivative engine and the joint
         # solve's RHS batch dims — one solve for all replicates
         bpred = _interp_predict([s[1] for s in states], betas)
-        return pred, bpred.std(axis=1)
+        from .utils.compute import host_f64
+
+        # bpred is host-f64 (InterpModel.predict); reduce it in the same
+        # context or the f64 std request truncates noisily on TPU backends
+        with host_f64():
+            return pred, bpred.std(axis=1)
 
     return states0, update, predict
 
