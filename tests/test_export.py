@@ -1,0 +1,179 @@
+"""AOT export artifacts (serving_export.py): shape polymorphism, round-trips,
+parity with the live pipelines, and cross-process reload without retracing.
+
+The exported programs are the pure-XLA serving paths, so on CPU they must
+agree with make_extrap_pipeline / make_lnpi_pipeline (which route to the
+same XLA ops off-accelerator) — exactly for the deterministic parts, and
+bit-for-bit for the bootstrap when the frequency convention matches
+(Poisson(1) tables keyed on the same seed land different draws than the
+pipeline's multinomial path, so CI parity is statistical).
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from thermoextrap_tpu import pipeline
+from thermoextrap_tpu import serving_export as se
+
+
+def _data(r=257, v=2, seed=0):
+    rng = np.random.default_rng(seed)
+    uv = (5.0 + rng.normal(size=r)).astype(np.float32)
+    xv = (2.0 + 0.4 * rng.normal(size=(r, v))).astype(np.float32)
+    return uv, xv
+
+
+BETAS = np.array([0.8, 1.0, 1.3], np.float32)
+
+
+def test_extrap_export_matches_pipeline_and_is_polymorphic():
+    art = se.export_extrap_pipeline(order=4, beta0=1.0)
+    assert set(art.platforms) == {"cpu", "tpu"}
+    run = pipeline.make_extrap_pipeline(order=4, beta0=1.0)
+    for r in (257, 64):  # one artifact, two sample counts
+        uv, xv = _data(r)
+        got = np.asarray(art(uv, xv, BETAS))
+        want = np.asarray(run(uv, xv, BETAS))
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+        assert got.shape == (3, 2)
+
+
+def test_extrap_export_roundtrip_file(tmp_path):
+    art = se.export_extrap_pipeline(order=3, beta0=1.0, minus_log=True)
+    path = tmp_path / "extrap.thexport"
+    art.save(path)
+    art2 = se.load_exported(path)
+    assert art2.meta == art.meta
+    uv, xv = _data(128, 1)
+    np.testing.assert_array_equal(
+        np.asarray(art(uv, xv, BETAS)), np.asarray(art2(uv, xv, BETAS))
+    )
+
+
+def test_extrap_export_weighted():
+    art = se.export_extrap_pipeline(order=3, beta0=1.0, weighted=True)
+    run = pipeline.make_extrap_pipeline(order=3, beta0=1.0, weighted=True)
+    uv, xv = _data(200)
+    w = np.random.default_rng(3).uniform(0.5, 2.0, 200).astype(np.float32)
+    got = np.asarray(art(uv, xv, BETAS, weight=w))
+    want = np.asarray(run(uv, xv, BETAS, w))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    with pytest.raises(ValueError, match="weighted"):
+        art(uv, xv, BETAS)
+
+
+def test_extrap_export_bootstrap_ci():
+    nrep = 64
+    art = se.export_extrap_pipeline(order=2, beta0=1.0, nrep=nrep)
+    uv, xv = _data(4096)
+    pred, std = art(uv, xv, BETAS, seed=7)
+    pred, std = np.asarray(pred), np.asarray(std)
+    assert pred.shape == std.shape == (3, 2)
+    assert np.all(std > 0) and np.all(np.isfinite(std))
+    # CI magnitude sanity: the mean's bootstrap std at beta0 ~ sem(x)
+    sem = xv.std(axis=0) / np.sqrt(len(uv))
+    assert np.all(std[1] < 5 * sem) and np.all(std[1] > sem / 5)
+    # deterministic in the seed
+    _, std2 = art(uv, xv, BETAS, seed=7)
+    np.testing.assert_array_equal(std, np.asarray(std2))
+    _, std3 = art(uv, xv, BETAS, seed=8)
+    assert np.any(np.asarray(std3) != std)
+
+
+def test_extrap_export_pinned_nval():
+    art = se.export_extrap_pipeline(order=2, beta0=1.0, nval=3)
+    uv, _ = _data(100)
+    xv = np.random.default_rng(5).normal(2, 0.3, (100, 3)).astype(np.float32)
+    out = np.asarray(art(uv, xv, BETAS))
+    assert out.shape == (3, 3)
+    run = pipeline.make_extrap_pipeline(order=2, beta0=1.0)
+    np.testing.assert_allclose(out, np.asarray(run(uv, xv, BETAS)), rtol=2e-6)
+
+
+def test_lnpi_export_matches_pipeline(tmp_path):
+    order, beta0 = 3, 0.8
+    rng = np.random.default_rng(11)
+    grid = (4, 3)
+    uv = (10.0 + rng.normal(size=(*grid, 500))).astype(np.float32)
+    lnpi0 = rng.normal(size=grid).astype(np.float32)
+    mudotn = rng.normal(size=grid).astype(np.float32)
+    art = se.export_lnpi_pipeline(order=order, beta0=beta0)
+    run = pipeline.make_lnpi_pipeline(order=order, beta0=beta0)
+    got = np.asarray(art(uv, lnpi0, mudotn, BETAS))
+    want = np.asarray(run(uv, lnpi0, mudotn, BETAS))
+    assert got.shape == (3, *grid)
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-5)
+    # bootstrap variant: shapes + finiteness + seed determinism
+    art_ci = se.export_lnpi_pipeline(order=order, beta0=beta0, nrep=32)
+    path = tmp_path / "lnpi.thexport"
+    art_ci.save(path)
+    art_ci = se.load_exported(path)
+    pred, std = art_ci(uv, lnpi0, mudotn, BETAS, seed=3)
+    assert np.asarray(pred).shape == np.asarray(std).shape == (3, *grid)
+    assert np.all(np.isfinite(np.asarray(std)))
+    np.testing.assert_allclose(np.asarray(pred), want, rtol=3e-5, atol=3e-5)
+
+
+def test_lnpi_export_rejects_order_zero():
+    with pytest.raises(ValueError, match="order"):
+        se.export_lnpi_pipeline(order=0, beta0=1.0)
+
+
+def test_load_rejects_foreign_file(tmp_path):
+    path = tmp_path / "junk.bin"
+    path.write_bytes(b"not an artifact\nat all\nreally")
+    with pytest.raises(ValueError, match="artifact"):
+        se.load_exported(path)
+
+
+def test_cross_process_reload(tmp_path):
+    """The artifact must serve from a fresh interpreter with no package
+    tracing — the deployment contract.  The child steers jax to CPU
+    in-process (CLAUDE.md: env vars are too late under sitecustomize)."""
+    art = se.export_extrap_pipeline(order=4, beta0=1.0)
+    path = tmp_path / "extrap.thexport"
+    art.save(path)
+    uv, xv = _data(300)
+    np.save(tmp_path / "uv.npy", uv)
+    np.save(tmp_path / "xv.npy", xv)
+    want = np.asarray(art(uv, xv, BETAS))
+    child = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from thermoextrap_tpu.serving_export import load_exported
+art = load_exported({str(path)!r})
+uv = np.load({str(tmp_path / 'uv.npy')!r})
+xv = np.load({str(tmp_path / 'xv.npy')!r})
+out = np.asarray(art(uv, xv, np.array([0.8, 1.0, 1.3], np.float32)))
+np.save({str(tmp_path / 'out.npy')!r}, out)
+print("META", art.meta["family"], art.meta["order"])
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        check=False,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "META extrap 4" in proc.stdout
+    got = np.load(tmp_path / "out.npy")
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exported_dtype_coercion():
+    """f64 inputs (the usual numpy default) are coerced to the exported
+    dtype rather than erroring."""
+    art = se.export_extrap_pipeline(order=2, beta0=1.0)
+    uv, xv = _data(64)
+    out = art(uv.astype(np.float64), xv.astype(np.float64), [1.0])
+    assert np.asarray(out).shape == (1, 2)
+    assert jnp.asarray(out).dtype == jnp.float32

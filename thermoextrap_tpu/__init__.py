@@ -86,6 +86,7 @@ __all__ = [
     "pipeline",
     "random",
     "recursive_interp",
+    "serving_export",
     "stack",
     "volume",
     "volume_idealgas",
@@ -93,11 +94,12 @@ __all__ = [
 
 
 def __getattr__(name):
-    # lazy-load the GPR stack (sympy-heavy) like the reference lazy-loader
-    if name == "gpr_active":
+    # lazy-load the GPR stack (sympy-heavy) like the reference lazy-loader,
+    # and the AOT export module (pulls in jax.export)
+    if name in ("gpr_active", "serving_export"):
         import importlib
 
-        mod = importlib.import_module(".gpr_active", __name__)
+        mod = importlib.import_module(f".{name}", __name__)
         globals()[name] = mod
         return mod
     msg = f"module {__name__!r} has no attribute {name!r}"

@@ -1,0 +1,308 @@
+r"""AOT-exported serving artifacts (``jax.export``): trace once, deploy anywhere.
+
+TPU-native addition (no reference analogue — the reference's deployment
+story is "import the package and re-trace", models.py:487-576).  A serving
+pipeline is traced and lowered ONCE — optionally *shape-polymorphic* in the
+sample count ``R`` and the query count ``A`` — serialized to a portable
+StableHLO artifact, and reloaded in any process without re-tracing any
+Python.  This kills the two cold-start costs a production deployment pays
+per process:
+
+- **Python tracing/staging** of the pipeline (seconds): gone — the artifact
+  IS the traced program.
+- **Backend compilation**: one compile per *artifact* instead of one per
+  input shape, because the exported program is symbolic in ``R``/``A``.
+  (Combine with :func:`~thermoextrap_tpu.utils.enable_compilation_cache` to
+  amortize even that across processes.)
+
+Artifacts are multi-platform by default (``cpu`` + ``tpu``): the same file
+serves a TPU fleet and a CPU canary.  The exported programs use the pure
+XLA compute paths (``ops/moments.py`` / ``ops/resample.py``) rather than
+hand-written Pallas kernels, so one artifact lowers on every requested
+platform; bootstrap replicates use Poisson(1) frequency tables (the same
+convention as the streaming pipelines — a valid bootstrap whose CI
+converges to the multinomial one, pipeline.py streaming notes).
+
+File format: a one-line JSON header (family + static config, for
+introspection and argument checking) followed by the ``jax.export``
+serialization.
+
+Examples
+--------
+>>> import numpy as np
+>>> art = export_extrap_pipeline(order=2, beta0=1.0)
+>>> uv = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+>>> xv = np.array([[2.0], [4.0], [6.0], [8.0]], np.float32)
+>>> pred = art(uv, xv, np.array([1.0], np.float32))
+>>> float(np.asarray(pred)[0, 0])
+5.0
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from .models.derivatives import (
+    central_u_ave_coefs,
+    central_x_ave_coefs,
+    lnpi_coefs,
+)
+from .models.extrap import _poly_eval
+from .ops.moments import reduce_central_comoments
+from .ops.resample import resample_central_comoments
+from .ops.series import series_neg_log
+
+__all__ = [
+    "ExportedPipeline",
+    "export_extrap_pipeline",
+    "export_lnpi_pipeline",
+    "load_exported",
+    "save_exported",
+]
+
+_MAGIC = b"THEXTPU-EXPORT-1"
+
+
+def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
+               weighted: bool):
+    """Pure-XLA extrapolation step (export-safe: no Pallas, no mesh).
+
+    Mirrors the CPU branch of :func:`~thermoextrap_tpu.pipeline.
+    make_extrap_pipeline` with Poisson(1) bootstrap frequencies.
+    """
+
+    def _coefs(xave, du, dxdu):
+        c = central_x_ave_coefs(xave, du, dxdu, order)
+        return series_neg_log(c) if minus_log else c
+
+    def fn(uv, xv, betas, weight, seed):
+        dalpha = betas - jnp.asarray(beta0, betas.dtype)
+        xave, _uave, du, dxdu = reduce_central_comoments(
+            uv, xv, order, weight=weight
+        )
+        pred = _poly_eval(_coefs(xave, du[:, None], dxdu), dalpha)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+        )
+        bx, _bu, bdu, bdxdu = resample_central_comoments(
+            uv, xv, freq, order, weight=weight
+        )
+        bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
+        return pred, bpred.std(axis=1)
+
+    if weighted:
+        return lambda uv, xv, betas, weight, seed: fn(uv, xv, betas, weight, seed)
+    return lambda uv, xv, betas, seed: fn(uv, xv, betas, None, seed)
+
+
+def _lnpi_fn(order: int, beta0: float, nrep: int):
+    """Pure-XLA lnΠ grid step (flat grid axis ``B``; loader reshapes)."""
+    from .ops.resample import resample_central_umoments_batched
+    from .pipeline import _u_central_moments_xla
+
+    def _coefs(uave, du, lnpi0, mudotn):
+        u_c = central_u_ave_coefs(uave, du, order - 1)
+        return lnpi_coefs(u_c, lnpi0, mudotn, order)
+
+    def fn(uv, lnpi0, mudotn, betas, seed):
+        dalpha = betas - jnp.asarray(beta0, betas.dtype)
+        uave, du = _u_central_moments_xla(uv, order)
+        pred = _poly_eval(_coefs(uave, du, lnpi0, mudotn), dalpha)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, uv.shape[-1]), dtype=jnp.int32
+        )
+        bu, bdu = resample_central_umoments_batched(uv, freq, order)
+        bpred = _poly_eval(_coefs(bu, bdu, lnpi0[None], mudotn[None]), dalpha)
+        return pred, bpred.std(axis=1)
+
+    return fn
+
+
+class ExportedPipeline:
+    """A (re)loaded serving artifact: ``meta`` + a callable program.
+
+    ``meta`` carries the static config (family, order, beta0, nrep, ...);
+    calling the object runs the exported program on the default backend.
+    Inputs are coerced to the exported dtypes; ``seed`` and (for the
+    weighted extrap family) ``weight`` get defaults.
+    """
+
+    def __init__(self, exported: jax_export.Exported, meta: dict):
+        self._exported = exported
+        self.meta = dict(meta)
+
+    @property
+    def platforms(self) -> tuple[str, ...]:
+        return tuple(self._exported.platforms)
+
+    def serialize(self) -> bytes:
+        header = json.dumps(self.meta, sort_keys=True).encode()
+        return _MAGIC + b"\n" + header + b"\n" + self._exported.serialize()
+
+    def save(self, path) -> None:
+        with open(path, "wb") as f:
+            f.write(self.serialize())
+
+    # -- calling -----------------------------------------------------------
+    def _dtype(self):
+        return jnp.dtype(self.meta["dtype"])
+
+    def __call__(self, *args, seed: int = 0, weight=None):
+        m = self.meta
+        dt = self._dtype()
+        if m["family"] == "extrap":
+            uv, xv, betas = args
+            uv = jnp.asarray(uv, dt)
+            xv = jnp.asarray(xv, dt)
+            if xv.ndim == 1:
+                xv = xv[:, None]
+            betas = jnp.atleast_1d(jnp.asarray(betas, dt))
+            call = [uv, xv, betas]
+            if m["weighted"]:
+                if weight is None:
+                    msg = "this artifact was exported weighted=True; pass weight="
+                    raise ValueError(msg)
+                call.append(jnp.asarray(weight, dt))
+            call.append(jnp.asarray(seed, jnp.int32))
+            return self._exported.call(*call)
+        if m["family"] == "lnpi":
+            uv, lnpi0, mudotn, betas = args
+            uv = jnp.asarray(uv, dt)
+            grid = uv.shape[:-1]
+            betas = jnp.atleast_1d(jnp.asarray(betas, dt))
+            out = self._exported.call(
+                uv.reshape(-1, uv.shape[-1]),
+                jnp.asarray(lnpi0, dt).reshape(-1),
+                jnp.asarray(mudotn, dt).reshape(-1),
+                betas,
+                jnp.asarray(seed, jnp.int32),
+            )
+            reshape = lambda a: a.reshape(a.shape[:1] + grid)  # noqa: E731
+            if m["nrep"]:
+                return reshape(out[0]), reshape(out[1])
+            return reshape(out)
+        msg = f"unknown artifact family {m['family']!r}"
+        raise ValueError(msg)
+
+
+def _do_export(fn, specs, platforms):
+    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(*specs)
+
+
+def export_extrap_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    minus_log: bool = False,
+    nrep: int = 0,
+    weighted: bool = False,
+    nval: int | None = None,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export the β-extrapolation pipeline as a portable AOT artifact.
+
+    Shape-polymorphic in the sample count ``R`` and query count ``A``:
+    one artifact serves any number of samples and target β's.  The value
+    width ``nval`` is symbolic too unless pinned (pin it if your serving
+    shapes are fixed — gives XLA exact tiling).
+
+    Parameters mirror :func:`~thermoextrap_tpu.pipeline.make_extrap_pipeline`
+    (order/beta0 static; ``minus_log``; ``nrep`` bootstrap replicates with
+    Poisson(1) frequencies; ``weighted`` adds a per-sample weight operand).
+
+    Returns an :class:`ExportedPipeline`; call it directly, or ``.save``
+    and :func:`load_exported` in the serving process.
+    """
+    dt = jnp.dtype(dtype)
+    dims = "R, A" + ("" if nval else ", V")
+    syms = jax_export.symbolic_shape(dims)
+    R, A = syms[0], syms[1]
+    V = nval if nval else syms[2]
+    specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, V), dt),
+        jax.ShapeDtypeStruct((A,), dt),
+    ]
+    if weighted:
+        specs.append(jax.ShapeDtypeStruct((R,), dt))
+    specs.append(jax.ShapeDtypeStruct((), jnp.int32))
+    fn = _extrap_fn(order, beta0, minus_log, nrep, weighted)
+    meta = {
+        "family": "extrap",
+        "order": order,
+        "beta0": beta0,
+        "minus_log": minus_log,
+        "nrep": nrep,
+        "weighted": weighted,
+        "nval": nval,
+        "dtype": dt.name,
+    }
+    return ExportedPipeline(_do_export(fn, specs, platforms), meta)
+
+
+def export_lnpi_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    nrep: int = 0,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export the lnΠ grid pipeline (reference lnpi.py:372-438 workflow)
+    as an AOT artifact, shape-polymorphic in the (flattened) macrostate
+    grid size ``B``, sample count ``R``, and query count ``A``.  The
+    loaded artifact accepts ``uv (*grid, R)`` and reshapes for you.
+    """
+    if order < 1:
+        msg = f"lnPi order must be >= 1, got {order}"
+        raise ValueError(msg)
+    dt = jnp.dtype(dtype)
+    B, R, A = jax_export.symbolic_shape("B, R, A")
+    specs = [
+        jax.ShapeDtypeStruct((B, R), dt),
+        jax.ShapeDtypeStruct((B,), dt),
+        jax.ShapeDtypeStruct((B,), dt),
+        jax.ShapeDtypeStruct((A,), dt),
+        jax.ShapeDtypeStruct((), jnp.int32),
+    ]
+    meta = {
+        "family": "lnpi",
+        "order": order,
+        "beta0": beta0,
+        "nrep": nrep,
+        "dtype": dt.name,
+    }
+    return ExportedPipeline(
+        _do_export(_lnpi_fn(order, beta0, nrep), specs, platforms), meta
+    )
+
+
+def save_exported(artifact: ExportedPipeline, path) -> None:
+    """Write an artifact to ``path`` (header + StableHLO payload)."""
+    artifact.save(path)
+
+
+def load_exported(path) -> ExportedPipeline:
+    """Reload an artifact written by :func:`save_exported` / ``.save``.
+
+    No Python tracing happens here — the program is deserialized as-is
+    and compiles (cacheably) on first call.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    magic, header, payload = raw.split(b"\n", 2)
+    if magic != _MAGIC:
+        msg = f"{path}: not a thermoextrap_tpu export artifact"
+        raise ValueError(msg)
+    meta = json.loads(header.decode())
+    exported = jax_export.deserialize(bytearray(payload))
+    return ExportedPipeline(exported, meta)
