@@ -169,6 +169,27 @@ print("META", art.meta["family"], art.meta["order"])
     np.testing.assert_array_equal(got, want)
 
 
+def test_bucketed_runner_pads_exactly():
+    art = se.export_extrap_pipeline(order=3, beta0=1.0, weighted=True)
+    serve = se.bucketed_runner(art, buckets=(64, 256))
+    uv, xv = _data(50)
+    got = np.asarray(serve(uv, xv, BETAS))  # padded to 64
+    want = np.asarray(art(uv, xv, BETAS, weight=np.ones(50, np.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # beyond the largest bucket: exact shape
+    uv2, xv2 = _data(300)
+    out = np.asarray(serve(uv2, xv2, BETAS))
+    assert out.shape == (3, 2)
+    with pytest.raises(ValueError, match="at least one sample"):
+        serve(uv[:0], xv[:0], BETAS)
+
+
+def test_bucketed_runner_rejects_unweighted():
+    art = se.export_extrap_pipeline(order=2, beta0=1.0)
+    with pytest.raises(ValueError, match="weighted=True"):
+        se.bucketed_runner(art)
+
+
 def test_exported_dtype_coercion():
     """f64 inputs (the usual numpy default) are coerced to the exported
     dtype rather than erroring."""

@@ -9,11 +9,15 @@ Python.  This kills the two cold-start costs a production deployment pays
 per process:
 
 - **Python tracing/staging** of the pipeline (seconds): gone — the artifact
-  IS the traced program.
-- **Backend compilation**: one compile per *artifact* instead of one per
-  input shape, because the exported program is symbolic in ``R``/``A``.
-  (Combine with :func:`~thermoextrap_tpu.utils.enable_compilation_cache` to
-  amortize even that across processes.)
+  IS the traced program; loading it imports no model code and traces
+  nothing.
+- **Re-exporting per shape**: gone — the program is symbolic in ``R``/``A``,
+  so one artifact covers every input size.  Note the backend still
+  compiles once per *concrete* shape at call time (cached in-process;
+  measured ~4–5 s/shape on CPU, bench_export.py): bound the compile count
+  with :func:`bucketed_runner` (zero-weight padding to size buckets) and
+  persist the compiles across processes with
+  :func:`~thermoextrap_tpu.utils.enable_compilation_cache`.
 
 Artifacts are multi-platform by default (``cpu`` + ``tpu``): the same file
 serves a TPU fleet and a CPU canary.  The exported programs use the pure
@@ -58,6 +62,7 @@ from .ops.series import series_neg_log
 
 __all__ = [
     "ExportedPipeline",
+    "bucketed_runner",
     "export_extrap_pipeline",
     "export_lnpi_pipeline",
     "load_exported",
@@ -284,6 +289,70 @@ def export_lnpi_pipeline(
     return ExportedPipeline(
         _do_export(_lnpi_fn(order, beta0, nrep), specs, platforms), meta
     )
+
+
+def bucketed_runner(artifact: ExportedPipeline, buckets=None):
+    r"""Any-``R`` serving from a loaded artifact with a BOUNDED compile count.
+
+    Shape polymorphism removes re-tracing/re-export, but the backend still
+    compiles once per concrete input shape at call time.  This wrapper pads
+    every request up to the smallest configured bucket with **zero-weight**
+    samples (exact — the same scheme as
+    :func:`~thermoextrap_tpu.pipeline.make_bucketed_extrap_runner`), so a
+    deployment compiles at most ``len(buckets)`` programs, persistable
+    across processes with the compilation cache.
+
+    Requires an ``extrap`` artifact exported with ``weighted=True`` (the
+    padding rides the weight operand).  ``buckets`` defaults to powers of
+    two ``2^12 .. 2^27``; requests above the largest bucket run at exact
+    shape (one-off compile).
+
+    Returns ``serve(uv, xv, betas, weight=None, seed=0)``.
+    """
+    import numpy as np
+
+    m = artifact.meta
+    if m["family"] != "extrap" or not m["weighted"]:
+        msg = (
+            "bucketed_runner needs an extrap artifact exported with "
+            f"weighted=True, got family={m['family']!r} "
+            f"weighted={m.get('weighted')}"
+        )
+        raise ValueError(msg)
+    buckets = (
+        tuple(1 << p for p in range(12, 28))
+        if buckets is None
+        else tuple(sorted(int(b) for b in buckets))
+    )
+
+    def _bucket_for(r: int) -> int:
+        for b in buckets:
+            if b >= r:
+                return b
+        return r
+
+    def serve(uv, xv, betas, weight=None, seed=0):
+        uv = np.asarray(uv)
+        xv = np.asarray(xv)
+        if xv.ndim == 1:
+            xv = xv[:, None]
+        r = uv.shape[0]
+        if r == 0:
+            msg = "serve() needs at least one sample"
+            raise ValueError(msg)
+        w = np.ones(r, np.float32) if weight is None else np.asarray(weight)
+        rp = _bucket_for(r)
+        if rp != r:
+            pad = rp - r
+            uv = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
+            xv = np.concatenate(
+                [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
+            )
+            w = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
+        return artifact(uv, xv, betas, weight=w, seed=seed)
+
+    serve.buckets = buckets
+    return serve
 
 
 def save_exported(artifact: ExportedPipeline, path) -> None:
