@@ -64,6 +64,7 @@ __all__ = [
     "ExportedPipeline",
     "bucketed_runner",
     "export_extrap_pipeline",
+    "export_gpr_predictor",
     "export_lnpi_pipeline",
     "load_exported",
     "save_exported",
@@ -194,6 +195,15 @@ class ExportedPipeline:
             if m["nrep"]:
                 return reshape(out[0]), reshape(out[1])
             return reshape(out)
+        if m["family"] == "gpr":
+            (locs,) = args
+            locs = jnp.asarray(locs, dt)
+            if locs.ndim == 1:
+                if m["obs_dims"] != 1:
+                    msg = f"locs must be (M, {m['obs_dims']}) for this model"
+                    raise ValueError(msg)
+                locs = locs[:, None]
+            return self._exported.call(locs)
         msg = f"unknown artifact family {m['family']!r}"
         raise ValueError(msg)
 
@@ -289,6 +299,37 @@ def export_lnpi_pipeline(
     return ExportedPipeline(
         _do_export(_lnpi_fn(order, beta0, nrep), specs, platforms), meta
     )
+
+
+def export_gpr_predictor(
+    model,
+    d_new=None,
+    *,
+    dtype=jnp.float32,
+    mean_new_fn=None,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export a trained GPR as an AOT serving artifact.
+
+    Freezes the model with
+    :func:`~thermoextrap_tpu.gpr_active.serving.freeze_predictor` (the
+    training-side f64 solves fold into constants; prediction is pure
+    matmuls) and exports the predictor shape-polymorphically in the query
+    count ``M``.  The serving process calls ``artifact(locs)`` →
+    ``(mean, var)``, each ``(M, out_dim)``, with no model code imported
+    and no Python tracing.
+
+    ``d_new`` / ``mean_new_fn`` as in ``freeze_predictor`` (one artifact
+    per served derivative order).
+    """
+    from .gpr_active.serving import freeze_predictor
+
+    pred = freeze_predictor(model, d_new, dtype=dtype, mean_new_fn=mean_new_fn)
+    dt = jnp.dtype(dtype)
+    (M,) = jax_export.symbolic_shape("M")
+    specs = [jax.ShapeDtypeStruct((M, pred.obs_dims), dt)]
+    meta = {"family": "gpr", **pred.meta, "d_new": list(pred.meta["d_new"])}
+    return ExportedPipeline(_do_export(pred.predict_fn, specs, platforms), meta)
 
 
 def bucketed_runner(artifact: ExportedPipeline, buckets=None):
