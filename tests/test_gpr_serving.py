@@ -169,6 +169,24 @@ class TestFreezePredictor:
         mean, _ = pred(XT)
         assert np.all(np.isfinite(np.asarray(mean)))
 
+    def test_sharded_queries_match_single_device(self, trained):
+        """Posterior queries are data-parallel over the mesh rec axis; a
+        sharded input must produce exactly the single-device output."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from thermoextrap_tpu.parallel.sharded import make_mesh
+
+        pred = freeze_predictor(trained, dtype=jnp.float64)
+        locs = jnp.linspace(0.5, 5.5, 64)[:, None]
+        want = tuple(np.asarray(a) for a in pred(locs))
+        mesh = make_mesh(8)
+        locs_s = jax.device_put(locs, NamedSharding(mesh, P("rec", None)))
+        got = jax.jit(pred.predict_fn)(locs_s)
+        # equal up to f64 summation order (partitioned matmul reductions)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), w, rtol=1e-9, atol=1e-14)
+
     def test_input_validation(self, trained):
         pred = freeze_predictor(trained)
         with pytest.raises(ValueError, match=r"locs must be \(M, 1\)"):
