@@ -64,6 +64,16 @@ def main() -> None:
         m, _ = predict(np.linspace(0.7, 2.3, grid_n))
         print(f"serving predict n={grid_n:2d}: mean[0]={float(m[0, 0]):.5f}")
 
+    # on-chip serving: freeze the trained model (host-f64 solves fold into
+    # constants; prediction = pure matmuls at f32) and compare against the
+    # host predict_f path
+    from thermoextrap_tpu.gpr_active.serving import freeze_predictor
+
+    frozen = freeze_predictor(gpr)
+    fm, fv = frozen(xt)
+    err = np.max(np.abs(np.asarray(fm)[:, 0] - np.asarray(mu)[:, 0]))
+    print(f"frozen f32 predictor: max |mean - host predict_f| = {err:.1e}")
+
 
 if __name__ == "__main__":
     main()
