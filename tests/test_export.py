@@ -131,6 +131,17 @@ def test_load_rejects_foreign_file(tmp_path):
     path.write_bytes(b"not an artifact\nat all\nreally")
     with pytest.raises(ValueError, match="artifact"):
         se.load_exported(path)
+    # fewer than two newlines must raise the same error, not an unpack crash
+    path.write_bytes(b"\x00raw binary, no newlines")
+    with pytest.raises(ValueError, match="artifact"):
+        se.load_exported(path)
+
+
+def test_unweighted_artifact_rejects_weight():
+    art = se.export_extrap_pipeline(order=2, beta0=1.0)
+    uv, xv = _data(16)
+    with pytest.raises(ValueError, match="no weight operand"):
+        art(uv, xv, BETAS, weight=np.ones(16, np.float32))
 
 
 def test_cross_process_reload(tmp_path):

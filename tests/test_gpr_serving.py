@@ -187,6 +187,19 @@ class TestFreezePredictor:
         for g, w in zip(got, want):
             np.testing.assert_allclose(np.asarray(g), w, rtol=1e-9, atol=1e-14)
 
+    def test_f64_freeze_requires_x64(self, trained):
+        """Without x64 the f64 constants would silently truncate to f32
+        while meta still claimed float64 — must refuse instead."""
+        import jax
+
+        assert jax.config.jax_enable_x64  # conftest forces it on
+        jax.config.update("jax_enable_x64", False)
+        try:
+            with pytest.raises(ValueError, match="x64"):
+                freeze_predictor(trained, dtype=jnp.float64)
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
     def test_input_validation(self, trained):
         pred = freeze_predictor(trained)
         with pytest.raises(ValueError, match=r"locs must be \(M, 1\)"):

@@ -195,6 +195,21 @@ def test_zero_total_weight_matches_xla_nan_convention(flat_samples):
     assert np.isnan(u).all() and np.isnan(xu).all()
 
 
+def test_resample_zero_total_weight_matches_xla_nan_convention(flat_samples):
+    # a GLOBALLY zero-weight stream must poison every replicate with the
+    # XLA 0/0 pattern (NaN except pinned du[0]/du[1]/dxdu[0]) — not the
+    # finite trivial moments of a single degenerate replicate
+    uv, xv, _ = flat_samples
+    w0 = np.zeros_like(uv)
+    freq = np.ones((3, uv.shape[0]))
+    got = native.resample_central_comoments(uv, xv, freq, 4, weight=w0)
+    want = resample.resample_central_comoments(uv, xv, freq, 4, weight=w0)
+    for g, e in zip(got, want):
+        e = np.asarray(e)
+        np.testing.assert_array_equal(np.isnan(g), np.isnan(e))
+        np.testing.assert_allclose(g[~np.isnan(g)], e[~np.isnan(e)], rtol=1e-12)
+
+
 def test_zero_weight_batch_row_nans_that_row_only(rng_np):
     # one unvisited bin in a batched grid must not poison the others
     uv = rng_np.normal(1.0, 0.5, (3, 200))

@@ -214,6 +214,15 @@ def freeze_predictor(
         msg = f"d_new must have {obs} entries, got {d_new}"
         raise ValueError(msg)
     dt = jnp.dtype(dtype)
+    if dt == jnp.dtype("float64") and not jax.config.jax_enable_x64:
+        # without x64, jnp.asarray(..., float64) silently truncates the
+        # frozen constants to f32 while meta would still claim float64
+        msg = (
+            "dtype=float64 requires jax_enable_x64 (the package keeps x64 "
+            "scoped to the host context by design); enable it process-wide "
+            "or serve at the default float32"
+        )
+        raise ValueError(msg)
 
     # ---- host-f64 freeze: fold the training-side solves --------------------
     with _compute_ctx():

@@ -283,13 +283,11 @@ int cm_resample_central(const double* uv, const double* xv, const double* w,
     double ubar;
     std::vector<double> xbar(static_cast<size_t>(V));
     const double wtot = weighted_means(uv, xv, w, R, V, &ubar, xbar.data());
-    if (!(wtot > 0.0)) {
-        // zero global weight: every replicate degenerates to the (NaN)
-        // global means with trivial central moments — the XLA convention
-        ubar = std::numeric_limits<double>::quiet_NaN();
-        for (int64_t v = 0; v < V; ++v)
-            xbar[static_cast<size_t>(v)] = ubar;
-    }
+    // zero GLOBAL weight: the XLA path's 0/0 means poison every replicate
+    // (NaN everywhere except the pinned du[0]/du[1]/dxdu[0] trivia) — use
+    // the same fill_nan_one pattern as the reduce entries, NOT the finite
+    // trivial moments of a single degenerate replicate
+    const bool global_zero = !(wtot > 0.0);
     std::vector<double> wrep(static_cast<size_t>(R));
     for (int64_t rep = 0; rep < nrep; ++rep) {
         const double* f = freq + rep * R;
@@ -303,7 +301,14 @@ int cm_resample_central(const double* uv, const double* xv, const double* w,
                                     uave + rep, xave + rep * V, du + rep * N,
                                     dxdu + rep * N * V);
         if (rc == -2) {
-            // degenerate replicate: global means, trivial central moments
+            if (global_zero) {
+                fill_nan_one(V, order, uave + rep, xave + rep * V,
+                             du + rep * N, dxdu + rep * N * V);
+                continue;
+            }
+            // degenerate replicate (all-zero freq row with a live stream):
+            // global means, trivial central moments (XLA safe-divide
+            // stand-in, ops/resample.py:107-119)
             uave[rep] = ubar;
             for (int64_t v = 0; v < V; ++v) xave[rep * V + v] = xbar[static_cast<size_t>(v)];
             double* du_r = du + rep * N;

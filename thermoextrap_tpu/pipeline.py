@@ -963,6 +963,52 @@ def make_gpr_pipeline(
     return gpr, predict
 
 
+def normalize_buckets(buckets) -> tuple:
+    """Sorted bucket table; default powers of two ``2^12 .. 2^27``."""
+    return (
+        tuple(1 << p for p in range(12, 28))
+        if buckets is None
+        else tuple(sorted(int(b) for b in buckets))
+    )
+
+
+def bucket_pad(uv, xv, weight, buckets):
+    """Zero-weight bucket padding shared by the bucketed serving runners
+    (:func:`make_bucketed_extrap_runner`,
+    :func:`~thermoextrap_tpu.serving_export.bucketed_runner`).
+
+    Pads ``(uv, xv, weight)`` up to the smallest bucket >= R (unchanged if
+    R exceeds the largest bucket).  Exact: padded samples carry zero
+    weight, and the pad value replicates the last sample so bf16 streams
+    stay in distribution.  Weights keep their own floating dtype (a silent
+    f32 downcast of user f64 weights would break the padded == unpadded
+    exactness); integer weights are promoted to f32.
+    """
+    uv = np.asarray(uv)
+    xv = np.asarray(xv)
+    r = uv.shape[0]
+    if r == 0:
+        msg = "serve() needs at least one sample"
+        raise ValueError(msg)
+    w = (
+        np.ones(r, dtype=np.promote_types(uv.dtype, np.float32))
+        if weight is None
+        else np.asarray(weight)
+    )
+    if w.dtype.kind != "f":
+        w = w.astype(np.float32)
+    rp = next((b for b in buckets if b >= r), r)
+    if rp == r:
+        return uv, xv, w
+    pad = rp - r
+    uvp = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
+    xvp = np.concatenate(
+        [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
+    )
+    wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
+    return uvp, xvp, wp
+
+
 def make_bucketed_extrap_runner(
     order: int,
     beta0: float,
@@ -1012,45 +1058,10 @@ def make_bucketed_extrap_runner(
     run = make_extrap_pipeline(
         order, beta0, minus_log=minus_log, nrep=nrep, weighted=True, bf16=bf16
     )
-    buckets = (
-        tuple(1 << p for p in range(12, 28))
-        if buckets is None
-        else tuple(sorted(int(b) for b in buckets))
-    )
-
-    def _bucket_for(r: int) -> int:
-        for b in buckets:
-            if b >= r:
-                return b
-        return r  # beyond the largest bucket: exact-shape one-off
+    buckets = normalize_buckets(buckets)
 
     def serve(uv, xv, betas, weight=None, seed=0):
-        uv = np.asarray(uv)
-        xv = np.asarray(xv)
-        r = uv.shape[0]
-        if r == 0:
-            msg = "serve() needs at least one sample"
-            raise ValueError(msg)
-        rp = _bucket_for(r)
-        # weights keep their own dtype (>= f32): a silent f32 downcast of
-        # user f64 weights would break the padded == unpadded exactness
-        w = (
-            np.ones(r, dtype=np.promote_types(uv.dtype, np.float32))
-            if weight is None
-            else np.asarray(weight)
-        )
-        if w.dtype.kind != "f":
-            w = w.astype(np.float32)
-        if rp == r:
-            return run(uv, xv, betas, w, seed)
-        pad = rp - r
-        # pad value replicates the last sample (finite, in-distribution for
-        # bf16 range); its weight is zero so it cannot affect any moment
-        uvp = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
-        xvp = np.concatenate(
-            [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
-        )
-        wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
+        uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
         return run(uvp, xvp, betas, wp, seed)
 
     def warmup(

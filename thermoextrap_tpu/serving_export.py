@@ -103,7 +103,7 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         return pred, bpred.std(axis=1)
 
     if weighted:
-        return lambda uv, xv, betas, weight, seed: fn(uv, xv, betas, weight, seed)
+        return fn
     return lambda uv, xv, betas, seed: fn(uv, xv, betas, None, seed)
 
 
@@ -164,6 +164,15 @@ class ExportedPipeline:
     def __call__(self, *args, seed: int = 0, weight=None):
         m = self.meta
         dt = self._dtype()
+        if weight is not None and not (
+            m["family"] == "extrap" and m.get("weighted")
+        ):
+            msg = (
+                "this artifact takes no weight operand (export with "
+                "weighted=True to serve per-sample weights); refusing to "
+                "silently ignore weight="
+            )
+            raise ValueError(msg)
         if m["family"] == "extrap":
             uv, xv, betas = args
             uv = jnp.asarray(uv, dt)
@@ -352,6 +361,8 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
     """
     import numpy as np
 
+    from .pipeline import bucket_pad, normalize_buckets
+
     m = artifact.meta
     if m["family"] != "extrap" or not m["weighted"]:
         msg = (
@@ -360,37 +371,14 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
             f"weighted={m.get('weighted')}"
         )
         raise ValueError(msg)
-    buckets = (
-        tuple(1 << p for p in range(12, 28))
-        if buckets is None
-        else tuple(sorted(int(b) for b in buckets))
-    )
-
-    def _bucket_for(r: int) -> int:
-        for b in buckets:
-            if b >= r:
-                return b
-        return r
+    buckets = normalize_buckets(buckets)
 
     def serve(uv, xv, betas, weight=None, seed=0):
-        uv = np.asarray(uv)
         xv = np.asarray(xv)
         if xv.ndim == 1:
             xv = xv[:, None]
-        r = uv.shape[0]
-        if r == 0:
-            msg = "serve() needs at least one sample"
-            raise ValueError(msg)
-        w = np.ones(r, np.float32) if weight is None else np.asarray(weight)
-        rp = _bucket_for(r)
-        if rp != r:
-            pad = rp - r
-            uv = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
-            xv = np.concatenate(
-                [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
-            )
-            w = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
-        return artifact(uv, xv, betas, weight=w, seed=seed)
+        uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
+        return artifact(uvp, xvp, betas, weight=wp, seed=seed)
 
     serve.buckets = buckets
     return serve
@@ -409,10 +397,11 @@ def load_exported(path) -> ExportedPipeline:
     """
     with open(path, "rb") as f:
         raw = f.read()
-    magic, header, payload = raw.split(b"\n", 2)
-    if magic != _MAGIC:
+    parts = raw.split(b"\n", 2)
+    if len(parts) != 3 or parts[0] != _MAGIC:
         msg = f"{path}: not a thermoextrap_tpu export artifact"
         raise ValueError(msg)
+    _, header, payload = parts
     meta = json.loads(header.decode())
     exported = jax_export.deserialize(bytearray(payload))
     return ExportedPipeline(exported, meta)

@@ -84,4 +84,16 @@ def kchain_time(step, args, k_lo: int = 4, k_hi: int = 20, reps: int = 3):
             best = min(best, time.perf_counter() - t0)
         times[k] = best
     dt = times[k_hi] - times[k_lo]
+    if dt < 0.025:
+        # measured on this backend (CLAUDE.md): narrow-spread deltas under
+        # ~25 ms produced 2-4x inflated rates (min-differencing bias) —
+        # the returned number is NOT trustworthy at this delta
+        import warnings
+
+        warnings.warn(
+            f"kchain_time delta {dt * 1e3:.1f} ms is below the ~25 ms "
+            "tunnel noise floor; raise k_hi or the per-step work before "
+            "trusting this rate",
+            stacklevel=2,
+        )
     return dt / (k_hi - k_lo), result
