@@ -171,6 +171,19 @@ def _pack(a, rows_total):
 
 # ---------------------------------------------------------------------------
 # single-pass shifted (co)moment reduction
+#
+# NEGATIVE RESULT (round-3 session-5, measured): an MXU-dot reformulation —
+# contrib rows ``[w·du^0 .. w·du^order] (order+1, K=1024) @ [ones, dx]^T``
+# per span, absorbing every accumulate-FMA and dx-product into one
+# dot_general — ran at ~15 Gs/s for BOTH dtypes vs 92 (f32) / 154 (bf16)
+# for the VPU row-group kernel below.  The dtype-independence pins the
+# cost on layout, not bandwidth or issue rate: building the (m, 1024)
+# contrib matrix requires sublane-concats of strided single-row slices
+# (~100 issue-equivalents/sample), which the freq-matmul bootstrap kernel
+# only amortizes because each sample feeds 128-256 replicate columns of
+# MXU output.  With a 2-column rhs there is nothing to amortize against.
+# Don't retry without a way to materialize power rows across sublanes
+# for free.
 # ---------------------------------------------------------------------------
 
 
