@@ -209,3 +209,138 @@ def test_exported_dtype_coercion():
     out = art(uv.astype(np.float64), xv.astype(np.float64), [1.0])
     assert np.asarray(out).shape == (1, 2)
     assert jnp.asarray(out).dtype == jnp.float32
+
+
+class TestStreamingBundle:
+    """Streaming AOT bundles: update/predict programs + init state in one
+    file; exported fold == the in-process xla_only pipeline exactly."""
+
+    def test_extrap_bundle_matches_pipeline(self, tmp_path):
+        rng = np.random.default_rng(1)
+        art = se.export_streaming_extrap_pipeline(
+            3, 1.0, nrep=8, weighted=True, val_shape=(2,)
+        )
+        path = tmp_path / "stream.bin"
+        art.save(path)
+        art2 = se.load_exported(path)
+        assert isinstance(art2, se.StreamingExportedPipeline)
+        assert art2.meta["family"] == "streaming_extrap"
+
+        s0, upd, prd = pipeline.make_streaming_extrap_pipeline(
+            3, 1.0, nrep=8, val_shape=(2,), xla_only=True
+        )
+        state, st = art2.init_state(), s0
+        for n in (70, 58):  # two chunk SHAPES: update is polymorphic in R
+            uv = rng.normal(2.0, 1.0, n).astype(np.float32)
+            xv = rng.normal(1.0, 0.3, (n, 2)).astype(np.float32)
+            w = rng.uniform(0.5, 1.5, n).astype(np.float32)
+            state = art2.update(state, uv, xv, weight=w)
+            st = upd(st, uv, xv, weight=w)
+        betas = np.array([0.9, 1.1], np.float32)
+        for a, b in zip(art2.predict(state, betas), prd(st, betas)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
+
+    def test_lnpi_bundle_matches_pipeline(self, tmp_path):
+        rng = np.random.default_rng(2)
+        grid = (4,)
+        art = se.export_streaming_lnpi_pipeline(2, 1.0, grid_shape=grid, nrep=4)
+        path = tmp_path / "lnpi.bin"
+        art.save(path)
+        art2 = se.load_exported(path)
+        s0, upd, prd = pipeline.make_streaming_lnpi_pipeline(
+            2, 1.0, grid_shape=grid, nrep=4, xla_only=True
+        )
+        state, st = art2.init_state(), s0
+        for r in (40, 24):
+            uvg = (-10.0 + rng.normal(0, 1, (*grid, r))).astype(np.float32)
+            state = art2.update(state, uvg)
+            st = upd(st, uvg)
+        lnpi0 = np.linspace(0, -2, 4).astype(np.float32)
+        mud = (0.5 * np.arange(4)).astype(np.float32)
+        betas = np.array([0.9, 1.1], np.float32)
+        for a, b in zip(
+            art2.predict(state, lnpi0, mud, betas), prd(st, lnpi0, mud, betas)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_state_checkpoint_roundtrip(self, tmp_path):
+        """Persisting the opaque state tuple with np.savez and resuming
+        must continue the fold exactly."""
+        rng = np.random.default_rng(3)
+        art = se.export_streaming_extrap_pipeline(2, 1.0)
+        state = art.update(
+            art.init_state(),
+            rng.normal(2, 1, 32).astype(np.float32),
+            rng.normal(1, 0.2, 32).astype(np.float32),
+        )
+        np.savez(tmp_path / "ckpt.npz", *state)
+        with np.load(tmp_path / "ckpt.npz") as z:
+            back = tuple(z[k] for k in z.files)
+        uv2 = rng.normal(2, 1, 16).astype(np.float32)
+        xv2 = rng.normal(1, 0.2, 16).astype(np.float32)
+        a = art.predict(art.update(state, uv2, xv2), np.array([1.0], np.float32))
+        b = art.predict(art.update(back, uv2, xv2), np.array([1.0], np.float32))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_weight_guards(self):
+        rng = np.random.default_rng(4)
+        uv = rng.normal(2, 1, 8).astype(np.float32)
+        xv = (2 * uv).astype(np.float32)
+        art_w = se.export_streaming_extrap_pipeline(2, 1.0, weighted=True)
+        with pytest.raises(ValueError, match="weighted=True"):
+            art_w.update(art_w.init_state(), uv, xv)
+        art_u = se.export_streaming_extrap_pipeline(2, 1.0)
+        with pytest.raises(ValueError, match="no weight operand"):
+            art_u.update(art_u.init_state(), uv, xv, weight=np.ones(8))
+
+    def test_init_state_is_fresh(self):
+        art = se.export_streaming_extrap_pipeline(2, 1.0)
+        s1 = art.init_state()
+        s2 = art.init_state()
+        for a, b in zip(s1, s2):
+            assert a is not b
+            np.testing.assert_array_equal(a, b)
+
+    def test_cross_process_reload(self, tmp_path):
+        """The bundle must serve from a fresh interpreter: init, two
+        updates, predict — no package code, no tracing of model source."""
+        art = se.export_streaming_extrap_pipeline(2, 1.0)
+        path = tmp_path / "stream.thexport"
+        art.save(path)
+        rng = np.random.default_rng(5)
+        uv = rng.normal(2, 1, 48).astype(np.float32)
+        xv = (3 * uv + 1).astype(np.float32)
+        np.save(tmp_path / "uv.npy", uv)
+        np.save(tmp_path / "xv.npy", xv)
+        st = art.update(art.init_state(), uv[:30], xv[:30])
+        st = art.update(st, uv[30:], xv[30:])
+        want = np.asarray(art.predict(st, np.array([1.0, 1.2], np.float32)))
+        child = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from thermoextrap_tpu.serving_export import load_exported
+art = load_exported({str(path)!r})
+uv = np.load({str(tmp_path / 'uv.npy')!r})
+xv = np.load({str(tmp_path / 'xv.npy')!r})
+st = art.update(art.init_state(), uv[:30], xv[:30])
+st = art.update(st, uv[30:], xv[30:])
+out = np.asarray(art.predict(st, np.array([1.0, 1.2], np.float32)))
+np.save({str(tmp_path / 'out.npy')!r}, out)
+print("META", art.meta["family"], art.meta["order"])
+"""
+        proc = subprocess.run(
+            [sys.executable, "-c", child],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            check=False,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "META streaming_extrap 2" in proc.stdout
+        got = np.load(tmp_path / "out.npy")
+        np.testing.assert_array_equal(got, want)

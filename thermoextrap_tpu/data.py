@@ -373,7 +373,9 @@ class DataCentralMoments:
         # convention (ops/dispatch.py keeps weight streams f32)
         wdtype = jnp.promote_types(dv.uv.dtype, jnp.float32)
         wsum = (
-            jnp.full(dv.uv.shape[:-1], float(len(dv)), dtype=wdtype)
+            # the sample count as a dim expression, not float(): the rec
+            # dim may be SYMBOLIC under shape-polymorphic AOT export
+            jnp.full(dv.uv.shape[:-1], dv.uv.shape[-1], dtype=wdtype)
             if w is None
             else jnp.broadcast_to(jnp.asarray(w, wdtype), dv.uv.shape).sum(-1)
         )

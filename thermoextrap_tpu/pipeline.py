@@ -197,6 +197,7 @@ def make_streaming_extrap_pipeline(
     mesh=None,
     nrep: int = 0,
     seed: int = 0,
+    xla_only: bool = False,
 ):
     r"""Streaming variant of :func:`make_extrap_pipeline`: accumulate sample
     chunks online as a simulation runs, predict at any time — without
@@ -243,6 +244,11 @@ def make_streaming_extrap_pipeline(
         Replicate state memory is ``nrep * (order+2) * prod(val_shape)``
         floats — negligible.
     seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
+    xla_only : force the pure-XLA compute paths even on an accelerator
+        backend (the ``jax.random.poisson`` frequency table instead of the
+        in-kernel Mosaic PRNG).  Required when the update/predict programs
+        are AOT-exported for multiple platforms
+        (:func:`~thermoextrap_tpu.serving_export.export_streaming_extrap_pipeline`).
 
     Returns
     -------
@@ -263,7 +269,7 @@ def make_streaming_extrap_pipeline(
     from .data import DataCentralMoments
     from .utils.trees import replace
 
-    on_accel = jax.default_backend() != "cpu"
+    on_accel = jax.default_backend() != "cpu" and not xla_only
     use_bf16 = bf16 and on_accel and mesh is None
     val_shape = tuple(val_shape)
     pad = (1,) * len(val_shape)
@@ -400,6 +406,7 @@ def make_streaming_lnpi_pipeline(
     mesh=None,
     nrep: int = 0,
     seed: int = 0,
+    xla_only: bool = False,
 ):
     r"""Streaming variant of :func:`make_lnpi_pipeline`: accumulate
     macrostate-grid energy-sample chunks online, predict lnΠ at any time.
@@ -430,6 +437,8 @@ def make_streaming_lnpi_pipeline(
         CPU / under ``mesh`` from a per-chunk ``jax.random.poisson``
         table keyed on ``(seed, chunk index)``.
     seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
+    xla_only : force the pure-XLA compute paths (AOT-export seam, as in
+        :func:`make_streaming_extrap_pipeline`).
 
     Returns
     -------
@@ -444,7 +453,7 @@ def make_streaming_lnpi_pipeline(
     from .data import DataCentralMoments
     from .utils.trees import replace
 
-    on_accel = jax.default_backend() != "cpu"
+    on_accel = jax.default_backend() != "cpu" and not xla_only
     grid_shape = tuple(grid_shape)
     mean0 = DataCentralMoments.zeros(
         order, batch_shape=grid_shape, x_is_u=True, dtype=dtype

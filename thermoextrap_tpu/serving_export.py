@@ -46,6 +46,8 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
@@ -62,15 +64,19 @@ from .ops.series import series_neg_log
 
 __all__ = [
     "ExportedPipeline",
+    "StreamingExportedPipeline",
     "bucketed_runner",
     "export_extrap_pipeline",
     "export_gpr_predictor",
     "export_lnpi_pipeline",
+    "export_streaming_extrap_pipeline",
+    "export_streaming_lnpi_pipeline",
     "load_exported",
     "save_exported",
 ]
 
 _MAGIC = b"THEXTPU-EXPORT-1"
+_MAGIC_BUNDLE = b"THEXTPU-BUNDLE-1"
 
 
 def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
@@ -384,6 +390,296 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
     return serve
 
 
+class StreamingExportedPipeline:
+    r"""A streaming serving bundle: ``update`` + ``predict`` programs plus
+    the initial accumulator state, in one file.
+
+    The moment state crosses the artifact boundary as an OPAQUE tuple of
+    arrays (the exported programs' flat calling convention), so the
+    serving process needs no package code and no pytree registry:
+
+    >>> art = export_streaming_extrap_pipeline(2, 1.0)       # doctest: +SKIP
+    >>> state = art.init_state()                             # doctest: +SKIP
+    >>> state = art.update(state, uv_chunk, xv_chunk)        # doctest: +SKIP
+    >>> pred = art.predict(state, betas)                     # doctest: +SKIP
+
+    ``update`` is shape-polymorphic in the chunk length ``R`` and
+    ``predict`` in the query count ``A``; the state shapes are static
+    (tiny: ``O(nrep * (order+2) * prod(val/grid shape))`` floats).
+    Checkpointing a stream = persisting the state tuple (e.g. ``np.savez``)
+    — the restart seam of the in-process pipeline's
+    ``DataCentralMoments.save``.
+    """
+
+    def __init__(self, update_exp, predict_exp, state0, meta: dict):
+        self._upd = update_exp
+        self._prd = predict_exp
+        self._state0 = tuple(np.asarray(a) for a in state0)
+        self.meta = dict(meta)
+
+    def _dtype(self):
+        return jnp.dtype(self.meta["dtype"])
+
+    def init_state(self) -> tuple:
+        """A fresh empty accumulator state (copy — states are immutable
+        values, but don't let callers alias the template)."""
+        return tuple(np.array(a, copy=True) for a in self._state0)
+
+    def update(self, state, uv, xv=None, weight=None):
+        """Fold one sample chunk into ``state``; returns the new state."""
+        m = self.meta
+        dt = self._dtype()
+        uv = jnp.asarray(uv, dt)
+        args = list(state)
+        if m["family"] == "streaming_lnpi":
+            if xv is not None or weight is not None:
+                msg = "lnPi streaming update takes only (state, uv_grid)"
+                raise ValueError(msg)
+            args.append(uv.reshape(*m["grid_shape"], uv.shape[-1]))
+        else:
+            xv = jnp.asarray(xv, dt)
+            val_shape = tuple(m["val_shape"])
+            args.extend([uv, xv.reshape(uv.shape[0], *val_shape)])
+            if m["weighted"]:
+                if weight is None:
+                    msg = "this artifact was exported weighted=True; pass weight="
+                    raise ValueError(msg)
+                args.append(jnp.asarray(weight, dt))
+            elif weight is not None:
+                msg = (
+                    "this artifact takes no weight operand (export with "
+                    "weighted=True); refusing to silently ignore weight="
+                )
+                raise ValueError(msg)
+        return tuple(self._upd.call(*args))
+
+    def predict(self, state, *args):
+        """Extrap: ``predict(state, betas)``; lnΠ:
+        ``predict(state, lnpi0, mudotn, betas)``.  Returns ``pred`` or
+        ``(pred, std)`` when exported with ``nrep > 0``."""
+        m = self.meta
+        dt = self._dtype()
+        if m["family"] == "streaming_lnpi":
+            lnpi0, mudotn, betas = args
+            grid = tuple(m["grid_shape"])
+            call = [
+                *state,
+                jnp.asarray(lnpi0, dt).reshape(grid),
+                jnp.asarray(mudotn, dt).reshape(grid),
+                jnp.atleast_1d(jnp.asarray(betas, dt)),
+            ]
+        else:
+            (betas,) = args
+            call = [*state, jnp.atleast_1d(jnp.asarray(betas, dt))]
+        return self._prd.call(*call)
+
+    # -- persistence ---------------------------------------------------------
+    def serialize(self) -> bytes:
+        import io
+
+        u = self._upd.serialize()
+        p = self._prd.serialize()
+        buf = io.BytesIO()
+        np.savez(buf, *self._state0)
+        s = buf.getvalue()
+        header = {**self.meta, "_sizes": [len(u), len(p), len(s)]}
+        return (
+            _MAGIC_BUNDLE
+            + b"\n"
+            + json.dumps(header, sort_keys=True).encode()
+            + b"\n"
+            + bytes(u)
+            + bytes(p)
+            + s
+        )
+
+    def save(self, path) -> None:
+        with open(path, "wb") as f:
+            f.write(self.serialize())
+
+    @classmethod
+    def _from_payload(cls, header: dict, payload: bytes):
+        import io
+
+        nu, np_, ns = header.pop("_sizes")
+        upd = jax_export.deserialize(bytearray(payload[:nu]))
+        prd = jax_export.deserialize(bytearray(payload[nu : nu + np_]))
+        with np.load(io.BytesIO(payload[nu + np_ : nu + np_ + ns])) as z:
+            state0 = [z[k] for k in z.files]
+        return cls(upd, prd, state0, header)
+
+
+def _export_streaming(family, factory_kwargs, meta, update_sig, predict_sig,
+                      platforms):
+    """Shared export driver: trace the in-process streaming pipeline's
+    jitted update/predict over a FLAT state tuple and symbolic chunk/query
+    dims, under the XLA-forced dispatch (no Mosaic custom calls in the
+    artifact)."""
+    from .ops.dispatch import use_impl
+    from .pipeline import (
+        make_streaming_extrap_pipeline,
+        make_streaming_lnpi_pipeline,
+    )
+
+    factory = (
+        make_streaming_lnpi_pipeline
+        if family == "streaming_lnpi"
+        else make_streaming_extrap_pipeline
+    )
+    state0, update, predict = factory(xla_only=True, **factory_kwargs)
+    leaves0, treedef = jax.tree.flatten(state0)
+    n = len(leaves0)
+    state_specs = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in leaves0]
+
+    def upd_flat(*args):
+        st = jax.tree.unflatten(treedef, args[:n])
+        return tuple(jax.tree.leaves(update(st, *update_sig["args"](args, n))))
+
+    def pred_flat(*args):
+        st = jax.tree.unflatten(treedef, args[:n])
+        return predict(st, *args[n:])
+
+    with use_impl("xla"):
+        upd_exp = _do_export(
+            upd_flat, state_specs + update_sig["specs"], platforms
+        )
+        prd_exp = _do_export(
+            pred_flat, state_specs + predict_sig["specs"], platforms
+        )
+    return StreamingExportedPipeline(
+        upd_exp, prd_exp, [np.asarray(l) for l in leaves0], meta
+    )
+
+
+def export_streaming_extrap_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    minus_log: bool = False,
+    val_shape: tuple = (),
+    nrep: int = 0,
+    seed: int = 0,
+    weighted: bool = False,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> StreamingExportedPipeline:
+    r"""Export the streaming β-extrap pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_streaming_extrap_pipeline`) as
+    an AOT bundle: ``update`` (polymorphic in chunk length ``R``) +
+    ``predict`` (polymorphic in query count ``A``) + the initial state.
+
+    The exported programs use the pure-XLA compute paths; with ``nrep``
+    the replicate frequencies come from a per-chunk ``jax.random.poisson``
+    table keyed on ``(seed, chunk index)`` carried in the state — the
+    exported fold matches the in-process ``xla_only=True`` pipeline
+    exactly, chunking-invariant CI semantics included.
+    """
+    dt = jnp.dtype(dtype)
+    val_shape = tuple(int(s) for s in val_shape)
+    (R,) = jax_export.symbolic_shape("R")
+    (A,) = jax_export.symbolic_shape("A")
+    upd_specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, *val_shape), dt),
+    ]
+    if weighted:
+        upd_specs.append(jax.ShapeDtypeStruct((R,), dt))
+
+        def upd_args(args, n):
+            return (args[n], args[n + 1], args[n + 2])
+
+    else:
+
+        def upd_args(args, n):
+            return (args[n], args[n + 1])
+
+    meta = {
+        "family": "streaming_extrap",
+        "order": order,
+        "beta0": beta0,
+        "minus_log": minus_log,
+        "val_shape": list(val_shape),
+        "nrep": nrep,
+        "seed": seed,
+        "weighted": weighted,
+        "dtype": dt.name,
+    }
+    return _export_streaming(
+        "streaming_extrap",
+        dict(
+            order=order,
+            beta0=beta0,
+            minus_log=minus_log,
+            val_shape=val_shape,
+            dtype=dt,
+            nrep=nrep,
+            seed=seed,
+        ),
+        meta,
+        {"specs": upd_specs, "args": upd_args},
+        {"specs": [jax.ShapeDtypeStruct((A,), dt)]},
+        platforms,
+    )
+
+
+def export_streaming_lnpi_pipeline(
+    order: int,
+    beta0: float,
+    *,
+    grid_shape: tuple,
+    nrep: int = 0,
+    seed: int = 0,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> StreamingExportedPipeline:
+    r"""Export the streaming lnΠ macrostate-grid pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_streaming_lnpi_pipeline`) as an
+    AOT bundle.  The grid shape is static (exact tiling); the chunk length
+    ``R`` and query count ``A`` are symbolic.  ``update(state, uv)`` takes
+    ``uv (*grid_shape, R)``; ``predict(state, lnpi0, mudotn, betas)``.
+    """
+    if order < 1:
+        msg = f"lnPi order must be >= 1, got {order}"
+        raise ValueError(msg)
+    dt = jnp.dtype(dtype)
+    grid_shape = tuple(int(s) for s in grid_shape)
+    (R,) = jax_export.symbolic_shape("R")
+    (A,) = jax_export.symbolic_shape("A")
+    meta = {
+        "family": "streaming_lnpi",
+        "order": order,
+        "beta0": beta0,
+        "grid_shape": list(grid_shape),
+        "nrep": nrep,
+        "seed": seed,
+        "dtype": dt.name,
+    }
+    return _export_streaming(
+        "streaming_lnpi",
+        dict(
+            order=order,
+            beta0=beta0,
+            grid_shape=grid_shape,
+            dtype=dt,
+            nrep=nrep,
+            seed=seed,
+        ),
+        meta,
+        {
+            "specs": [jax.ShapeDtypeStruct((*grid_shape, R), dt)],
+            "args": lambda args, n: (args[n],),
+        },
+        {
+            "specs": [
+                jax.ShapeDtypeStruct(grid_shape, dt),
+                jax.ShapeDtypeStruct(grid_shape, dt),
+                jax.ShapeDtypeStruct((A,), dt),
+            ]
+        },
+        platforms,
+    )
+
+
 def save_exported(artifact: ExportedPipeline, path) -> None:
     """Write an artifact to ``path`` (header + StableHLO payload)."""
     artifact.save(path)
@@ -398,10 +694,14 @@ def load_exported(path) -> ExportedPipeline:
     with open(path, "rb") as f:
         raw = f.read()
     parts = raw.split(b"\n", 2)
-    if len(parts) != 3 or parts[0] != _MAGIC:
+    if len(parts) != 3 or parts[0] not in (_MAGIC, _MAGIC_BUNDLE):
         msg = f"{path}: not a thermoextrap_tpu export artifact"
         raise ValueError(msg)
-    _, header, payload = parts
+    magic, header, payload = parts
+    if magic == _MAGIC_BUNDLE:
+        return StreamingExportedPipeline._from_payload(
+            json.loads(header.decode()), payload
+        )
     meta = json.loads(header.decode())
     exported = jax_export.deserialize(bytearray(payload))
     return ExportedPipeline(exported, meta)
