@@ -173,11 +173,15 @@ def test_kchain_time_measures_and_chains():
 
     from thermoextrap_tpu.utils.timing import kchain_time
 
-    # step with an observable effect per invocation: x -> x + 1
-    t, (out,) = kchain_time(lambda x: (x + 1.0,), (jnp.zeros(16),), k_lo=2, k_hi=10, reps=1)
-    # a trivial step's delta sits below timer noise and may come out
-    # slightly negative (honest: it means "unmeasurable") — only finiteness
-    # is guaranteed; the chained RESULT is exact
+    # step with an observable effect per invocation: x -> x + 1.  A trivial
+    # step's delta sits far below the ~25 ms tunnel noise floor, so the
+    # untrustworthy-rate warning MUST fire (the round-3 methodology guard).
+    with pytest.warns(UserWarning, match="noise floor"):
+        t, (out,) = kchain_time(
+            lambda x: (x + 1.0,), (jnp.zeros(16),), k_lo=2, k_hi=10, reps=1
+        )
+    # the delta may even come out slightly negative (honest: it means
+    # "unmeasurable") — only finiteness is guaranteed; the RESULT is exact
     assert np.isfinite(t)
     np.testing.assert_allclose(np.asarray(out), 10.0)  # K_hi chained applications
 

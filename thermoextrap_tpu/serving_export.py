@@ -27,9 +27,18 @@ platform; bootstrap replicates use Poisson(1) frequency tables (the same
 convention as the streaming pipelines — a valid bootstrap whose CI
 converges to the multinomial one, pipeline.py streaming notes).
 
+Four artifact families: batch β-extrap (:func:`export_extrap_pipeline`),
+macrostate-grid lnΠ (:func:`export_lnpi_pipeline`), frozen GPR posterior
+predictors (:func:`export_gpr_predictor` — polymorphic in the query count
+``M``), and STREAMING bundles (:func:`export_streaming_extrap_pipeline` /
+:func:`export_streaming_lnpi_pipeline` — ``update`` polymorphic in the
+chunk length, ``predict``, and the initial accumulator state in one file;
+the state crosses the boundary as an opaque array tuple).
+
 File format: a one-line JSON header (family + static config, for
 introspection and argument checking) followed by the ``jax.export``
-serialization.
+serialization — or, for streaming bundles, the two serialized programs
+plus an ``npz`` of the initial state, with byte offsets in the header.
 
 Examples
 --------
