@@ -286,6 +286,41 @@ class TestStreamingBundle:
         b = art.predict(art.update(back, uv2, xv2), np.array([1.0], np.float32))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bf16_bundle_roundtrip(self, tmp_path):
+        """ml_dtypes state leaves must survive the file round-trip (plain
+        np.savez corrupts bfloat16 to raw void arrays — regression)."""
+        rng = np.random.default_rng(7)
+        art = se.export_streaming_extrap_pipeline(2, 1.0, dtype=jnp.bfloat16)
+        path = tmp_path / "bf16.bin"
+        art.save(path)
+        art2 = se.load_exported(path)
+        state = art2.init_state()
+        # the np.savez corruption signature was dtype void16; bfloat16
+        # itself has kind "V", so check by name
+        assert all("void" not in a.dtype.name for a in state)
+        for a, b in zip(state, art.init_state()):
+            assert a.dtype == b.dtype
+        uv = rng.normal(2, 1, 32).astype(np.float32)
+        xv = (2 * uv).astype(np.float32)
+        state = art2.update(state, uv, xv)
+        out = np.asarray(art2.predict(state, np.array([1.0], np.float32)))
+        want = np.asarray(
+            art.predict(art.update(art.init_state(), uv, xv),
+                        np.array([1.0], np.float32))
+        )
+        np.testing.assert_array_equal(out, want)
+        # dtype-aware checkpoint helpers round-trip bf16 states too
+        art2.save_state(tmp_path / "st.bin", state)
+        back = art2.load_state(tmp_path / "st.bin")
+        for a, b in zip(back, state):
+            assert a.dtype == np.asarray(b).dtype
+            np.testing.assert_array_equal(a, np.asarray(b))
+
+    def test_update_requires_xv(self):
+        art = se.export_streaming_extrap_pipeline(2, 1.0)
+        with pytest.raises(ValueError, match="xv"):
+            art.update(art.init_state(), np.ones(4, np.float32))
+
     def test_weight_guards(self):
         rng = np.random.default_rng(4)
         uv = rng.normal(2, 1, 8).astype(np.float32)

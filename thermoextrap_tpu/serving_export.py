@@ -88,6 +88,17 @@ _MAGIC = b"THEXTPU-EXPORT-1"
 _MAGIC_BUNDLE = b"THEXTPU-BUNDLE-1"
 
 
+def _dtype_by_name(name: str) -> np.dtype:
+    """Resolve a dtype name, including the ml_dtypes ones numpy doesn't
+    know by string (``bfloat16`` & friends)."""
+    try:
+        return np.dtype(name)
+    except TypeError:
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, name))
+
+
 def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
                weighted: bool):
     """Pure-XLA extrapolation step (export-safe: no Pallas, no mesh).
@@ -374,8 +385,6 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
 
     Returns ``serve(uv, xv, betas, weight=None, seed=0)``.
     """
-    import numpy as np
-
     from .pipeline import bucket_pad, normalize_buckets
 
     m = artifact.meta
@@ -415,9 +424,17 @@ class StreamingExportedPipeline:
     ``update`` is shape-polymorphic in the chunk length ``R`` and
     ``predict`` in the query count ``A``; the state shapes are static
     (tiny: ``O(nrep * (order+2) * prod(val/grid shape))`` floats).
-    Checkpointing a stream = persisting the state tuple (e.g. ``np.savez``)
-    — the restart seam of the in-process pipeline's
+    Checkpointing a stream = persisting the state tuple: use
+    :meth:`save_state` / :meth:`load_state` (dtype-aware — plain
+    ``np.savez`` silently corrupts ``bfloat16`` leaves to raw void
+    arrays) — the restart seam of the in-process pipeline's
     ``DataCentralMoments.save``.
+
+    Chunk lengths are polymorphic, but the backend still compiles once
+    per *concrete* chunk shape (cached in-process): producers with ragged
+    chunks should pad to a fixed length — exactly, via zero-weight
+    samples, when exported ``weighted=True`` — or enable the persistent
+    compilation cache.
     """
 
     def __init__(self, update_exp, predict_exp, state0, meta: dict):
@@ -446,6 +463,9 @@ class StreamingExportedPipeline:
                 raise ValueError(msg)
             args.append(uv.reshape(*m["grid_shape"], uv.shape[-1]))
         else:
+            if xv is None:
+                msg = "extrap streaming update takes (state, uv, xv[, weight=])"
+                raise ValueError(msg)
             xv = jnp.asarray(xv, dt)
             val_shape = tuple(m["val_shape"])
             args.extend([uv, xv.reshape(uv.shape[0], *val_shape)])
@@ -482,16 +502,50 @@ class StreamingExportedPipeline:
             call = [*state, jnp.atleast_1d(jnp.asarray(betas, dt))]
         return self._prd.call(*call)
 
+    # -- state persistence (dtype-aware) --------------------------------------
+    # plain np.savez silently serializes ml_dtypes leaves (bfloat16) as raw
+    # void ('V2') arrays that np.load cannot restore, so states are encoded
+    # as raw bytes with (dtype name, shape) metadata instead
+    @staticmethod
+    def _encode_state(state):
+        spec = [[np.asarray(a).dtype.name, list(np.asarray(a).shape)] for a in state]
+        blob = b"".join(np.ascontiguousarray(np.asarray(a)).tobytes() for a in state)
+        return spec, blob
+
+    @staticmethod
+    def _decode_state(spec, blob: bytes):
+        out, off = [], 0
+        for name, shape in spec:
+            dt = _dtype_by_name(name)
+            n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
+            out.append(
+                np.frombuffer(blob[off : off + n], dtype=dt).reshape(shape).copy()
+            )
+            off += n
+        return tuple(out)
+
+    def save_state(self, path, state) -> None:
+        """Checkpoint a state tuple (any leaf dtype, bfloat16 included)."""
+        spec, blob = self._encode_state(state)
+        with open(path, "wb") as f:
+            f.write(json.dumps(spec).encode() + b"\n" + blob)
+
+    def load_state(self, path) -> tuple:
+        """Reload a :meth:`save_state` checkpoint."""
+        with open(path, "rb") as f:
+            head, blob = f.read().split(b"\n", 1)
+        return self._decode_state(json.loads(head.decode()), blob)
+
     # -- persistence ---------------------------------------------------------
     def serialize(self) -> bytes:
-        import io
-
         u = self._upd.serialize()
         p = self._prd.serialize()
-        buf = io.BytesIO()
-        np.savez(buf, *self._state0)
-        s = buf.getvalue()
-        header = {**self.meta, "_sizes": [len(u), len(p), len(s)]}
+        spec, s = self._encode_state(self._state0)
+        header = {
+            **self.meta,
+            "_sizes": [len(u), len(p), len(s)],
+            "_state_spec": spec,
+        }
         return (
             _MAGIC_BUNDLE
             + b"\n"
@@ -508,13 +562,11 @@ class StreamingExportedPipeline:
 
     @classmethod
     def _from_payload(cls, header: dict, payload: bytes):
-        import io
-
         nu, np_, ns = header.pop("_sizes")
+        spec = header.pop("_state_spec")
         upd = jax_export.deserialize(bytearray(payload[:nu]))
         prd = jax_export.deserialize(bytearray(payload[nu : nu + np_]))
-        with np.load(io.BytesIO(payload[nu + np_ : nu + np_ + ns])) as z:
-            state0 = [z[k] for k in z.files]
+        state0 = cls._decode_state(spec, payload[nu + np_ : nu + np_ + ns])
         return cls(upd, prd, state0, header)
 
 
@@ -694,11 +746,14 @@ def save_exported(artifact: ExportedPipeline, path) -> None:
     artifact.save(path)
 
 
-def load_exported(path) -> ExportedPipeline:
+def load_exported(path) -> ExportedPipeline | StreamingExportedPipeline:
     """Reload an artifact written by :func:`save_exported` / ``.save``.
 
-    No Python tracing happens here — the program is deserialized as-is
-    and compiles (cacheably) on first call.
+    Dispatches on the file magic: single-program artifacts return an
+    :class:`ExportedPipeline` (callable), streaming bundles a
+    :class:`StreamingExportedPipeline` (``init_state/update/predict``).
+    No Python tracing happens here — the programs are deserialized as-is
+    and compile (cacheably) on first call.
     """
     with open(path, "rb") as f:
         raw = f.read()
