@@ -209,6 +209,29 @@ def main() -> None:
         assert np.isfinite(pred).all()
     print(f"bucketed serving: sizes (1500, 1800, 5000) -> buckets {serve.buckets}")
 
+    # ---- AOT streaming bundle: update+predict+init-state in ONE file; the
+    # serving process needs no package code (see docs/serving.md)
+    import tempfile
+
+    from thermoextrap_tpu import serving_export as se
+
+    art = se.export_streaming_extrap_pipeline(order, beta0)
+    with tempfile.TemporaryDirectory() as td:
+        art.save(td + "/stream.thexport")
+        art2 = se.load_exported(td + "/stream.thexport")
+        st = art2.init_state()
+        x, u = idealgas.generate_data((4_000, 100), beta0, rng=9)
+        u = np.asarray(u, np.float32)
+        x = np.asarray(x, np.float32)
+        st = art2.update(st, u[:2_500], x[:2_500])
+        st = art2.update(st, u[2_500:], x[2_500:])  # different chunk length
+        b_pred = np.asarray(art2.predict(st, betas))
+    print(
+        "AOT streaming bundle (2 ragged chunks): "
+        f"max |pred - analytic| = {np.max(np.abs(b_pred - exact)):.2e}"
+    )
+    assert np.abs(b_pred[2] - exact[2]) < 5e-2
+
 
 if __name__ == "__main__":
     main()

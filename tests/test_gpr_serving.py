@@ -169,6 +169,35 @@ class TestFreezePredictor:
         mean, _ = pred(XT)
         assert np.all(np.isfinite(np.asarray(mean)))
 
+    def test_multidim_observable(self):
+        """obs_dims=2: the frozen 2-D kernel block + mixed query order
+        match predict_f exactly at f64."""
+        from thermoextrap_tpu.gpr_active.gp_models import DerivativeKernel
+        from thermoextrap_tpu.gpr_active.kernels import make_rbf_expr
+
+        rng = np.random.default_rng(3)
+        expr, params = make_rbf_expr(2)
+        kern = DerivativeKernel(expr, 2, kernel_params=params)
+        locs = rng.uniform(0, 2, (6, 2))
+        X = np.concatenate(
+            [
+                np.concatenate([locs, np.zeros_like(locs)], axis=1),
+                np.concatenate([locs, np.tile([[1.0, 0.0]], (6, 1))], axis=1),
+            ]
+        )
+        Y = rng.normal(size=(12, 1))
+        cov = np.diag(np.full(12, 1e-3))
+        model = HeteroscedasticGPR((X, Y, cov), kernel=kern)
+
+        qt = rng.uniform(0, 2, (9, 2))
+        for d_new in [(0, 0), (1, 0)]:
+            Xt = np.concatenate([qt, np.tile([d_new], (9, 1))], axis=1)
+            mean_ref, var_ref = map(np.asarray, model.predict_f(Xt))
+            pred = freeze_predictor(model, d_new=d_new, dtype=jnp.float64)
+            mean, var = map(np.asarray, pred(qt))
+            np.testing.assert_allclose(mean, mean_ref, rtol=1e-9, atol=1e-12)
+            np.testing.assert_allclose(var, var_ref, rtol=1e-7, atol=1e-12)
+
     def test_sharded_queries_match_single_device(self, trained):
         """Posterior queries are data-parallel over the mesh rec axis; a
         sharded input must produce exactly the single-device output."""
