@@ -14,7 +14,8 @@ per process:
 - **Re-exporting per shape**: gone — the program is symbolic in ``R``/``A``,
   so one artifact covers every input size.  Note the backend still
   compiles once per *concrete* shape at call time (cached in-process;
-  measured ~4–5 s/shape on CPU, bench_export.py): bound the compile count
+  measured ~2 s/shape CPU vs ~2 ms artifact load — EXPORT_SERVING.json,
+  benches/bench_export.py): bound the compile count
   with :func:`bucketed_runner` (zero-weight padding to size buckets) and
   persist the compiles across processes with
   :func:`~thermoextrap_tpu.utils.enable_compilation_cache`.
