@@ -169,6 +169,33 @@ class TestFreezePredictor:
         mean, _ = pred(XT)
         assert np.all(np.isfinite(np.asarray(mean)))
 
+    def test_callable_kernel_freezes(self):
+        """Nested-jax.grad kernels (CallableDerivativeKernel) freeze too —
+        the predictor only needs pair_table/params, shared via the base."""
+        from thermoextrap_tpu.gpr_active.kernels import (
+            CallableDerivativeKernel,
+        )
+
+        def rbf(x1, x2, var, ell):
+            return var * jnp.exp(-0.5 * ((x1[0] - x2[0]) / ell) ** 2)
+
+        xs = np.linspace(0, 3, 6)
+        y = np.sin(xs)[:, None]
+        X = np.stack([xs, np.zeros_like(xs)], axis=1)
+        model = HeteroscedasticGPR(
+            (X, y, np.eye(6) * 1e-4),
+            kernel=CallableDerivativeKernel(
+                rbf, kernel_params={"var": 1.0, "l": 1.0}
+            ),
+        )
+        mean_ref, var_ref = map(np.asarray, model.predict_f(
+            np.stack([XT, np.zeros_like(XT)], 1)
+        ))
+        pred = freeze_predictor(model, dtype=jnp.float64)
+        mean, var = map(np.asarray, pred(XT))
+        np.testing.assert_allclose(mean, mean_ref, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(var, var_ref, rtol=1e-7, atol=1e-12)
+
     def test_multidim_observable(self):
         """obs_dims=2: the frozen 2-D kernel block + mixed query order
         match predict_f exactly at f64."""
