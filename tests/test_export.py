@@ -379,3 +379,73 @@ print("META", art.meta["family"], art.meta["order"])
         assert "META streaming_extrap 2" in proc.stdout
         got = np.load(tmp_path / "out.npy")
         np.testing.assert_array_equal(got, want)
+
+
+def _xalpha_data(r=257, order=3, seed=0):
+    rng = np.random.default_rng(seed)
+    uv = (5.0 + rng.normal(size=r)).astype(np.float32)
+    base = 2.0 + 0.4 * rng.normal(size=(r, 1))
+    xv = np.zeros((r, order + 1, 1), np.float32)
+    xv[:, 0] = 2.0 * base
+    xv[:, 1] = base
+    return uv, xv
+
+
+def test_extrap_export_xalpha_matches_pipeline():
+    order = 3
+    art = se.export_extrap_pipeline(order=order, beta0=1.0, xalpha=True)
+    run = pipeline.make_extrap_pipeline(order, 1.0, xalpha=True)
+    for r in (257, 64):  # polymorphic in R
+        uv, xv = _xalpha_data(r, order=order)
+        got = np.asarray(art(uv, xv, BETAS))
+        want = np.asarray(run(uv, xv, BETAS))
+        assert got.shape == (3, 1)
+        np.testing.assert_allclose(got, want.reshape(got.shape),
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_extrap_export_xalpha_shape_guard():
+    art = se.export_extrap_pipeline(order=3, beta0=1.0, xalpha=True)
+    uv, xv = _xalpha_data(order=3)
+    with pytest.raises(ValueError, match="deriv axis"):
+        art(uv, xv[:, :3], BETAS)
+
+
+def test_extrap_export_xalpha_bootstrap_roundtrip(tmp_path):
+    order = 3
+    art = se.export_extrap_pipeline(
+        order=order, beta0=1.0, xalpha=True, nrep=32, minus_log=False
+    )
+    path = tmp_path / "xalpha.thexport"
+    art.save(path)
+    art2 = se.load_exported(path)
+    uv, xv = _xalpha_data(order=order)
+    got = art2(uv, xv, BETAS, seed=5)
+    pred, std = (np.asarray(a) for a in got)
+    assert pred.shape == std.shape == (3, 1)
+    assert np.all(np.isfinite(pred)) and np.all(std > 0)
+    np.testing.assert_array_equal(
+        pred, np.asarray(art(uv, xv, BETAS, seed=5)[0])
+    )
+
+
+def test_streaming_export_xalpha_matches_inprocess():
+    from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+    order = 3
+    bun = se.export_streaming_extrap_pipeline(
+        order=order, beta0=1.0, xalpha=True, val_shape=(1,)
+    )
+    uv, xv = _xalpha_data(300, order=order)
+    st = bun.init_state()
+    for lo, hi in [(0, 200), (200, 300)]:
+        st = bun.update(st, uv[lo:hi], xv[lo:hi])
+    got = np.asarray(bun.predict(st, BETAS))
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        order, 1.0, xalpha=True, val_shape=(1,), xla_only=True
+    )
+    for lo, hi in [(0, 200), (200, 300)]:
+        state = update(state, uv[lo:hi], xv[lo:hi])
+    want = np.asarray(predict(state, BETAS))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)

@@ -345,3 +345,115 @@ class TestBucketedRunner:
         got = np.asarray(serve(uv, xv, np.array([2.1]), weight=w))
         want = np.asarray(run(uv, xv, np.array([2.1]), w))
         np.testing.assert_allclose(got, want, rtol=1e-13, atol=0)
+
+
+class TestXalphaPipeline:
+    """β-dependent observables (tutorial cases 2/4) through the serving
+    pipelines: the deriv columns ride the kernels as extra value columns,
+    only the coefficient assembly differs (central_x_ave_coefs_xalpha)."""
+
+    @staticmethod
+    def _data(rng_np, order, R=3000, v=()):
+        u = rng_np.normal(3.0, 0.7, R)
+        base = 1.5 + 0.2 * (u - 3.0) + rng_np.normal(0, 0.3, R)
+        # observable "2*x with an explicit x β-derivative column":
+        # deriv columns [2x, x, 0, ...]
+        xv = np.zeros((R, order + 1, *v))
+        b = base.reshape(R, *([1] * len(v)))
+        xv[:, 0] = 2.0 * b
+        xv[:, 1] = b
+        return u, xv
+
+    @staticmethod
+    def _model(u, xv, order, beta0, minus_log=False):
+        data = xtpu.factory_data_values(
+            uv=np.asarray(u),
+            xv=np.asarray(xv),
+            order=order,
+            central=True,
+            xalpha=True,
+        )
+        return beta.factory_extrapmodel(beta0, data, minus_log=minus_log)
+
+    def test_matches_model(self, rng_np):
+        order, beta0 = 4, 2.0
+        u, xv = self._data(rng_np, order, v=(1,))
+        betas = np.array([1.8, 2.0, 2.3])
+        run = make_extrap_pipeline(order, beta0, xalpha=True)
+        got = np.asarray(run(u, xv, betas))
+        ref = np.asarray(self._model(u, xv, order, beta0).predict(betas))
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+    def test_minus_log(self, rng_np):
+        order, beta0 = 3, 2.0
+        u, xv = self._data(rng_np, order, v=(1,))
+        betas = np.array([1.9, 2.2])
+        run = make_extrap_pipeline(order, beta0, xalpha=True, minus_log=True)
+        got = np.asarray(run(u, xv, betas))
+        ref = np.asarray(
+            self._model(u, xv, order, beta0, minus_log=True).predict(betas)
+        )
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+    def test_bootstrap_calibrated(self, rng_np):
+        order, beta0, nrep = 2, 2.0, 200
+        u, xv = self._data(rng_np, order, R=4000, v=(1,))
+        betas = np.array([1.9, 2.2])
+        run = make_extrap_pipeline(order, beta0, xalpha=True, nrep=nrep)
+        pred, std = run(u, xv, betas, seed=3)
+        model = self._model(u, xv, order, beta0)
+        np.testing.assert_allclose(
+            np.asarray(pred).ravel(),
+            np.asarray(model.predict(betas)).ravel(),
+            rtol=1e-10,
+        )
+        boot = model.resample({"nrep": nrep})
+        ref_std = np.asarray(boot.predict(betas)).std(axis=1)
+        ratio = np.asarray(std).ravel() / ref_std.ravel()
+        assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+
+    def test_sharded_matches_unsharded(self, rng_np):
+        import jax
+        import pytest
+
+        from thermoextrap_tpu.parallel import make_mesh, shard_rec
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        order, beta0 = 3, 2.0
+        u, xv = self._data(rng_np, order, R=4096, v=(1,))
+        betas = np.array([1.9, 2.2])
+        mesh = make_mesh(8, axis_names=("rep", "rec"))
+        run_m = make_extrap_pipeline(order, beta0, xalpha=True, nrep=16, mesh=mesh)
+        run_1 = make_extrap_pipeline(order, beta0, xalpha=True)
+        pred_m, std_m = run_m(
+            shard_rec(jnp.asarray(u), mesh), shard_rec(jnp.asarray(xv), mesh), betas
+        )
+        pred_1 = run_1(u, xv, betas)
+        np.testing.assert_allclose(
+            np.asarray(pred_m), np.asarray(pred_1), rtol=1e-12
+        )
+        assert np.all(np.asarray(std_m) > 0)
+
+    def test_deriv_axis_shape_error(self, rng_np):
+        import pytest
+
+        order, beta0 = 3, 2.0
+        u, xv = self._data(rng_np, order, v=(1,))
+        run = make_extrap_pipeline(order, beta0, xalpha=True)
+        with pytest.raises(ValueError, match="deriv axis"):
+            run(u, xv[:, :order], np.array([2.0]))
+
+    def test_bucketed_runner(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+        order, beta0 = 3, 2.0
+        u, xv = self._data(rng_np, order, R=700, v=(1,))
+        betas = np.array([1.9, 2.2])
+        serve = make_bucketed_extrap_runner(
+            order, beta0, xalpha=True, buckets=(1 << 10,)
+        )
+        serve.warmup(val_shape=(1,))
+        got = np.asarray(serve(u, xv, betas))
+        ref = np.asarray(self._model(u, xv, order, beta0).predict(betas))
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)

@@ -906,3 +906,83 @@ class TestStreamingLnpiBootstrap:
         _p1, std1 = run(uv, lnpi0, mudotn, betas, seed=5)
         ratio = np.asarray(std) / np.asarray(std1)
         assert np.all(ratio > 0.4) and np.all(ratio < 2.5), ratio
+
+
+class TestStreamingXalpha:
+    """β-dependent observables through the streaming pipeline: the deriv
+    columns ride as a leading value axis of the accumulator; predict-time
+    assembly uses central_x_ave_coefs_xalpha."""
+
+    @staticmethod
+    def _xalpha_vals(order=4):
+        rng = np.random.default_rng(11)
+        uv = jnp.asarray(1.0 + 0.3 * rng.normal(size=R))
+        base = 2.0 + 0.2 * rng.normal(size=R)
+        xv = np.zeros((R, order + 1, 1))
+        xv[:, 0, 0] = 2.0 * base
+        xv[:, 1, 0] = base
+        return uv, jnp.asarray(xv)
+
+    def test_matches_one_shot(self):
+        from thermoextrap_tpu.pipeline import (
+            make_extrap_pipeline,
+            make_streaming_extrap_pipeline,
+        )
+
+        uv, xv = self._xalpha_vals()
+        betas = jnp.asarray([0.8, 1.0, 1.2])
+        want = np.asarray(
+            make_extrap_pipeline(4, 1.0, xalpha=True)(uv, xv, betas)
+        )
+        state, update, predict = make_streaming_extrap_pipeline(
+            4, 1.0, xalpha=True, val_shape=(1,), dtype=jnp.float64
+        )
+        for lo, hi in [(0, 1000), (1000, 1800), (1800, R)]:
+            state = update(state, uv[lo:hi], xv[lo:hi])
+        got = np.asarray(predict(state, betas))
+        np.testing.assert_allclose(want, got, rtol=1e-12)
+
+    def test_minus_log_matches_one_shot(self):
+        from thermoextrap_tpu.pipeline import (
+            make_extrap_pipeline,
+            make_streaming_extrap_pipeline,
+        )
+
+        uv, xv = self._xalpha_vals()
+        betas = jnp.asarray([0.9, 1.1])
+        want = np.asarray(
+            make_extrap_pipeline(4, 1.0, xalpha=True, minus_log=True)(
+                uv, xv, betas
+            )
+        )
+        state, update, predict = make_streaming_extrap_pipeline(
+            4, 1.0, xalpha=True, minus_log=True, val_shape=(1,),
+            dtype=jnp.float64,
+        )
+        state = update(state, uv, xv)
+        np.testing.assert_allclose(
+            want, np.asarray(predict(state, betas)), rtol=1e-12
+        )
+
+    def test_bootstrap_ci(self):
+        from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+        uv, xv = self._xalpha_vals()
+        betas = jnp.asarray([0.9, 1.1])
+        state, update, predict = make_streaming_extrap_pipeline(
+            4, 1.0, xalpha=True, val_shape=(1,), dtype=jnp.float64, nrep=64
+        )
+        for lo, hi in [(0, 1500), (1500, R)]:
+            state = update(state, uv[lo:hi], xv[lo:hi])
+        pred, std = (np.asarray(a) for a in predict(state, betas))
+        assert np.all(np.isfinite(pred))
+        assert np.all(std > 0)
+        # mean path unaffected by replicate accumulators
+        state1, update1, predict1 = make_streaming_extrap_pipeline(
+            4, 1.0, xalpha=True, val_shape=(1,), dtype=jnp.float64
+        )
+        for lo, hi in [(0, 1500), (1500, R)]:
+            state1 = update1(state1, uv[lo:hi], xv[lo:hi])
+        np.testing.assert_allclose(
+            pred, np.asarray(predict1(state1, betas)), rtol=1e-12
+        )

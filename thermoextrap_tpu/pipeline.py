@@ -27,6 +27,7 @@ import numpy as np
 from .models.derivatives import (
     central_u_ave_coefs,
     central_x_ave_coefs,
+    central_x_ave_coefs_xalpha,
     lnpi_coefs,
 )
 from .models.extrap import _poly_eval
@@ -50,6 +51,7 @@ def make_extrap_pipeline(
     beta0: float,
     *,
     minus_log: bool = False,
+    xalpha: bool = False,
     nrep: int = 0,
     mesh=None,
     weighted: bool = False,
@@ -64,6 +66,16 @@ def make_extrap_pipeline(
     beta0 : reference inverse temperature the samples were drawn at.
     minus_log : predict ``-log <x>`` (series-log transform of the
         coefficients, reference ``SymMinusLog``, models.py:261-287).
+    xalpha : the observable depends explicitly on β (reference
+        three-argument ``dxdu`` functions, beta.py:129-161 — tutorial
+        temperature-extrapolation cases 2 and 4).  ``xv`` then carries a
+        derivative axis right after the sample axis holding
+        :math:`d^k x/d\beta^k` at fixed configuration for
+        ``k = 0..order``: ``xv (R, order+1, *val)``.  Composes with
+        ``minus_log`` (case 4) and with every other option — the kernels
+        reduce the derivative columns as extra value columns; only the
+        coefficient assembly differs
+        (:func:`~thermoextrap_tpu.models.derivatives.central_x_ave_coefs_xalpha`).
     nrep : if > 0, also return the bootstrap standard deviation of the
         prediction from ``nrep`` replicates.  On an accelerator the
         replicates come from the in-kernel Poisson bootstrap (no
@@ -86,9 +98,10 @@ def make_extrap_pipeline(
 
     Returns
     -------
-    ``run(uv, xv, betas, seed=0)`` where ``uv (R,)``, ``xv (R, *val)``,
-    ``betas (A,)`` → ``pred (A, *val)`` or ``(pred, std)`` with
-    ``std (A, *val)``.  ``seed`` only matters when ``nrep > 0``.
+    ``run(uv, xv, betas, seed=0)`` where ``uv (R,)``, ``xv (R, *val)``
+    (``(R, order+1, *val)`` with ``xalpha``), ``betas (A,)`` →
+    ``pred (A, *val)`` or ``(pred, std)`` with ``std (A, *val)``.
+    ``seed`` only matters when ``nrep > 0``.
 
     Examples
     --------
@@ -104,9 +117,38 @@ def make_extrap_pipeline(
     # only lower on an accelerator
     on_accel = jax.default_backend() != "cpu"
 
-    def _coefs(xave, du, dxdu):
-        c = central_x_ave_coefs(xave, du, dxdu, order)
+    def _post(c):
         return series_neg_log(c) if minus_log else c
+
+    def _coefs(xave, du, dxdu):
+        # mean path: xave (V,), du (order+1, 1), dxdu (order+1, V); with
+        # xalpha the flat V packs (order+1 deriv columns) x (vv values)
+        if xalpha:
+            vv = xave.shape[-1] // (order + 1)
+            c = central_x_ave_coefs_xalpha(
+                xave.reshape(order + 1, vv),
+                du,
+                dxdu.reshape(order + 1, order + 1, vv),
+                order,
+            )
+        else:
+            c = central_x_ave_coefs(xave, du, dxdu, order)
+        return _post(c)
+
+    def _boot_coefs(bx, bdu, bdxdu):
+        # bootstrap path: bx (nrep, V), bdu (order+1, nrep, 1),
+        # bdxdu (order+1, nrep, V); the xalpha recursion indexes the deriv
+        # axis at position 0 (x1) / 1 (dxdu), so move it ahead of nrep
+        if xalpha:
+            vv = bx.shape[-1] // (order + 1)
+            x1 = jnp.moveaxis(bx.reshape(nrep, order + 1, vv), 1, 0)
+            dx = jnp.moveaxis(
+                bdxdu.reshape(order + 1, nrep, order + 1, vv), 2, 1
+            )
+            c = central_x_ave_coefs_xalpha(x1, bdu, dx, order)
+        else:
+            c = central_x_ave_coefs(bx, bdu, bdxdu, order)
+        return _post(c)
 
     use_bf16 = bf16 and on_accel and mesh is None
 
@@ -117,7 +159,16 @@ def make_extrap_pipeline(
         if use_bf16:
             uv = uv.astype(jnp.bfloat16)
             xv = xv.astype(jnp.bfloat16)
-        val_shape = xv.shape[1:]
+        if xalpha:
+            if xv.ndim < 2 or xv.shape[1] != order + 1:
+                msg = (
+                    f"xalpha xv needs a deriv axis of size order+1="
+                    f"{order + 1} after the sample axis, got {xv.shape}"
+                )
+                raise ValueError(msg)
+            val_shape = xv.shape[2:]
+        else:
+            val_shape = xv.shape[1:]
         xflat = xv.reshape(uv.shape[0], -1)
         betas = jnp.atleast_1d(jnp.asarray(betas))
         dalpha = betas - beta0
@@ -169,7 +220,7 @@ def make_extrap_pipeline(
                 uv, xflat, freq, order, weight=weight
             )
 
-        bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
+        bpred = _poly_eval(_boot_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
         std = bpred.std(axis=1).reshape(betas.shape + val_shape)
         return pred, std
 
@@ -191,6 +242,7 @@ def make_streaming_extrap_pipeline(
     beta0: float,
     *,
     minus_log: bool = False,
+    xalpha: bool = False,
     val_shape: tuple[int, ...] = (),
     dtype=jnp.float32,
     bf16: bool = False,
@@ -219,8 +271,13 @@ def make_streaming_extrap_pipeline(
 
     Parameters
     ----------
-    order, beta0, minus_log : as in :func:`make_extrap_pipeline`.
-    val_shape : trailing value shape of ``xv`` chunks (``()`` for scalar x).
+    order, beta0, minus_log, xalpha : as in :func:`make_extrap_pipeline`.
+        With ``xalpha`` each chunk's ``xv`` is ``(chunk, order+1, *val)``
+        (β-derivative columns of the observable); the accumulator simply
+        carries the derivative columns as extra value axes and only the
+        prediction-time coefficient assembly differs.
+    val_shape : trailing value shape of ``xv`` chunks (``()`` for scalar
+        x), excluding the ``xalpha`` derivative axis.
     dtype : accumulator dtype (f32 matches the kernel accumulation width).
     bf16 : stream chunk samples as bfloat16 on an accelerator (half HBM
         traffic; in-kernel accumulation stays f32; the running state stays
@@ -271,7 +328,11 @@ def make_streaming_extrap_pipeline(
 
     on_accel = jax.default_backend() != "cpu" and not xla_only
     use_bf16 = bf16 and on_accel and mesh is None
-    val_shape = tuple(val_shape)
+    # with xalpha the derivative columns ride along as a leading value
+    # axis of the accumulator; they are disentangled only at predict time
+    val_shape = (
+        (order + 1, *val_shape) if xalpha else tuple(val_shape)
+    )
     pad = (1,) * len(val_shape)
 
     mean0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
@@ -377,8 +438,21 @@ def make_streaming_extrap_pipeline(
             lambda new_leaf, old: new_leaf.astype(old.dtype), new, state
         )
 
-    def _coefs(xave, du, dxdu):
-        c = central_x_ave_coefs(xave, du, dxdu, order)
+    def _coefs(xave, du, dxdu, *, rep: bool = False):
+        if xalpha:
+            # the xalpha recursion indexes the deriv axis at position 0
+            # (x1) / 1 (dxdu); in the accumulator it sits after the
+            # replicate batch axis, and du carries its broadcast pad
+            if rep:
+                x1 = jnp.moveaxis(xave, 1, 0)
+                dx = jnp.moveaxis(dxdu, 2, 1)
+                du = jnp.squeeze(du, axis=2)
+            else:
+                x1, dx = xave, dxdu
+                du = jnp.squeeze(du, axis=1)
+            c = central_x_ave_coefs_xalpha(x1, du, dx, order)
+        else:
+            c = central_x_ave_coefs(xave, du, dxdu, order)
         return series_neg_log(c) if minus_log else c
 
     @jax.jit
@@ -391,7 +465,9 @@ def make_streaming_extrap_pipeline(
             )
         mean_s, rep_s, _step = state
         pred = _poly_eval(_coefs(mean_s.xave, mean_s.du, mean_s.dxdu), dalpha)
-        bpred = _poly_eval(_coefs(rep_s.xave, rep_s.du, rep_s.dxdu), dalpha)
+        bpred = _poly_eval(
+            _coefs(rep_s.xave, rep_s.du, rep_s.dxdu, rep=True), dalpha
+        )
         return pred, bpred.std(axis=1)
 
     return state0, update, predict
@@ -1024,6 +1100,7 @@ def make_bucketed_extrap_runner(
     *,
     buckets=None,
     minus_log: bool = False,
+    xalpha: bool = False,
     nrep: int = 0,
     bf16: bool = False,
 ):
@@ -1065,7 +1142,13 @@ def make_bucketed_extrap_runner(
     6.0
     """
     run = make_extrap_pipeline(
-        order, beta0, minus_log=minus_log, nrep=nrep, weighted=True, bf16=bf16
+        order,
+        beta0,
+        minus_log=minus_log,
+        xalpha=xalpha,
+        nrep=nrep,
+        weighted=True,
+        bf16=bf16,
     )
     buckets = normalize_buckets(buckets)
 
@@ -1089,7 +1172,10 @@ def make_bucketed_extrap_runner(
             if max_bucket is not None and b > max_bucket:
                 break
             uv = np.linspace(0.5, 1.5, b, dtype=dtype)
-            xv = np.ones((b, *val_shape), dtype=dtype)
+            xv_shape = (
+                (b, order + 1, *val_shape) if xalpha else (b, *val_shape)
+            )
+            xv = np.ones(xv_shape, dtype=dtype)
             out = serve(uv, xv, np.full(n_betas, beta0))
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
 

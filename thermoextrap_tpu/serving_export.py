@@ -65,6 +65,7 @@ from jax import export as jax_export
 from .models.derivatives import (
     central_u_ave_coefs,
     central_x_ave_coefs,
+    central_x_ave_coefs_xalpha,
     lnpi_coefs,
 )
 from .models.extrap import _poly_eval
@@ -101,16 +102,42 @@ def _dtype_by_name(name: str) -> np.dtype:
 
 
 def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
-               weighted: bool):
+               weighted: bool, xalpha: bool = False):
     """Pure-XLA extrapolation step (export-safe: no Pallas, no mesh).
 
     Mirrors the CPU branch of :func:`~thermoextrap_tpu.pipeline.
-    make_extrap_pipeline` with Poisson(1) bootstrap frequencies.
+    make_extrap_pipeline` with Poisson(1) bootstrap frequencies.  With
+    ``xalpha`` the flat value width packs (order+1 β-derivative columns)
+    × (vv observable values), exactly as in the pipeline.
     """
 
-    def _coefs(xave, du, dxdu):
-        c = central_x_ave_coefs(xave, du, dxdu, order)
+    def _post(c):
         return series_neg_log(c) if minus_log else c
+
+    def _coefs(xave, du, dxdu):
+        if xalpha:
+            vv = xave.shape[-1] // (order + 1)
+            c = central_x_ave_coefs_xalpha(
+                xave.reshape(order + 1, vv),
+                du,
+                dxdu.reshape(order + 1, order + 1, vv),
+                order,
+            )
+        else:
+            c = central_x_ave_coefs(xave, du, dxdu, order)
+        return _post(c)
+
+    def _boot_coefs(bx, bdu, bdxdu):
+        if xalpha:
+            vv = bx.shape[-1] // (order + 1)
+            x1 = jnp.moveaxis(bx.reshape(nrep, order + 1, vv), 1, 0)
+            dx = jnp.moveaxis(
+                bdxdu.reshape(order + 1, nrep, order + 1, vv), 2, 1
+            )
+            c = central_x_ave_coefs_xalpha(x1, bdu, dx, order)
+        else:
+            c = central_x_ave_coefs(bx, bdu, bdxdu, order)
+        return _post(c)
 
     def fn(uv, xv, betas, weight, seed):
         dalpha = betas - jnp.asarray(beta0, betas.dtype)
@@ -126,7 +153,7 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         bx, _bu, bdu, bdxdu = resample_central_comoments(
             uv, xv, freq, order, weight=weight
         )
-        bpred = _poly_eval(_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
+        bpred = _poly_eval(_boot_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
         return pred, bpred.std(axis=1)
 
     if weighted:
@@ -204,7 +231,18 @@ class ExportedPipeline:
             uv, xv, betas = args
             uv = jnp.asarray(uv, dt)
             xv = jnp.asarray(xv, dt)
-            if xv.ndim == 1:
+            val_shape = None
+            if m.get("xalpha"):
+                nd = m["order"] + 1
+                if xv.ndim < 2 or xv.shape[1] != nd:
+                    msg = (
+                        f"xalpha artifact: xv needs a deriv axis of size "
+                        f"order+1={nd} after the sample axis, got {xv.shape}"
+                    )
+                    raise ValueError(msg)
+                val_shape = xv.shape[2:]
+                xv = xv.reshape(xv.shape[0], -1)
+            elif xv.ndim == 1:
                 xv = xv[:, None]
             betas = jnp.atleast_1d(jnp.asarray(betas, dt))
             call = [uv, xv, betas]
@@ -214,7 +252,15 @@ class ExportedPipeline:
                     raise ValueError(msg)
                 call.append(jnp.asarray(weight, dt))
             call.append(jnp.asarray(seed, jnp.int32))
-            return self._exported.call(*call)
+            out = self._exported.call(*call)
+            if val_shape is not None:
+                reshape = lambda a: a.reshape(a.shape[:1] + val_shape)  # noqa: E731
+                out = (
+                    (reshape(out[0]), reshape(out[1]))
+                    if m["nrep"]
+                    else reshape(out)
+                )
+            return out
         if m["family"] == "lnpi":
             uv, lnpi0, mudotn, betas = args
             uv = jnp.asarray(uv, dt)
@@ -253,6 +299,7 @@ def export_extrap_pipeline(
     beta0: float,
     *,
     minus_log: bool = False,
+    xalpha: bool = False,
     nrep: int = 0,
     weighted: bool = False,
     nval: int | None = None,
@@ -267,8 +314,11 @@ def export_extrap_pipeline(
     shapes are fixed — gives XLA exact tiling).
 
     Parameters mirror :func:`~thermoextrap_tpu.pipeline.make_extrap_pipeline`
-    (order/beta0 static; ``minus_log``; ``nrep`` bootstrap replicates with
-    Poisson(1) frequencies; ``weighted`` adds a per-sample weight operand).
+    (order/beta0 static; ``minus_log``; ``xalpha`` serves β-dependent
+    observables — the artifact takes ``xv (R, order+1, *val)`` with the
+    β-derivative columns and returns ``(A, *val)``; ``nrep`` bootstrap
+    replicates with Poisson(1) frequencies; ``weighted`` adds a per-sample
+    weight operand).
 
     Returns an :class:`ExportedPipeline`; call it directly, or ``.save``
     and :func:`load_exported` in the serving process.
@@ -278,20 +328,24 @@ def export_extrap_pipeline(
     syms = jax_export.symbolic_shape(dims)
     R, A = syms[0], syms[1]
     V = nval if nval else syms[2]
+    # with xalpha the exported program sees the flat packed width; the
+    # call wrapper reshapes (R, order+1, *val) <-> (R, (order+1)*vv)
+    xv_width = (order + 1) * V if xalpha else V
     specs = [
         jax.ShapeDtypeStruct((R,), dt),
-        jax.ShapeDtypeStruct((R, V), dt),
+        jax.ShapeDtypeStruct((R, xv_width), dt),
         jax.ShapeDtypeStruct((A,), dt),
     ]
     if weighted:
         specs.append(jax.ShapeDtypeStruct((R,), dt))
     specs.append(jax.ShapeDtypeStruct((), jnp.int32))
-    fn = _extrap_fn(order, beta0, minus_log, nrep, weighted)
+    fn = _extrap_fn(order, beta0, minus_log, nrep, weighted, xalpha)
     meta = {
         "family": "extrap",
         "order": order,
         "beta0": beta0,
         "minus_log": minus_log,
+        "xalpha": xalpha,
         "nrep": nrep,
         "weighted": weighted,
         "nval": nval,
@@ -469,6 +523,8 @@ class StreamingExportedPipeline:
                 raise ValueError(msg)
             xv = jnp.asarray(xv, dt)
             val_shape = tuple(m["val_shape"])
+            if m.get("xalpha"):
+                val_shape = (m["order"] + 1, *val_shape)
             args.extend([uv, xv.reshape(uv.shape[0], *val_shape)])
             if m["weighted"]:
                 if weight is None:
@@ -618,6 +674,7 @@ def export_streaming_extrap_pipeline(
     beta0: float,
     *,
     minus_log: bool = False,
+    xalpha: bool = False,
     val_shape: tuple = (),
     nrep: int = 0,
     seed: int = 0,
@@ -638,11 +695,12 @@ def export_streaming_extrap_pipeline(
     """
     dt = jnp.dtype(dtype)
     val_shape = tuple(int(s) for s in val_shape)
+    chunk_val = (order + 1, *val_shape) if xalpha else val_shape
     (R,) = jax_export.symbolic_shape("R")
     (A,) = jax_export.symbolic_shape("A")
     upd_specs = [
         jax.ShapeDtypeStruct((R,), dt),
-        jax.ShapeDtypeStruct((R, *val_shape), dt),
+        jax.ShapeDtypeStruct((R, *chunk_val), dt),
     ]
     if weighted:
         upd_specs.append(jax.ShapeDtypeStruct((R,), dt))
@@ -660,6 +718,7 @@ def export_streaming_extrap_pipeline(
         "order": order,
         "beta0": beta0,
         "minus_log": minus_log,
+        "xalpha": xalpha,
         "val_shape": list(val_shape),
         "nrep": nrep,
         "seed": seed,
@@ -672,6 +731,7 @@ def export_streaming_extrap_pipeline(
             order=order,
             beta0=beta0,
             minus_log=minus_log,
+            xalpha=xalpha,
             val_shape=val_shape,
             dtype=dt,
             nrep=nrep,
