@@ -449,3 +449,43 @@ def test_streaming_export_xalpha_matches_inprocess():
         state = update(state, uv[lo:hi], xv[lo:hi])
     want = np.asarray(predict(state, BETAS))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_extrap_export_x_is_u_matches_pipeline():
+    art = se.export_extrap_pipeline(order=3, beta0=1.0, x_is_u=True)
+    run = pipeline.make_extrap_pipeline(3, 1.0, x_is_u=True)
+    for r in (257, 64):  # polymorphic in R
+        uv, _ = _data(r)
+        got = np.asarray(art(uv, BETAS))
+        want = np.asarray(run(uv, BETAS))
+        assert got.shape == (3,)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_streaming_export_x_is_u_roundtrip(tmp_path):
+    from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+    bun = se.export_streaming_extrap_pipeline(
+        order=3, beta0=1.0, x_is_u=True, nrep=16
+    )
+    path = tmp_path / "xisu.thexport"
+    bun.save(path)
+    bun2 = se.load_exported(path)
+    uv, _ = _data(300)
+    st = bun2.init_state()
+    for lo, hi in [(0, 200), (200, 300)]:
+        st = bun2.update(st, uv[lo:hi])
+    pred, std = (np.asarray(a) for a in bun2.predict(st, BETAS))
+    assert np.all(np.isfinite(pred)) and np.all(std > 0)
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        3, 1.0, x_is_u=True, nrep=16, xla_only=True
+    )
+    for lo, hi in [(0, 200), (200, 300)]:
+        state = update(state, uv[lo:hi])
+    want_pred, want_std = (np.asarray(a) for a in predict(state, BETAS))
+    np.testing.assert_allclose(pred, want_pred, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(std, want_std, rtol=2e-4, atol=2e-6)
+
+    with pytest.raises(ValueError, match="x_is_u"):
+        bun2.update(bun2.init_state(), uv, np.ones((300, 1), np.float32))

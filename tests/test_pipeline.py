@@ -457,3 +457,104 @@ class TestXalphaPipeline:
         got = np.asarray(serve(u, xv, betas))
         ref = np.asarray(self._model(u, xv, order, beta0).predict(betas))
         np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+
+class TestXisUPipeline:
+    """<u>(β) serving (reference u_ave observable, beta.py:303-321) from
+    the u-moment kernels at half the stream traffic."""
+
+    @staticmethod
+    def _model(u, order, beta0, minus_log=False, weight=None):
+        data = xtpu.factory_data_values(
+            uv=np.asarray(u), xv=None, order=order, central=True,
+            x_is_u=True, weight=weight,
+        )
+        return beta.factory_extrapmodel(
+            beta0, data, name="u_ave", minus_log=minus_log
+        )
+
+    def test_matches_model(self, rng_np):
+        order, beta0 = 4, 2.0
+        u = rng_np.normal(3.0, 0.7, 5000)
+        betas = np.array([1.8, 2.0, 2.3])
+        run = make_extrap_pipeline(order, beta0, x_is_u=True)
+        got = np.asarray(run(u, betas))
+        ref = np.asarray(self._model(u, order, beta0).predict(betas))
+        assert got.shape == (3,)
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+    def test_minus_log_weighted(self, rng_np):
+        order, beta0 = 3, 2.0
+        u = np.abs(rng_np.normal(3.0, 0.7, 4000)) + 1.0
+        w = rng_np.uniform(0.5, 1.5, 4000)
+        betas = np.array([1.9, 2.2])
+        run = make_extrap_pipeline(
+            order, beta0, x_is_u=True, minus_log=True, weighted=True
+        )
+        got = np.asarray(run(u, betas, w))
+        ref = np.asarray(
+            self._model(u, order, beta0, minus_log=True, weight=w).predict(
+                betas
+            )
+        )
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+    def test_bootstrap_calibrated(self, rng_np):
+        order, beta0, nrep = 2, 2.0, 200
+        u = rng_np.normal(3.0, 0.7, 4000)
+        betas = np.array([1.9, 2.2])
+        run = make_extrap_pipeline(order, beta0, x_is_u=True, nrep=nrep)
+        pred, std = run(u, betas, seed=3)
+        model = self._model(u, order, beta0)
+        np.testing.assert_allclose(
+            np.asarray(pred).ravel(),
+            np.asarray(model.predict(betas)).ravel(),
+            rtol=1e-10,
+        )
+        boot = model.resample({"nrep": nrep})
+        ref_std = np.asarray(boot.predict(betas)).std(axis=1).ravel()
+        ratio = np.asarray(std).ravel() / ref_std
+        assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+
+    def test_sharded_matches_unsharded(self, rng_np):
+        import jax
+        import pytest
+
+        from thermoextrap_tpu.parallel import make_mesh, shard_rec
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        order, beta0 = 3, 2.0
+        u = rng_np.normal(3.0, 0.7, 4096)
+        betas = np.array([1.9, 2.2])
+        mesh = make_mesh(8, axis_names=("rep", "rec"))
+        run_m = make_extrap_pipeline(
+            order, beta0, x_is_u=True, nrep=16, mesh=mesh
+        )
+        run_1 = make_extrap_pipeline(order, beta0, x_is_u=True)
+        pred_m, std_m = run_m(shard_rec(jnp.asarray(u), mesh), betas)
+        pred_1 = run_1(u, betas)
+        np.testing.assert_allclose(
+            np.asarray(pred_m), np.asarray(pred_1), rtol=1e-12
+        )
+        assert np.all(np.asarray(std_m) > 0)
+
+    def test_mutually_exclusive_with_xalpha(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            make_extrap_pipeline(3, 2.0, x_is_u=True, xalpha=True)
+
+    def test_bucketed_runner(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_bucketed_extrap_runner
+
+        order, beta0 = 3, 2.0
+        u = rng_np.normal(3.0, 0.7, 700)
+        betas = np.array([1.9, 2.2])
+        serve = make_bucketed_extrap_runner(
+            order, beta0, x_is_u=True, buckets=(1 << 10,)
+        )
+        serve.warmup()
+        got = np.asarray(serve(u, betas))
+        ref = np.asarray(self._model(u, order, beta0).predict(betas))
+        np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)

@@ -986,3 +986,63 @@ class TestStreamingXalpha:
         np.testing.assert_allclose(
             pred, np.asarray(predict1(state1, betas)), rtol=1e-12
         )
+
+
+class TestStreamingXisU:
+    """<u>(β) streaming accumulation (x_is_u): u-moment-only state, update
+    takes no xv; replicate folds ride the batched u-moment bootstrap."""
+
+    @staticmethod
+    def _uvals():
+        rng = np.random.default_rng(13)
+        return jnp.asarray(3.0 + 0.7 * rng.normal(size=R))
+
+    def test_matches_one_shot(self):
+        from thermoextrap_tpu.pipeline import (
+            make_extrap_pipeline,
+            make_streaming_extrap_pipeline,
+        )
+
+        uv = self._uvals()
+        betas = jnp.asarray([0.8, 1.0, 1.2])
+        want = np.asarray(
+            make_extrap_pipeline(4, 1.0, x_is_u=True)(uv, betas)
+        )
+        state, update, predict = make_streaming_extrap_pipeline(
+            4, 1.0, x_is_u=True, dtype=jnp.float64
+        )
+        for lo, hi in [(0, 1000), (1000, 1800), (1800, R)]:
+            state = update(state, uv[lo:hi])
+        np.testing.assert_allclose(
+            want, np.asarray(predict(state, betas)), rtol=1e-12
+        )
+
+    def test_bootstrap_ci_and_weighted(self):
+        from thermoextrap_tpu.pipeline import (
+            make_extrap_pipeline,
+            make_streaming_extrap_pipeline,
+        )
+
+        rng = np.random.default_rng(5)
+        uv = self._uvals()
+        w = jnp.asarray(rng.uniform(0.5, 1.5, R))
+        betas = jnp.asarray([0.9, 1.1])
+        state, update, predict = make_streaming_extrap_pipeline(
+            4, 1.0, x_is_u=True, dtype=jnp.float64, nrep=64
+        )
+        for lo, hi in [(0, 1500), (1500, R)]:
+            state = update(state, uv[lo:hi], weight=w[lo:hi])
+        pred, std = (np.asarray(a) for a in predict(state, betas))
+        assert np.all(np.isfinite(pred)) and np.all(std > 0)
+        run_w = make_extrap_pipeline(4, 1.0, x_is_u=True, weighted=True)
+        np.testing.assert_allclose(
+            pred, np.asarray(run_w(uv, betas, w)), rtol=1e-12
+        )
+
+    def test_val_shape_rejected(self):
+        import pytest
+
+        from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+        with pytest.raises(ValueError, match="val_shape"):
+            make_streaming_extrap_pipeline(3, 1.0, x_is_u=True, val_shape=(2,))

@@ -52,6 +52,7 @@ def make_extrap_pipeline(
     *,
     minus_log: bool = False,
     xalpha: bool = False,
+    x_is_u: bool = False,
     nrep: int = 0,
     mesh=None,
     weighted: bool = False,
@@ -76,6 +77,12 @@ def make_extrap_pipeline(
         reduce the derivative columns as extra value columns; only the
         coefficient assembly differs
         (:func:`~thermoextrap_tpu.models.derivatives.central_x_ave_coefs_xalpha`).
+    x_is_u : the observable IS the energy: serve ``<u>(β)`` (the reference
+        ``u_ave`` observable, beta.py:303-321) from the u-moment kernels at
+        HALF the HBM traffic of the comoment path (one stream, the
+        ``dxdu[n] = du[n+1]`` shift).  ``run`` then takes no ``xv``
+        operand: ``run(uv, betas[, weight], seed=0) -> (A,)``.
+        Mutually exclusive with ``xalpha``.
     nrep : if > 0, also return the bootstrap standard deviation of the
         prediction from ``nrep`` replicates.  On an accelerator the
         replicates come from the in-kernel Poisson bootstrap (no
@@ -224,6 +231,98 @@ def make_extrap_pipeline(
         std = bpred.std(axis=1).reshape(betas.shape + val_shape)
         return pred, std
 
+    @jax.jit
+    def _run_u(uv, betas, weight, seed):
+        # <u>(β) from u-moments only: half the stream traffic (the
+        # dxdu[n] = du[n+1] shift makes <u> a special case of <x>)
+        uv = jnp.asarray(uv)
+        if use_bf16:
+            uv = uv.astype(jnp.bfloat16)
+        betas = jnp.atleast_1d(jnp.asarray(betas))
+        dalpha = betas - beta0
+
+        if mesh is not None:
+            from .parallel import reduce_central_umoments_batched_sharded
+
+            uave, du_full = reduce_central_umoments_batched_sharded(
+                uv[None], order + 1, mesh, weight=weight
+            )
+        else:
+            uave, _u, du_m, dxdu_m = dispatch.reduce_central(
+                uv, uv, order, weight=weight, val_ndim=0, x_is_u=True
+            )
+            uave = uave[None]
+            du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)[:, None]
+        pred = _poly_eval(
+            _post(
+                central_x_ave_coefs(
+                    uave, du_full[: order + 1], du_full[1 : order + 2], order
+                )
+            ),
+            dalpha,
+        ).reshape(betas.shape)
+        if not nrep:
+            return pred
+
+        if mesh is not None:
+            from .ops.resample import freq_from_indices, random_indices
+            from .parallel import resample_central_umoments_batched_sharded
+
+            r = uv.shape[0]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bu, bdu_full = resample_central_umoments_batched_sharded(
+                uv[None], freq, order + 1, mesh, weight=weight
+            )
+        elif on_accel:
+            from .ops.moments_pallas import (
+                resample_central_umoments_batched_poisson,
+            )
+
+            bu, bdu_full = resample_central_umoments_batched_poisson(
+                uv[None], nrep, order + 1, weight=weight, seed=seed
+            )
+        else:
+            from .ops.resample import (
+                freq_from_indices,
+                random_indices,
+                resample_central_umoments_batched,
+            )
+
+            r = uv.shape[0]
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bu, bdu_full = resample_central_umoments_batched(
+                uv[None], freq, order + 1, weight=weight
+            )
+        # bu (nrep, 1), bdu_full (order+2, nrep, 1) — the dummy batch axis
+        # doubles as the value column the coefficient assembly expects
+        bcoefs = _post(
+            central_x_ave_coefs(
+                bu, bdu_full[: order + 1], bdu_full[1 : order + 2], order
+            )
+        )
+        std = _poly_eval(bcoefs, dalpha).std(axis=1).reshape(betas.shape)
+        return pred, std
+
+    if x_is_u:
+        if xalpha:
+            msg = "x_is_u and xalpha are mutually exclusive"
+            raise ValueError(msg)
+        if weighted:
+
+            def run(uv, betas, weight, seed=0):
+                return _run_u(uv, betas, weight, seed)
+
+        else:
+
+            def run(uv, betas, seed=0):
+                return _run_u(uv, betas, None, seed)
+
+        return run
+
     if weighted:
 
         def run(uv, xv, betas, weight, seed=0):
@@ -243,6 +342,7 @@ def make_streaming_extrap_pipeline(
     *,
     minus_log: bool = False,
     xalpha: bool = False,
+    x_is_u: bool = False,
     val_shape: tuple[int, ...] = (),
     dtype=jnp.float32,
     bf16: bool = False,
@@ -271,13 +371,17 @@ def make_streaming_extrap_pipeline(
 
     Parameters
     ----------
-    order, beta0, minus_log, xalpha : as in :func:`make_extrap_pipeline`.
+    order, beta0, minus_log, xalpha, x_is_u : as in
+        :func:`make_extrap_pipeline`.
         With ``xalpha`` each chunk's ``xv`` is ``(chunk, order+1, *val)``
         (β-derivative columns of the observable); the accumulator simply
         carries the derivative columns as extra value axes and only the
         prediction-time coefficient assembly differs.
+        With ``x_is_u`` (serve ``<u>(β)`` from u-moments at half traffic)
+        ``update`` takes no ``xv``: ``update(state, uv, weight=None)``.
     val_shape : trailing value shape of ``xv`` chunks (``()`` for scalar
-        x), excluding the ``xalpha`` derivative axis.
+        x), excluding the ``xalpha`` derivative axis; must be ``()``
+        with ``x_is_u``.
     dtype : accumulator dtype (f32 matches the kernel accumulation width).
     bf16 : stream chunk samples as bfloat16 on an accelerator (half HBM
         traffic; in-kernel accumulation stays f32; the running state stays
@@ -326,6 +430,12 @@ def make_streaming_extrap_pipeline(
     from .data import DataCentralMoments
     from .utils.trees import replace
 
+    if x_is_u and xalpha:
+        msg = "x_is_u and xalpha are mutually exclusive"
+        raise ValueError(msg)
+    if x_is_u and tuple(val_shape):
+        msg = "x_is_u streams scalar energies; val_shape must be ()"
+        raise ValueError(msg)
     on_accel = jax.default_backend() != "cpu" and not xla_only
     use_bf16 = bf16 and on_accel and mesh is None
     # with xalpha the derivative columns ride along as a leading value
@@ -335,10 +445,16 @@ def make_streaming_extrap_pipeline(
     )
     pad = (1,) * len(val_shape)
 
-    mean0 = DataCentralMoments.zeros(order, val_shape=val_shape, dtype=dtype)
+    mean0 = DataCentralMoments.zeros(
+        order, val_shape=val_shape, dtype=dtype, x_is_u=x_is_u
+    )
     if nrep:
         rep0 = DataCentralMoments.zeros(
-            order, batch_shape=(nrep,), val_shape=val_shape, dtype=dtype
+            order,
+            batch_shape=(nrep,),
+            val_shape=val_shape,
+            dtype=dtype,
+            x_is_u=x_is_u,
         )
         state0 = (mean0, rep0, jnp.zeros((), jnp.int32))
     else:
@@ -347,15 +463,30 @@ def make_streaming_extrap_pipeline(
     def _mean_update(state, uv, xv, weight):
         if mesh is None:
             return state.push_vals(xv, uv, weight=weight)
+        wsum = (
+            jnp.asarray(float(uv.shape[0]), state.du.dtype)
+            if weight is None
+            else jnp.sum(jnp.asarray(weight))
+        )
+        if x_is_u:
+            from .parallel import reduce_central_umoments_batched_sharded
+
+            uave, du_full = reduce_central_umoments_batched_sharded(
+                uv[None], order + 1, mesh, weight=weight
+            )
+            chunk_state = replace(
+                state,
+                xave=uave[0],
+                uave=uave[0],
+                du=du_full[: order + 1, 0],
+                dxdu=du_full[1 : order + 2, 0],
+                wsum=wsum.astype(state.wsum.dtype),
+            )
+            return state.merge(chunk_state)
         from .parallel import reduce_central_comoments_sharded
 
         xave, uave, du, dxdu = reduce_central_comoments_sharded(
             uv, xv.reshape(uv.shape[0], -1), order, mesh, weight=weight
-        )
-        wsum = (
-            jnp.asarray(float(uv.shape[0]), du.dtype)
-            if weight is None
-            else jnp.sum(jnp.asarray(weight))
         )
         chunk_state = replace(
             state,
@@ -366,6 +497,55 @@ def make_streaming_extrap_pipeline(
             wsum=wsum,
         )
         return state.merge(chunk_state)
+
+    def _rep_update_u(rep, step, uv, weight):
+        # x_is_u replicate fold: batched u-moment bootstrap on a dummy
+        # batch row, du_full (order+2) giving the dxdu = du[n+1] shift
+        if on_accel and mesh is None:
+            from .ops.moments_pallas import (
+                resample_central_umoments_batched_poisson,
+            )
+
+            chunk_seed = jnp.asarray(seed, jnp.int32) + step * jnp.int32(
+                -1640531527
+            )
+            bu, bdu_full, bwsum = resample_central_umoments_batched_poisson(
+                uv[None], nrep, order + 1, weight=weight,
+                seed=chunk_seed, return_wsum=True,
+            )
+            bwsum = bwsum[:, 0]
+        else:
+            key = jax.random.fold_in(jax.random.key(seed), step)
+            freq = jax.random.poisson(
+                key, 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+            )
+            if mesh is not None:
+                from .parallel import (
+                    resample_central_umoments_batched_sharded,
+                )
+
+                bu, bdu_full = resample_central_umoments_batched_sharded(
+                    uv[None], freq, order + 1, mesh, weight=weight
+                )
+            else:
+                from .ops.resample import resample_central_umoments_batched
+
+                bu, bdu_full = resample_central_umoments_batched(
+                    uv[None], freq, order + 1, weight=weight
+                )
+            fw = freq.astype(rep.wsum.dtype)
+            if weight is not None:
+                fw = fw * jnp.asarray(weight, fw.dtype)[None, :]
+            bwsum = fw.sum(axis=1)
+        chunk_rep = replace(
+            rep,
+            xave=bu[:, 0],
+            uave=bu[:, 0],
+            du=bdu_full[: order + 1, :, 0],
+            dxdu=bdu_full[1 : order + 2, :, 0],
+            wsum=bwsum.astype(rep.wsum.dtype),
+        )
+        return rep.merge(chunk_rep)
 
     def _rep_update(rep, step, uv, xflat, weight):
         # fold this chunk into every bootstrap replicate with independent
@@ -417,7 +597,25 @@ def make_streaming_extrap_pipeline(
         return rep.merge(chunk_rep)
 
     @jax.jit
-    def update(state, uv, xv, weight=None):
+    def _update_u(state, uv, weight):
+        uv = jnp.asarray(uv)
+        if use_bf16:
+            uv = uv.astype(jnp.bfloat16)
+        if nrep:
+            mean_s, rep_s, step = state
+            new = (
+                _mean_update(mean_s, uv, None, weight),
+                _rep_update_u(rep_s, step, uv, weight),
+                step + 1,
+            )
+        else:
+            new = _mean_update(state, uv, None, weight)
+        return jax.tree.map(
+            lambda new_leaf, old: new_leaf.astype(old.dtype), new, state
+        )
+
+    @jax.jit
+    def _update_x(state, uv, xv, weight):
         uv = jnp.asarray(uv)
         xv = jnp.asarray(xv).reshape(uv.shape[0], *val_shape)
         if use_bf16:
@@ -437,6 +635,16 @@ def make_streaming_extrap_pipeline(
         return jax.tree.map(
             lambda new_leaf, old: new_leaf.astype(old.dtype), new, state
         )
+
+    if x_is_u:
+
+        def update(state, uv, weight=None):
+            return _update_u(state, uv, weight)
+
+    else:
+
+        def update(state, uv, xv, weight=None):
+            return _update_x(state, uv, xv, weight)
 
     def _coefs(xave, du, dxdu, *, rep: bool = False):
         if xalpha:
@@ -1063,14 +1271,16 @@ def bucket_pad(uv, xv, weight, buckets):
     :func:`~thermoextrap_tpu.serving_export.bucketed_runner`).
 
     Pads ``(uv, xv, weight)`` up to the smallest bucket >= R (unchanged if
-    R exceeds the largest bucket).  Exact: padded samples carry zero
+    R exceeds the largest bucket); ``xv=None`` passes through (the
+    ``x_is_u`` runner has no observable stream).  Exact: padded samples
+    carry zero
     weight, and the pad value replicates the last sample so bf16 streams
     stay in distribution.  Weights keep their own floating dtype (a silent
     f32 downcast of user f64 weights would break the padded == unpadded
     exactness); integer weights are promoted to f32.
     """
     uv = np.asarray(uv)
-    xv = np.asarray(xv)
+    xv = None if xv is None else np.asarray(xv)
     r = uv.shape[0]
     if r == 0:
         msg = "serve() needs at least one sample"
@@ -1087,8 +1297,15 @@ def bucket_pad(uv, xv, weight, buckets):
         return uv, xv, w
     pad = rp - r
     uvp = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
-    xvp = np.concatenate(
-        [xv, np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype)]
+    xvp = (
+        None
+        if xv is None
+        else np.concatenate(
+            [
+                xv,
+                np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype),
+            ]
+        )
     )
     wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
     return uvp, xvp, wp
@@ -1101,6 +1318,7 @@ def make_bucketed_extrap_runner(
     buckets=None,
     minus_log: bool = False,
     xalpha: bool = False,
+    x_is_u: bool = False,
     nrep: int = 0,
     bf16: bool = False,
 ):
@@ -1146,15 +1364,24 @@ def make_bucketed_extrap_runner(
         beta0,
         minus_log=minus_log,
         xalpha=xalpha,
+        x_is_u=x_is_u,
         nrep=nrep,
         weighted=True,
         bf16=bf16,
     )
     buckets = normalize_buckets(buckets)
 
-    def serve(uv, xv, betas, weight=None, seed=0):
-        uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
-        return run(uvp, xvp, betas, wp, seed)
+    if x_is_u:
+
+        def serve(uv, betas, weight=None, seed=0):
+            uvp, _xvp, wp = bucket_pad(uv, None, weight, buckets)
+            return run(uvp, betas, wp, seed)
+
+    else:
+
+        def serve(uv, xv, betas, weight=None, seed=0):
+            uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
+            return run(uvp, xvp, betas, wp, seed)
 
     def warmup(
         val_shape=(1,),
@@ -1172,11 +1399,14 @@ def make_bucketed_extrap_runner(
             if max_bucket is not None and b > max_bucket:
                 break
             uv = np.linspace(0.5, 1.5, b, dtype=dtype)
-            xv_shape = (
-                (b, order + 1, *val_shape) if xalpha else (b, *val_shape)
-            )
-            xv = np.ones(xv_shape, dtype=dtype)
-            out = serve(uv, xv, np.full(n_betas, beta0))
+            if x_is_u:
+                out = serve(uv, np.full(n_betas, beta0))
+            else:
+                xv_shape = (
+                    (b, order + 1, *val_shape) if xalpha else (b, *val_shape)
+                )
+                xv = np.ones(xv_shape, dtype=dtype)
+                out = serve(uv, xv, np.full(n_betas, beta0))
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
 
     serve.warmup = warmup

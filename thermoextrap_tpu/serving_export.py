@@ -102,7 +102,7 @@ def _dtype_by_name(name: str) -> np.dtype:
 
 
 def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
-               weighted: bool, xalpha: bool = False):
+               weighted: bool, xalpha: bool = False, x_is_u: bool = False):
     """Pure-XLA extrapolation step (export-safe: no Pallas, no mesh).
 
     Mirrors the CPU branch of :func:`~thermoextrap_tpu.pipeline.
@@ -156,6 +156,42 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         bpred = _poly_eval(_boot_coefs(bx, bdu[:, :, None], bdxdu), dalpha)
         return pred, bpred.std(axis=1)
 
+    def fn_u(uv, betas, weight, seed):
+        # <u>(β) from u-moments only (x_is_u): du_full order+2, the
+        # dxdu = du[n+1] shift feeds the same coefficient assembly
+        from .ops.resample import resample_central_umoments_batched
+
+        dalpha = betas - jnp.asarray(beta0, betas.dtype)
+        uave, _u, du_m, dxdu_m = reduce_central_comoments(
+            uv, uv, order, weight=weight, val_ndim=0
+        )
+        du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)[:, None]
+        pred = _poly_eval(
+            _coefs(
+                uave[None], du_full[: order + 1], du_full[1 : order + 2]
+            ),
+            dalpha,
+        ).reshape(betas.shape)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+        )
+        bu, bdu_full = resample_central_umoments_batched(
+            uv[None], freq, order + 1, weight=weight
+        )
+        bcoefs = _post(
+            central_x_ave_coefs(
+                bu, bdu_full[: order + 1], bdu_full[1 : order + 2], order
+            )
+        )
+        std = _poly_eval(bcoefs, dalpha).std(axis=1).reshape(betas.shape)
+        return pred, std
+
+    if x_is_u:
+        if weighted:
+            return fn_u
+        return lambda uv, betas, seed: fn_u(uv, betas, None, seed)
     if weighted:
         return fn
     return lambda uv, xv, betas, seed: fn(uv, xv, betas, None, seed)
@@ -228,6 +264,21 @@ class ExportedPipeline:
             )
             raise ValueError(msg)
         if m["family"] == "extrap":
+            if m.get("x_is_u"):
+                uv, betas = args
+                uv = jnp.asarray(uv, dt)
+                betas = jnp.atleast_1d(jnp.asarray(betas, dt))
+                call = [uv, betas]
+                if m["weighted"]:
+                    if weight is None:
+                        msg = (
+                            "this artifact was exported weighted=True; "
+                            "pass weight="
+                        )
+                        raise ValueError(msg)
+                    call.append(jnp.asarray(weight, dt))
+                call.append(jnp.asarray(seed, jnp.int32))
+                return self._exported.call(*call)
             uv, xv, betas = args
             uv = jnp.asarray(uv, dt)
             xv = jnp.asarray(xv, dt)
@@ -300,6 +351,7 @@ def export_extrap_pipeline(
     *,
     minus_log: bool = False,
     xalpha: bool = False,
+    x_is_u: bool = False,
     nrep: int = 0,
     weighted: bool = False,
     nval: int | None = None,
@@ -323,29 +375,32 @@ def export_extrap_pipeline(
     Returns an :class:`ExportedPipeline`; call it directly, or ``.save``
     and :func:`load_exported` in the serving process.
     """
+    if x_is_u and xalpha:
+        msg = "x_is_u and xalpha are mutually exclusive"
+        raise ValueError(msg)
     dt = jnp.dtype(dtype)
-    dims = "R, A" + ("" if nval else ", V")
+    dims = "R, A" + ("" if (nval or x_is_u) else ", V")
     syms = jax_export.symbolic_shape(dims)
     R, A = syms[0], syms[1]
-    V = nval if nval else syms[2]
-    # with xalpha the exported program sees the flat packed width; the
-    # call wrapper reshapes (R, order+1, *val) <-> (R, (order+1)*vv)
-    xv_width = (order + 1) * V if xalpha else V
-    specs = [
-        jax.ShapeDtypeStruct((R,), dt),
-        jax.ShapeDtypeStruct((R, xv_width), dt),
-        jax.ShapeDtypeStruct((A,), dt),
-    ]
+    specs = [jax.ShapeDtypeStruct((R,), dt)]
+    if not x_is_u:
+        V = nval if nval else syms[2]
+        # with xalpha the exported program sees the flat packed width; the
+        # call wrapper reshapes (R, order+1, *val) <-> (R, (order+1)*vv)
+        xv_width = (order + 1) * V if xalpha else V
+        specs.append(jax.ShapeDtypeStruct((R, xv_width), dt))
+    specs.append(jax.ShapeDtypeStruct((A,), dt))
     if weighted:
         specs.append(jax.ShapeDtypeStruct((R,), dt))
     specs.append(jax.ShapeDtypeStruct((), jnp.int32))
-    fn = _extrap_fn(order, beta0, minus_log, nrep, weighted, xalpha)
+    fn = _extrap_fn(order, beta0, minus_log, nrep, weighted, xalpha, x_is_u)
     meta = {
         "family": "extrap",
         "order": order,
         "beta0": beta0,
         "minus_log": minus_log,
         "xalpha": xalpha,
+        "x_is_u": x_is_u,
         "nrep": nrep,
         "weighted": weighted,
         "nval": nval,
@@ -518,14 +573,25 @@ class StreamingExportedPipeline:
                 raise ValueError(msg)
             args.append(uv.reshape(*m["grid_shape"], uv.shape[-1]))
         else:
-            if xv is None:
-                msg = "extrap streaming update takes (state, uv, xv[, weight=])"
-                raise ValueError(msg)
-            xv = jnp.asarray(xv, dt)
-            val_shape = tuple(m["val_shape"])
-            if m.get("xalpha"):
-                val_shape = (m["order"] + 1, *val_shape)
-            args.extend([uv, xv.reshape(uv.shape[0], *val_shape)])
+            if m.get("x_is_u"):
+                if xv is not None:
+                    msg = (
+                        "x_is_u streaming update takes (state, uv[, weight=])"
+                    )
+                    raise ValueError(msg)
+                args.append(uv)
+            else:
+                if xv is None:
+                    msg = (
+                        "extrap streaming update takes (state, uv, xv"
+                        "[, weight=])"
+                    )
+                    raise ValueError(msg)
+                xv = jnp.asarray(xv, dt)
+                val_shape = tuple(m["val_shape"])
+                if m.get("xalpha"):
+                    val_shape = (m["order"] + 1, *val_shape)
+                args.extend([uv, xv.reshape(uv.shape[0], *val_shape)])
             if m["weighted"]:
                 if weight is None:
                     msg = "this artifact was exported weighted=True; pass weight="
@@ -675,6 +741,7 @@ def export_streaming_extrap_pipeline(
     *,
     minus_log: bool = False,
     xalpha: bool = False,
+    x_is_u: bool = False,
     val_shape: tuple = (),
     nrep: int = 0,
     seed: int = 0,
@@ -698,20 +765,20 @@ def export_streaming_extrap_pipeline(
     chunk_val = (order + 1, *val_shape) if xalpha else val_shape
     (R,) = jax_export.symbolic_shape("R")
     (A,) = jax_export.symbolic_shape("A")
-    upd_specs = [
-        jax.ShapeDtypeStruct((R,), dt),
-        jax.ShapeDtypeStruct((R, *chunk_val), dt),
-    ]
+    upd_specs = [jax.ShapeDtypeStruct((R,), dt)]
+    if not x_is_u:
+        upd_specs.append(jax.ShapeDtypeStruct((R, *chunk_val), dt))
+    n_ops = len(upd_specs)
     if weighted:
         upd_specs.append(jax.ShapeDtypeStruct((R,), dt))
 
-        def upd_args(args, n):
-            return (args[n], args[n + 1], args[n + 2])
-
-    else:
-
-        def upd_args(args, n):
-            return (args[n], args[n + 1])
+    def upd_args(args, n):
+        ops = [args[n + i] for i in range(n_ops)]
+        if weighted:
+            # the update factories take weight as a keyword-or-positional
+            # after (uv[, xv]); positional works for both signatures
+            ops.append(args[n + n_ops])
+        return tuple(ops)
 
     meta = {
         "family": "streaming_extrap",
@@ -719,6 +786,7 @@ def export_streaming_extrap_pipeline(
         "beta0": beta0,
         "minus_log": minus_log,
         "xalpha": xalpha,
+        "x_is_u": x_is_u,
         "val_shape": list(val_shape),
         "nrep": nrep,
         "seed": seed,
@@ -732,6 +800,7 @@ def export_streaming_extrap_pipeline(
             beta0=beta0,
             minus_log=minus_log,
             xalpha=xalpha,
+            x_is_u=x_is_u,
             val_shape=val_shape,
             dtype=dt,
             nrep=nrep,
