@@ -489,3 +489,15 @@ def test_streaming_export_x_is_u_roundtrip(tmp_path):
 
     with pytest.raises(ValueError, match="x_is_u"):
         bun2.update(bun2.init_state(), uv, np.ones((300, 1), np.float32))
+
+
+def test_bucketed_runner_x_is_u():
+    art = se.export_extrap_pipeline(
+        order=3, beta0=1.0, x_is_u=True, weighted=True
+    )
+    serve = se.bucketed_runner(art, buckets=(64, 256))
+    uv, _ = _data(50)
+    got = np.asarray(serve(uv, BETAS))  # padded to 64
+    want = np.asarray(art(uv, BETAS, weight=np.ones(50, np.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    assert got.shape == (3,)

@@ -46,6 +46,32 @@ __all__ = [
 ]
 
 
+def _xalpha_mean_coefs(xave, du, dxdu, order):
+    """xalpha coefficient assembly over the FLAT packed value width: the
+    flat V packs (order+1 deriv columns) × (vv observable values).
+    ``xave (V,)``, ``du (order+1, 1)``, ``dxdu (order+1, V)``.  Shared by
+    the live pipeline and the AOT export tracer so the layout contract
+    cannot drift between them."""
+    vv = xave.shape[-1] // (order + 1)
+    return central_x_ave_coefs_xalpha(
+        xave.reshape(order + 1, vv),
+        du,
+        dxdu.reshape(order + 1, order + 1, vv),
+        order,
+    )
+
+
+def _xalpha_boot_coefs(bx, bdu, bdxdu, nrep, order):
+    """Bootstrap variant of :func:`_xalpha_mean_coefs`: ``bx (nrep, V)``,
+    ``bdu (order+1, nrep, 1)``, ``bdxdu (order+1, nrep, V)``.  The xalpha
+    recursion indexes the deriv axis at position 0 (x1) / 1 (dxdu), so it
+    moves ahead of the replicate batch axis."""
+    vv = bx.shape[-1] // (order + 1)
+    x1 = jnp.moveaxis(bx.reshape(nrep, order + 1, vv), 1, 0)
+    dx = jnp.moveaxis(bdxdu.reshape(order + 1, nrep, order + 1, vv), 2, 1)
+    return central_x_ave_coefs_xalpha(x1, bdu, dx, order)
+
+
 def make_extrap_pipeline(
     order: int,
     beta0: float,
@@ -128,31 +154,18 @@ def make_extrap_pipeline(
         return series_neg_log(c) if minus_log else c
 
     def _coefs(xave, du, dxdu):
-        # mean path: xave (V,), du (order+1, 1), dxdu (order+1, V); with
-        # xalpha the flat V packs (order+1 deriv columns) x (vv values)
+        # mean path: xave (V,), du (order+1, 1), dxdu (order+1, V)
         if xalpha:
-            vv = xave.shape[-1] // (order + 1)
-            c = central_x_ave_coefs_xalpha(
-                xave.reshape(order + 1, vv),
-                du,
-                dxdu.reshape(order + 1, order + 1, vv),
-                order,
-            )
+            c = _xalpha_mean_coefs(xave, du, dxdu, order)
         else:
             c = central_x_ave_coefs(xave, du, dxdu, order)
         return _post(c)
 
     def _boot_coefs(bx, bdu, bdxdu):
         # bootstrap path: bx (nrep, V), bdu (order+1, nrep, 1),
-        # bdxdu (order+1, nrep, V); the xalpha recursion indexes the deriv
-        # axis at position 0 (x1) / 1 (dxdu), so move it ahead of nrep
+        # bdxdu (order+1, nrep, V)
         if xalpha:
-            vv = bx.shape[-1] // (order + 1)
-            x1 = jnp.moveaxis(bx.reshape(nrep, order + 1, vv), 1, 0)
-            dx = jnp.moveaxis(
-                bdxdu.reshape(order + 1, nrep, order + 1, vv), 2, 1
-            )
-            c = central_x_ave_coefs_xalpha(x1, bdu, dx, order)
+            c = _xalpha_boot_coefs(bx, bdu, bdxdu, nrep, order)
         else:
             c = central_x_ave_coefs(bx, bdu, bdxdu, order)
         return _post(c)
@@ -244,23 +257,19 @@ def make_extrap_pipeline(
         if mesh is not None:
             from .parallel import reduce_central_umoments_batched_sharded
 
-            uave, du_full = reduce_central_umoments_batched_sharded(
+            uave_b, du_full_b = reduce_central_umoments_batched_sharded(
                 uv[None], order + 1, mesh, weight=weight
             )
+            uave, du_full = uave_b[0], du_full_b[:, 0]
         else:
             uave, _u, du_m, dxdu_m = dispatch.reduce_central(
                 uv, uv, order, weight=weight, val_ndim=0, x_is_u=True
             )
-            uave = uave[None]
-            du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)[:, None]
+            du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)
+        # the purpose-built <u> assembly (dxdu[n] = du[n+1] shift built in)
         pred = _poly_eval(
-            _post(
-                central_x_ave_coefs(
-                    uave, du_full[: order + 1], du_full[1 : order + 2], order
-                )
-            ),
-            dalpha,
-        ).reshape(betas.shape)
+            _post(central_u_ave_coefs(uave, du_full, order)), dalpha
+        )
         if not nrep:
             return pred
 
@@ -297,14 +306,12 @@ def make_extrap_pipeline(
             bu, bdu_full = resample_central_umoments_batched(
                 uv[None], freq, order + 1, weight=weight
             )
-        # bu (nrep, 1), bdu_full (order+2, nrep, 1) — the dummy batch axis
-        # doubles as the value column the coefficient assembly expects
+        # bu (nrep, 1), bdu_full (order+2, nrep, 1): drop the dummy batch
+        # column and assemble per replicate
         bcoefs = _post(
-            central_x_ave_coefs(
-                bu, bdu_full[: order + 1], bdu_full[1 : order + 2], order
-            )
+            central_u_ave_coefs(bu[:, 0], bdu_full[..., 0], order)
         )
-        std = _poly_eval(bcoefs, dalpha).std(axis=1).reshape(betas.shape)
+        std = _poly_eval(bcoefs, dalpha).std(axis=1)
         return pred, std
 
     if x_is_u:

@@ -65,7 +65,6 @@ from jax import export as jax_export
 from .models.derivatives import (
     central_u_ave_coefs,
     central_x_ave_coefs,
-    central_x_ave_coefs_xalpha,
     lnpi_coefs,
 )
 from .models.extrap import _poly_eval
@@ -111,30 +110,21 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
     × (vv observable values), exactly as in the pipeline.
     """
 
+    from .pipeline import _xalpha_boot_coefs, _xalpha_mean_coefs
+
     def _post(c):
         return series_neg_log(c) if minus_log else c
 
     def _coefs(xave, du, dxdu):
         if xalpha:
-            vv = xave.shape[-1] // (order + 1)
-            c = central_x_ave_coefs_xalpha(
-                xave.reshape(order + 1, vv),
-                du,
-                dxdu.reshape(order + 1, order + 1, vv),
-                order,
-            )
+            c = _xalpha_mean_coefs(xave, du, dxdu, order)
         else:
             c = central_x_ave_coefs(xave, du, dxdu, order)
         return _post(c)
 
     def _boot_coefs(bx, bdu, bdxdu):
         if xalpha:
-            vv = bx.shape[-1] // (order + 1)
-            x1 = jnp.moveaxis(bx.reshape(nrep, order + 1, vv), 1, 0)
-            dx = jnp.moveaxis(
-                bdxdu.reshape(order + 1, nrep, order + 1, vv), 2, 1
-            )
-            c = central_x_ave_coefs_xalpha(x1, bdu, dx, order)
+            c = _xalpha_boot_coefs(bx, bdu, bdxdu, nrep, order)
         else:
             c = central_x_ave_coefs(bx, bdu, bdxdu, order)
         return _post(c)
@@ -157,21 +147,18 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         return pred, bpred.std(axis=1)
 
     def fn_u(uv, betas, weight, seed):
-        # <u>(β) from u-moments only (x_is_u): du_full order+2, the
-        # dxdu = du[n+1] shift feeds the same coefficient assembly
+        # <u>(β) from u-moments only (x_is_u): central_u_ave_coefs builds
+        # in the dxdu = du[n+1] shift; du_full has order+2 entries
         from .ops.resample import resample_central_umoments_batched
 
         dalpha = betas - jnp.asarray(beta0, betas.dtype)
         uave, _u, du_m, dxdu_m = reduce_central_comoments(
             uv, uv, order, weight=weight, val_ndim=0
         )
-        du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)[:, None]
+        du_full = jnp.concatenate([du_m, dxdu_m[-1:]], axis=0)
         pred = _poly_eval(
-            _coefs(
-                uave[None], du_full[: order + 1], du_full[1 : order + 2]
-            ),
-            dalpha,
-        ).reshape(betas.shape)
+            _post(central_u_ave_coefs(uave, du_full, order)), dalpha
+        )
         if not nrep:
             return pred
         freq = jax.random.poisson(
@@ -181,11 +168,9 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
             uv[None], freq, order + 1, weight=weight
         )
         bcoefs = _post(
-            central_x_ave_coefs(
-                bu, bdu_full[: order + 1], bdu_full[1 : order + 2], order
-            )
+            central_u_ave_coefs(bu[:, 0], bdu_full[..., 0], order)
         )
-        std = _poly_eval(bcoefs, dalpha).std(axis=1).reshape(betas.shape)
+        std = _poly_eval(bcoefs, dalpha).std(axis=1)
         return pred, std
 
     if x_is_u:
@@ -493,7 +478,8 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
     two ``2^12 .. 2^27``; requests above the largest bucket run at exact
     shape (one-off compile).
 
-    Returns ``serve(uv, xv, betas, weight=None, seed=0)``.
+    Returns ``serve(uv, xv, betas, weight=None, seed=0)``, or
+    ``serve(uv, betas, weight=None, seed=0)`` for an ``x_is_u`` artifact.
     """
     from .pipeline import bucket_pad, normalize_buckets
 
@@ -507,12 +493,20 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
         raise ValueError(msg)
     buckets = normalize_buckets(buckets)
 
-    def serve(uv, xv, betas, weight=None, seed=0):
-        xv = np.asarray(xv)
-        if xv.ndim == 1:
-            xv = xv[:, None]
-        uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
-        return artifact(uvp, xvp, betas, weight=wp, seed=seed)
+    if m.get("x_is_u"):
+
+        def serve(uv, betas, weight=None, seed=0):
+            uvp, _xvp, wp = bucket_pad(uv, None, weight, buckets)
+            return artifact(uvp, betas, weight=wp, seed=seed)
+
+    else:
+
+        def serve(uv, xv, betas, weight=None, seed=0):
+            xv = np.asarray(xv)
+            if xv.ndim == 1:
+                xv = xv[:, None]
+            uvp, xvp, wp = bucket_pad(uv, xv, weight, buckets)
+            return artifact(uvp, xvp, betas, weight=wp, seed=seed)
 
     serve.buckets = buckets
     return serve
