@@ -14,8 +14,10 @@ batch shape (replicates, values, ...).
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -435,35 +437,39 @@ class PerturbModel:
         )
 
 
+@partial(jax.jit, static_argnames="method")
+def _mbar_predict_core(uv, xv, alpha0, alphas, method="hybrid"):
+    """Pooled-sample MBAR solve + grid of target expectations, one program."""
+    from .mbar import mbar_expectations_grid, mbar_solve
+
+    # reduced potential of EVERY state evaluated on ALL pooled samples
+    u_kn = alpha0[:, None] * uv.reshape(1, -1)  # (K, K*R)
+    n_k = jnp.full((uv.shape[0],), uv.shape[-1] * 1.0, dtype=uv.dtype)
+    f_k = mbar_solve(u_kn, n_k, method=method)
+    u_flat = uv.reshape(1, -1)
+    x_flat = xv.reshape(u_kn.shape[1], -1)
+    return mbar_expectations_grid(
+        u_kn, n_k, f_k, alphas[:, None] * u_flat, x_flat
+    )
+
+
 class MBARModel(StateCollection):
     """Multistate Bennett acceptance ratio reweighting
     (reference models.py:1049-1111, which delegates to ``pymbar``; here the
-    MBAR fixed point is solved natively in jax — see models/mbar.py)."""
+    MBAR equations are solved natively in jax by a Newton/self-consistent
+    hybrid — see models/mbar.py)."""
 
-    def predict(self, alpha):
-        from .mbar import mbar_expectations, mbar_solve
-
+    def predict(self, alpha, method: str = "hybrid"):
         uv = jnp.stack([jnp.asarray(m.data.uv) for m in self], axis=0)  # (K, R)
         xv = jnp.stack([jnp.asarray(m.data.xv) for m in self], axis=0)  # (K, R, *val)
         alpha0 = jnp.asarray([m.alpha0 for m in self])  # (K,)
 
-        # reduced potential of EVERY state evaluated on ALL pooled samples
-        u_kn = alpha0[:, None] * uv.reshape(1, -1)  # (K, K*R)
-        n_k = jnp.full((len(self),), uv.shape[-1] * 1.0)
-        f_k = mbar_solve(u_kn, n_k)
-
         alpha = jnp.asarray(alpha)
         scalar = alpha.ndim == 0
         alphas = jnp.atleast_1d(alpha)
-        u_flat = uv.reshape(-1)
-        x_flat = xv.reshape(len(self) * uv.shape[-1], -1)
-        out = jnp.stack(
-            [
-                mbar_expectations(u_kn, n_k, f_k, a * u_flat, x_flat)
-                for a in alphas
-            ],
-            axis=0,
-        ).reshape((alphas.shape[0], *xv.shape[2:]))
+
+        out = _mbar_predict_core(uv, xv, alpha0, alphas, method=method)
+        out = out.reshape((alphas.shape[0], *xv.shape[2:]))
         return out[0] if scalar else out
 
     def resample(self, *args, **kws):

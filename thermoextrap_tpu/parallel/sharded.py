@@ -24,6 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "mbar_expectations_grid_sharded",
+    "mbar_solve_sharded",
     "reduce_central_comoments_sharded",
     "reduce_central_umoments_batched_sharded",
     "resample_central_comoments_sharded",
@@ -360,3 +362,131 @@ def resample_central_comoments_sharded(
         du,
         dxdu.reshape((order + 1, nrep, *val_shape)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded MBAR (multistate reweighting at scale)
+# ---------------------------------------------------------------------------
+#
+# The MBAR solve and expectation evaluation reduce over the sample axis only
+# (models/mbar.py): sharding ``u_kn``/``x_n`` over samples and jitting the
+# plain functions lets GSPMD turn every per-iteration logsumexp / row-sum /
+# Hessian matmul into a mesh psum automatically — no shard_map needed.  Each
+# Newton iteration communicates O(K + K^2) numbers regardless of N.
+# (Reference role: pymbar inside MBARModel, models.py:1049-1111.)
+
+
+@functools.lru_cache(maxsize=32)
+def _mbar_solve_jitted(mesh, tol, max_iter, method):
+    from ..models.mbar import mbar_solve_info
+
+    rep = NamedSharding(mesh, P())
+
+    def run(u_kn, n_k, logm):
+        return mbar_solve_info(
+            u_kn,
+            n_k,
+            tol=tol,
+            max_iter=max_iter,
+            method=method,
+            log_sample_weight=logm,
+        )
+
+    return jax.jit(run, out_shardings=(rep, rep, rep))
+
+
+def _pad_cols(arr, n_pad, fill=0.0):
+    if n_pad == 0:
+        return arr
+    pad = [(0, 0)] * (arr.ndim - 1) + [(0, n_pad)]
+    return jnp.pad(arr, pad, constant_values=fill)
+
+
+def mbar_solve_sharded(
+    u_kn,
+    n_k,
+    mesh: Mesh,
+    tol: float | None = None,
+    max_iter: int = 10000,
+    method: str = "hybrid",
+    axis_name: str = "rec",
+):
+    """:func:`models.mbar.mbar_solve_info` with samples sharded over ``mesh``.
+
+    ``u_kn`` is placed with its sample axis (axis 1) sharded; the returned
+    ``(f_k, n_iter, residual)`` are replicated.  Numerically the psum tree
+    differs from the single-device sum order only at rounding level.
+    """
+    u_kn = jnp.asarray(u_kn)
+    n_dev = mesh.devices.size
+    n_pad = -u_kn.shape[1] % n_dev
+    logm = None
+    if n_pad:
+        # zero-weight padding: -inf log-mask drops the extra columns from
+        # every sample reduction exactly (models/mbar.py log_sample_weight)
+        u_kn = _pad_cols(u_kn, n_pad)
+        logm = jnp.concatenate(
+            [
+                jnp.zeros(u_kn.shape[1] - n_pad, u_kn.dtype),
+                jnp.full(n_pad, -jnp.inf, u_kn.dtype),
+            ]
+        )
+        logm = jax.device_put(logm, NamedSharding(mesh, P(axis_name)))
+    u_kn = jax.device_put(u_kn, NamedSharding(mesh, P(None, axis_name)))
+    n_k = jnp.asarray(n_k, dtype=u_kn.dtype)
+    return _mbar_solve_jitted(mesh, tol, max_iter, method)(u_kn, n_k, logm)
+
+
+@functools.lru_cache(maxsize=32)
+def _mbar_grid_jitted(mesh):
+    from ..models.mbar import mbar_expectations_grid
+
+    def run(u_kn, n_k, f_k, u_targets, x_n, logm):
+        return mbar_expectations_grid(
+            u_kn, n_k, f_k, u_targets, x_n, log_sample_weight=logm
+        )
+
+    return jax.jit(run, out_shardings=NamedSharding(mesh, P()))
+
+
+def mbar_expectations_grid_sharded(
+    u_kn,
+    n_k,
+    f_k,
+    u_targets,
+    x_n,
+    mesh: Mesh,
+    axis_name: str = "rec",
+):
+    """:func:`models.mbar.mbar_expectations_grid` with samples sharded.
+
+    ``u_kn`` (K, N) and ``u_targets`` (A, N) shard over axis 1; ``x_n``
+    (N, V) over axis 0.  The (A, N) @ (N, V) weighted-average matmul
+    contracts the sharded axis — one psum of the tiny (A, V) result.
+    """
+    cols = NamedSharding(mesh, P(None, axis_name))
+    rows = NamedSharding(mesh, P(axis_name, None))
+    u_kn = jnp.asarray(u_kn)
+    x_n = jnp.asarray(x_n, u_kn.dtype)
+    if x_n.ndim == 1:
+        x_n = x_n[:, None]
+    n_dev = mesh.devices.size
+    n_pad = -u_kn.shape[1] % n_dev
+    logm = None
+    if n_pad:
+        u_kn = _pad_cols(u_kn, n_pad)
+        u_targets = _pad_cols(jnp.asarray(u_targets, u_kn.dtype), n_pad)
+        x_n = jnp.pad(x_n, ((0, n_pad), (0, 0)))
+        logm = jnp.concatenate(
+            [
+                jnp.zeros(u_kn.shape[1] - n_pad, u_kn.dtype),
+                jnp.full(n_pad, -jnp.inf, u_kn.dtype),
+            ]
+        )
+        logm = jax.device_put(logm, NamedSharding(mesh, P(axis_name)))
+    u_kn = jax.device_put(u_kn, cols)
+    u_targets = jax.device_put(jnp.asarray(u_targets, u_kn.dtype), cols)
+    x_n = jax.device_put(jnp.asarray(x_n, u_kn.dtype), rows)
+    n_k = jnp.asarray(n_k, dtype=u_kn.dtype)
+    f_k = jnp.asarray(f_k, dtype=u_kn.dtype)
+    return _mbar_grid_jitted(mesh)(u_kn, n_k, f_k, u_targets, x_n, logm)
