@@ -21,6 +21,16 @@ def setup(n_devices: int | None = None) -> bool:
     jax computation — env vars are too late, see tests/conftest.py) and
     optionally ``n_devices`` virtual host devices.  Returns SMOKE."""
     if not SMOKE:
+        # full-size runs hit the real chip: a FRESH XLA compile through the
+        # remote compile service runs 1-5 minutes per program
+        # (COMPILE_CACHE.json: miss 262 s / hit 3.2 s), so persist compiles
+        # across example runs
+        import sys as _sys
+
+        _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+        from thermoextrap_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
         return False
     if n_devices:
         flags = os.environ.get("XLA_FLAGS", "")

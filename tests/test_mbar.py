@@ -189,6 +189,110 @@ class TestShardedMBAR:
         np.testing.assert_allclose(got, want, rtol=1e-11)
 
 
+class TestUncertainties:
+    def test_covariance_matches_bootstrap_fe(self):
+        # asymptotic d(f_i - f_j) must agree with a direct bootstrap of the
+        # solver over independent redraws (both ~ the true sampling error)
+        from thermoextrap_tpu.models.mbar import (
+            mbar_covariance,
+            mbar_fe_uncertainties,
+        )
+
+        sigmas, n = [1.0, 1.8, 3.0], 4000
+        u_kn, n_k, _, _ = _harmonic_problem(sigmas, n, seed=20)
+        f = mbar_solve(u_kn, n_k)
+        dfe = mbar_fe_uncertainties(mbar_covariance(u_kn, n_k, f))
+
+        redraws = np.array(
+            [
+                np.asarray(
+                    mbar_solve(*_harmonic_problem(sigmas, n, seed=100 + s)[:2])
+                )
+                for s in range(40)
+            ]
+        )
+        emp = redraws.std(axis=0, ddof=1)  # std of f_k - f_0 over redraws
+        # k=0 entry is exactly 0 by gauge; compare the others within 2x
+        for k in (1, 2):
+            assert 0.5 < dfe[0, k] / emp[k] < 2.0, (dfe[0, k], emp[k])
+
+    def test_covariance_gauge_row(self):
+        from thermoextrap_tpu.models.mbar import (
+            mbar_covariance,
+            mbar_fe_uncertainties,
+        )
+
+        u_kn, n_k, _, _ = _harmonic_problem([1.0, 2.0], 2000, seed=21)
+        f = mbar_solve(u_kn, n_k)
+        dfe = mbar_fe_uncertainties(mbar_covariance(u_kn, n_k, f))
+        assert dfe.shape == (2, 2)
+        np.testing.assert_allclose(np.diag(dfe), 0.0, atol=1e-12)
+        assert dfe[0, 1] > 0
+
+    def test_bootstrap_expectations_statistical(self):
+        # bootstrap std must track the empirical spread over independent
+        # datasets, and the mean must track the plain estimate
+        from thermoextrap_tpu.models.mbar import (
+            mbar_bootstrap_expectations,
+            mbar_expectations_grid,
+        )
+
+        sigmas, n = [1.0, 2.0], 3000
+        u_kn, n_k, xs, _ = _harmonic_problem(sigmas, n, seed=22)
+        f = mbar_solve(u_kn, n_k)
+        sig_t = 1.5
+        u_t = xs[None, :] ** 2 / (2.0 * sig_t**2)
+        x_n = xs[:, None] ** 2
+        point = np.asarray(mbar_expectations_grid(u_kn, n_k, f, u_t, x_n))
+        mean, std = mbar_bootstrap_expectations(
+            u_kn, n_k, u_t, x_n, nrep=48, rep_chunk=8, key=None
+        )
+        mean, std = np.asarray(mean), np.asarray(std)
+        np.testing.assert_allclose(mean, point, rtol=0.02)
+
+        draws = []
+        for s in range(24):
+            u_s, nk_s, xs_s, _ = _harmonic_problem(sigmas, n, seed=200 + s)
+            f_s = mbar_solve(u_s, nk_s)
+            ut_s = xs_s[None, :] ** 2 / (2.0 * sig_t**2)
+            draws.append(
+                np.asarray(
+                    mbar_expectations_grid(u_s, nk_s, f_s, ut_s, xs_s[:, None] ** 2)
+                )
+            )
+        emp = float(np.array(draws).std(axis=0, ddof=1).squeeze())
+        boot = float(np.asarray(std).squeeze())
+        assert 0.4 < boot / emp < 2.5, (boot, emp)
+
+    def test_predict_ci_idealgas(self):
+        import thermoextrap_tpu as xtpu
+        from thermoextrap_tpu import beta as beta_xpan, idealgas
+        from thermoextrap_tpu.models.extrap import MBARModel
+
+        states = []
+        for i, b in enumerate([0.8, 1.2]):
+            x, u = idealgas.generate_data((3000, 10), b, rng=i)
+            data = xtpu.DataValues.from_vals(
+                np.asarray(x)[:, None], np.asarray(u), order=0, central=False
+            )
+            states.append(beta_xpan.factory_extrapmodel(b, data, order=0))
+        mbar = MBARModel(states)
+        mean, std = mbar.predict_ci(1.0, nrep=32)
+        exact = float(idealgas.x_ave(1.0))
+        assert abs(float(np.asarray(mean)[0]) - exact) < 0.05
+        s = float(np.asarray(std)[0])
+        assert 0 < s < 0.05
+        # point prediction consistent with the bootstrap mean
+        point = float(np.asarray(mbar.predict(1.0))[0])
+        assert abs(point - float(np.asarray(mean)[0])) < 4 * s + 1e-3
+
+    def test_resample_still_raises(self):
+        from thermoextrap_tpu.models.extrap import MBARModel
+
+        with pytest.raises(NotImplementedError, match="predict_ci"):
+            MBARModel([]).resample(None)
+
+
 class TestAlphaChunked:
     def test_alphas_matches_grid(self):
         from thermoextrap_tpu.models.mbar import mbar_expectations_alphas

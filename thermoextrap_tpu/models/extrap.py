@@ -472,8 +472,56 @@ class MBARModel(StateCollection):
         out = out.reshape((alphas.shape[0], *xv.shape[2:]))
         return out[0] if scalar else out
 
+    def predict_ci(
+        self,
+        alpha,
+        nrep: int = 100,
+        seed: int = 0,
+        method: str = "hybrid",
+        rep_chunk: int = 8,
+    ):
+        """Bootstrap ``(mean, std)`` of the reweighted prediction.
+
+        Goes beyond the reference, whose ``MBARModel.resample`` raises
+        NotImplementedError (models.py:1108-1111) and whose ``predict``
+        discards pymbar's uncertainty output: each Poisson replicate
+        re-solves the weighted MBAR problem and re-evaluates every target —
+        the full solver pipeline is vmapped over replicates on device
+        (models/mbar.py:mbar_bootstrap_expectations).
+        """
+        from .mbar import mbar_bootstrap_expectations
+
+        uv = jnp.stack([jnp.asarray(m.data.uv) for m in self], axis=0)
+        xv = jnp.stack([jnp.asarray(m.data.xv) for m in self], axis=0)
+        alpha0 = jnp.asarray([m.alpha0 for m in self])
+
+        alpha = jnp.asarray(alpha)
+        scalar = alpha.ndim == 0
+        alphas = jnp.atleast_1d(alpha)
+
+        u_flat = uv.reshape(1, -1)
+        u_kn = alpha0[:, None] * u_flat
+        n_k = np.full(len(self), uv.shape[-1])
+        mean, std = mbar_bootstrap_expectations(
+            u_kn,
+            n_k,
+            alphas[:, None] * u_flat,
+            xv.reshape(u_kn.shape[1], -1),
+            nrep=nrep,
+            key=jax.random.key(seed),
+            method=method,
+            rep_chunk=rep_chunk,
+        )
+        shape = (alphas.shape[0], *xv.shape[2:])
+        mean, std = mean.reshape(shape), std.reshape(shape)
+        return (mean[0], std[0]) if scalar else (mean, std)
+
     def resample(self, *args, **kws):
-        msg = "resample not implemented for MBARModel"
+        msg = (
+            "resample not implemented for MBARModel (reference parity, "
+            "models.py:1108-1111); use predict_ci(alpha, nrep=) for "
+            "bootstrap uncertainties"
+        )
         raise NotImplementedError(msg)
 
 

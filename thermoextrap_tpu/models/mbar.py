@@ -42,9 +42,12 @@ import numpy as np
 from jax.scipy.special import logsumexp
 
 __all__ = [
+    "mbar_bootstrap_expectations",
+    "mbar_covariance",
     "mbar_expectations",
     "mbar_expectations_alphas",
     "mbar_expectations_grid",
+    "mbar_fe_uncertainties",
     "mbar_log_weights",
     "mbar_solve",
     "mbar_solve_info",
@@ -312,6 +315,130 @@ def mbar_expectations_alphas(
 
     out = jax.lax.map(body, a_pad.reshape(-1, chunk))  # (A/chunk, chunk, V)
     return out.reshape(-1, x_n.shape[1])[:a]
+
+
+# ---------------------------------------------------------------------------
+# Uncertainties
+# ---------------------------------------------------------------------------
+#
+# Two estimators, mirroring pymbar 4.x (whose results the reference discards
+# — models.py:1095-1100 keeps only ["mu"]):
+#
+# * asymptotic covariance of the free energies (Kong et al. 2003 via the
+#   svd-ew route pymbar defaults to): one (K, N) @ (N, K) device matmul,
+#   then K x K eigen math pinned to host f64 (TPU has no f64 eigh — same
+#   policy as gpr_active/gp_models._compute_ctx);
+# * Poisson bootstrap for EXPECTATIONS (pymbar 4 added n_bootstraps for
+#   exactly this reason: the augmented-Theta expectation variance is
+#   fragile).  The per-replicate weighted MBAR problem reuses the
+#   ``log_sample_weight`` seam — weight c_n per sample, per-state weight
+#   sums as n_k — and vmaps the whole solve+reweight over replicates.
+
+
+def mbar_covariance(u_kn, n_k, f_k, log_sample_weight=None):
+    """Asymptotic covariance ``Theta`` (K, K) of the ``f_k`` estimates.
+
+    ``Theta = V S (I - S V^T N V S)^+ S V^T`` where ``W^T W = V S^2 V^T``
+    for the (N, K) normalized weight matrix ``W_nk`` and ``N = diag(n_k)``
+    (Shirts & Chodera 2008 Appendix D, pymbar's default "svd-ew" method).
+    The N-sized contraction ``W^T W`` runs on device; the K x K eigen/
+    pseudo-inverse runs in host numpy f64.  Uncertainty of a difference:
+    ``var(f_i - f_j) = Theta_ii + Theta_jj - 2 Theta_ij``
+    (:func:`mbar_fe_uncertainties`).
+    """
+    u_kn = jnp.asarray(u_kn)
+    log_n_k = jnp.log(jnp.asarray(n_k, dtype=u_kn.dtype))
+    logm = (
+        None
+        if log_sample_weight is None
+        else jnp.asarray(log_sample_weight, dtype=u_kn.dtype)
+    )
+    _, _, s_k = _newton_state(jnp.asarray(f_k, u_kn.dtype), u_kn, log_n_k, logm)
+    # O = W^T W with W columns normalized to 1: reuse the Hessian pass's
+    # w @ w.T.  (s_k ~ 1 at the solution; keep it for the exact W.)
+    log_denom = logsumexp((log_n_k + jnp.asarray(f_k, u_kn.dtype))[:, None] - u_kn, axis=0)
+    logw = jnp.asarray(f_k, u_kn.dtype)[:, None] - u_kn - log_denom[None, :]
+    if logm is not None:
+        logw = logw + logm[None, :]
+    w = jnp.exp(logw)  # (K, N) = W^T
+    o = np.asarray(w @ w.T, dtype=np.float64)  # device matmul, host f64 after
+
+    n_diag = np.asarray(n_k, dtype=np.float64)
+    evals, v = np.linalg.eigh((o + o.T) / 2.0)
+    s = np.sqrt(np.clip(evals, 0.0, None))
+    inner = np.eye(len(s)) - (s[:, None] * (v.T @ (n_diag[:, None] * v)) * s[None, :])
+    theta = (v * s[None, :]) @ np.linalg.pinv(inner) @ (s[:, None] * v.T)
+    return theta
+
+
+def mbar_fe_uncertainties(theta):
+    """``d(f_i - f_j)`` matrix (K, K) from a covariance ``Theta``."""
+    theta = np.asarray(theta)
+    d = np.diag(theta)
+    var = d[:, None] + d[None, :] - 2.0 * theta
+    return np.sqrt(np.clip(var, 0.0, None))
+
+
+def mbar_bootstrap_expectations(
+    u_kn,
+    n_k,
+    u_targets,
+    x_n,
+    nrep: int = 100,
+    key=None,
+    tol: float | None = None,
+    max_iter: int = 1000,
+    method: str = "hybrid",
+    rep_chunk: int = 8,
+):
+    """Poisson-bootstrap mean and std of ``<x>`` at each target state.
+
+    Every replicate draws Poisson(1) counts ``c_n`` per sample and solves
+    the weighted MBAR problem (counts as ``log_sample_weight``, per-state
+    count sums as ``n_k`` — both the numerator sums and the mixture
+    denominator see the SAME reweighted ensemble), then evaluates the
+    target grid.  Replicates are vmapped in chunks of ``rep_chunk`` under a
+    ``lax.map`` so the (chunk, K, N) weight temporaries bound HBM.
+
+    ``n_k`` defines the per-state contiguous sample blocks (samples must be
+    ordered state-by-state, the layout :class:`MBARModel` pools).  Returns
+    ``(mean, std)`` each shaped ``(A, V)``.
+    """
+    u_kn = jnp.asarray(u_kn)
+    u_targets = jnp.asarray(u_targets, u_kn.dtype)
+    x_n = jnp.asarray(x_n, u_kn.dtype)
+    if x_n.ndim == 1:
+        x_n = x_n[:, None]
+    if key is None:
+        key = jax.random.key(0)
+    n_k_host = np.asarray(n_k, dtype=np.int64)
+    state_id = jnp.asarray(np.repeat(np.arange(len(n_k_host)), n_k_host))
+    k_states = u_kn.shape[0]
+
+    def one_rep(rep_key):
+        c = jax.random.poisson(rep_key, 1.0, (u_kn.shape[1],)).astype(u_kn.dtype)
+        n_rep = jax.ops.segment_sum(c, state_id, num_segments=k_states)
+        logc = jnp.log(c)  # log(0) = -inf drops the sample exactly
+        f, _, _ = mbar_solve_info(
+            u_kn,
+            n_rep,
+            tol=tol,
+            max_iter=max_iter,
+            method=method,
+            log_sample_weight=logc,
+        )
+        return mbar_expectations_grid(
+            u_kn, n_rep, f, u_targets, x_n, log_sample_weight=logc
+        )
+
+    n_pad = -nrep % rep_chunk
+    keys = jax.random.split(key, nrep + n_pad)
+
+    out = jax.lax.map(
+        lambda ks: jax.vmap(one_rep)(ks),
+        keys.reshape(-1, rep_chunk),
+    ).reshape(nrep + n_pad, u_targets.shape[0], x_n.shape[1])[:nrep]
+    return out.mean(axis=0), out.std(axis=0, ddof=1)
 
 
 def statistical_inefficiency(x, y=None, mintime: int = 3):
