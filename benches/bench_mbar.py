@@ -70,6 +70,11 @@ def main() -> None:
         mbar_expectations_alphas,
         mbar_solve_info,
     )
+    from thermoextrap_tpu.utils import enable_compilation_cache
+
+    # fresh compiles through the remote axon service run 1-5 min per
+    # program (COMPILE_CACHE.json); persist them across bench runs
+    enable_compilation_cache()
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -95,9 +100,11 @@ def main() -> None:
         u_kn = xs[None, :] ** 2 / (2.0 * sig[:, None] ** 2)
         return u_kn, xs
 
+    print(f"# generating N={n} on {jax.default_backend()}...", file=sys.stderr, flush=True)
     u_kn, xs = make_data(jax.random.key(0))
     n_k = jnp.full((k,), float(n // k), dtype=jnp.float32)
     float(u_kn[0, 0])  # materialize before timing
+    print("# data ready; compiling solve...", file=sys.stderr, flush=True)
 
     def timed(fn, sync):
         sync(fn())  # compile + warm
@@ -114,6 +121,7 @@ def main() -> None:
     # --- hybrid solve ---
     solve = jax.jit(lambda: mbar_solve_info(u_kn, n_k, tol=1e-5))
     t_solve, (f_k, it, res) = timed(solve, lambda o: float(o[0][1]))
+    print(f"# solve done: {t_solve:.3f}s; compiling expectations...", file=sys.stderr, flush=True)
     it = int(it)
     results["solve_hybrid"] = {
         "wallclock_s": round(t_solve, 4),
@@ -142,6 +150,7 @@ def main() -> None:
         )
     )
     t_exp, out = timed(expect, lambda o: float(o[0, 0]))
+    print(f"# expectations done: {t_exp:.3f}s; numpy baseline...", file=sys.stderr, flush=True)
     results["expectations_alphas"] = {
         "wallclock_s": round(t_exp, 4),
         "target_sample_rate_gsps": round(a_targets * n / t_exp / 1e9, 2),

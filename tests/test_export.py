@@ -501,3 +501,45 @@ def test_bucketed_runner_x_is_u():
     want = np.asarray(art(uv, BETAS, weight=np.ones(50, np.float32)))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
     assert got.shape == (3,)
+
+
+def test_mbar_export_matches_solver(tmp_path):
+    from thermoextrap_tpu.models.mbar import (
+        mbar_expectations_grid,
+        mbar_solve,
+    )
+
+    rng = np.random.default_rng(3)
+    sig = np.array([1.0, 1.6, 2.5])
+    n = 2000
+    xs = np.concatenate([rng.normal(0, s, n) for s in sig])
+    u_kn = (xs[None, :] ** 2 / (2 * sig[:, None] ** 2)).astype(np.float64)
+    n_k = np.full(3, float(n))
+    alphas = np.linspace(0.4, 1.3, 13)  # deliberately not chunk-aligned
+    x_n = np.stack([xs, xs**2], 1)
+
+    art = se.export_mbar_reweighter(3, dtype=np.float64)
+    f, res, out = art(u_kn, n_k, alphas, u_kn[0], x_n)
+    assert float(res) < 1e-10
+    f0 = mbar_solve(u_kn, n_k)
+    want = mbar_expectations_grid(
+        u_kn, n_k, f0, alphas[:, None] * u_kn[0][None, :], x_n
+    )
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f0), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-9)
+
+    # file round-trip + a different (N, A, V) through the same artifact
+    path = tmp_path / "mbar.bin"
+    art.save(path)
+    art2 = se.load_exported(path)
+    assert art2.meta["family"] == "mbar"
+    m = 3 * n - 7
+    f3, _, out3 = art2(
+        u_kn[:, :m], n_k, np.linspace(0.5, 1.0, 5), u_kn[0, :m],
+        xs[:m, None] ** 2,
+    )
+    assert np.asarray(out3).shape == (5, 1)
+    assert np.all(np.isfinite(np.asarray(out3)))
+
+    with pytest.raises(ValueError, match="K=3"):
+        art2(u_kn[:2], n_k[:2], alphas, u_kn[0], x_n)

@@ -286,6 +286,23 @@ class TestUncertainties:
         point = float(np.asarray(mbar.predict(1.0))[0])
         assert abs(point - float(np.asarray(mean)[0])) < 4 * s + 1e-3
 
+    def test_overlap_matrix(self):
+        from thermoextrap_tpu.models.mbar import mbar_overlap
+
+        # well-overlapping pair: rows sum to 1, all entries substantial;
+        # disconnected pair: off-diagonal ~ 0
+        u_kn, n_k, _, _ = _harmonic_problem([1.0, 1.3], 4000, seed=30)
+        f = mbar_solve(u_kn, n_k)
+        o = np.asarray(mbar_overlap(u_kn, n_k, f))
+        np.testing.assert_allclose(o.sum(axis=1), 1.0, rtol=1e-8)
+        assert o.min() > 0.1
+
+        u_kn2, n_k2, _, _ = _harmonic_problem([1.0, 200.0], 4000, seed=31)
+        f2 = mbar_solve(u_kn2, n_k2)
+        o2 = np.asarray(mbar_overlap(u_kn2, n_k2, f2))
+        np.testing.assert_allclose(o2.sum(axis=1), 1.0, rtol=1e-8)
+        assert o2[0, 1] < 0.05 and o2[0, 1] < o[0, 1] / 10
+
     def test_resample_still_raises(self):
         from thermoextrap_tpu.models.extrap import MBARModel
 

@@ -49,6 +49,7 @@ __all__ = [
     "mbar_expectations_grid",
     "mbar_fe_uncertainties",
     "mbar_log_weights",
+    "mbar_overlap",
     "mbar_solve",
     "mbar_solve_info",
     "statistical_inefficiency",
@@ -369,6 +370,27 @@ def mbar_covariance(u_kn, n_k, f_k, log_sample_weight=None):
     inner = np.eye(len(s)) - (s[:, None] * (v.T @ (n_diag[:, None] * v)) * s[None, :])
     theta = (v * s[None, :]) @ np.linalg.pinv(inner) @ (s[:, None] * v.T)
     return theta
+
+
+def mbar_overlap(u_kn, n_k, f_k, log_sample_weight=None):
+    """State-overlap matrix ``O_ij = N_j * sum_n W_ni W_nj`` (K, K).
+
+    pymbar's ``compute_overlap`` diagnostic: row i gives the fraction of
+    state i's information coming from samples of each state; rows sum to 1
+    and ``min_ij O`` near 0 flags a disconnected reweighting graph (the
+    usual cause of garbage free energies).  One (K, N) @ (N, K) device
+    matmul.
+    """
+    u_kn = jnp.asarray(u_kn)
+    n_kv = jnp.asarray(n_k, dtype=u_kn.dtype)
+    log_n_k = jnp.log(n_kv)
+    f_k = jnp.asarray(f_k, u_kn.dtype)
+    log_denom = logsumexp((log_n_k + f_k)[:, None] - u_kn, axis=0)
+    logw = f_k[:, None] - u_kn - log_denom[None, :]  # (K, N) = W^T
+    if log_sample_weight is not None:
+        logw = logw + jnp.asarray(log_sample_weight, u_kn.dtype)[None, :]
+    w = jnp.exp(logw)
+    return (w @ w.T) * n_kv[None, :]
 
 
 def mbar_fe_uncertainties(theta):

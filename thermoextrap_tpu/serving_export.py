@@ -28,10 +28,11 @@ platform; bootstrap replicates use Poisson(1) frequency tables (the same
 convention as the streaming pipelines — a valid bootstrap whose CI
 converges to the multinomial one, pipeline.py streaming notes).
 
-Four artifact families: batch β-extrap (:func:`export_extrap_pipeline`),
+Five artifact families: batch β-extrap (:func:`export_extrap_pipeline`),
 macrostate-grid lnΠ (:func:`export_lnpi_pipeline`), frozen GPR posterior
 predictors (:func:`export_gpr_predictor` — polymorphic in the query count
-``M``), and STREAMING bundles (:func:`export_streaming_extrap_pipeline` /
+``M``), MBAR solve+reweighting (:func:`export_mbar_reweighter` — the
+Newton/self-consistent hybrid inside the artifact), and STREAMING bundles (:func:`export_streaming_extrap_pipeline` /
 :func:`export_streaming_lnpi_pipeline` — ``update`` polymorphic in the
 chunk length, ``predict``, and the initial accumulator state in one file;
 the state crosses the boundary as an opaque array tuple).
@@ -79,6 +80,7 @@ __all__ = [
     "export_extrap_pipeline",
     "export_gpr_predictor",
     "export_lnpi_pipeline",
+    "export_mbar_reweighter",
     "export_streaming_extrap_pipeline",
     "export_streaming_lnpi_pipeline",
     "load_exported",
@@ -207,6 +209,27 @@ def _lnpi_fn(order: int, beta0: float, nrep: int):
     return fn
 
 
+def _mbar_fn(tol, max_iter: int, method: str, chunk: int):
+    """Pure-XLA MBAR solve + α-family reweighting, one program.
+
+    ``alphas`` arrives pre-padded to a multiple of ``chunk`` (the caller
+    wrapper pads with the last α and slices the output) so the chunked
+    scan's reshape is provable under shape polymorphism.
+    """
+    from .models.mbar import mbar_expectations_alphas, mbar_solve_info
+
+    def fn(u_kn, n_k, alphas, u_base, x_n):
+        f_k, _it, res = mbar_solve_info(
+            u_kn, n_k, tol=tol, max_iter=max_iter, method=method
+        )
+        out = mbar_expectations_alphas(
+            u_kn, n_k, f_k, alphas, u_base, x_n, chunk=chunk
+        )
+        return f_k, res, out
+
+    return fn
+
+
 class ExportedPipeline:
     """A (re)loaded serving artifact: ``meta`` + a callable program.
 
@@ -313,6 +336,32 @@ class ExportedPipeline:
             if m["nrep"]:
                 return reshape(out[0]), reshape(out[1])
             return reshape(out)
+        if m["family"] == "mbar":
+            u_kn, n_k, alphas, u_base, x_n = args
+            u_kn = jnp.asarray(u_kn, dt)
+            if u_kn.shape[0] != m["k_states"]:
+                msg = (
+                    f"artifact exported for K={m['k_states']} states, got "
+                    f"u_kn {u_kn.shape}"
+                )
+                raise ValueError(msg)
+            x_n = jnp.asarray(x_n, dt)
+            squeeze = x_n.ndim == 1
+            if squeeze:
+                x_n = x_n[:, None]
+            alphas = np.atleast_1d(np.asarray(alphas, dt))
+            a = alphas.shape[0]
+            n_pad = -a % m["chunk"]
+            a_pad = np.concatenate([alphas, np.full(n_pad, alphas[-1], dt)])
+            f_k, res, out = self._exported.call(
+                u_kn,
+                jnp.asarray(n_k, dt),
+                jnp.asarray(a_pad),
+                jnp.asarray(u_base, dt),
+                x_n,
+            )
+            out = out[:a, 0] if squeeze else out[:a]
+            return f_k, res, out
         if m["family"] == "gpr":
             (locs,) = args
             locs = jnp.asarray(locs, dt)
@@ -460,6 +509,56 @@ def export_gpr_predictor(
     specs = [jax.ShapeDtypeStruct((M, pred.obs_dims), dt)]
     meta = {"family": "gpr", **pred.meta, "d_new": list(pred.meta["d_new"])}
     return ExportedPipeline(_do_export(pred.predict_fn, specs, platforms), meta)
+
+
+def export_mbar_reweighter(
+    k_states: int,
+    *,
+    tol: float | None = None,
+    max_iter: int = 1000,
+    method: str = "hybrid",
+    chunk: int = 8,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export the MBAR solve + reweighting pipeline as an AOT artifact.
+
+    Reference role: ``pymbar`` inside ``MBARModel`` (models.py:1049-1111)
+    — but deployable without importing any model code.  The program takes
+    ``(u_kn (K, N), n_k (K,), alphas (A,), u_base (N,), x_n (N, V))``,
+    solves the free energies with the Newton/self-consistent hybrid and
+    evaluates ``<x>`` at every target ``alpha * u_base`` in ``chunk``-sized
+    streamed blocks (the (A, N) weight matrix never materializes — serving
+    N at 1e8 with hundreds of targets fits HBM).  Returns
+    ``(f_k, residual, out (A, V))``.
+
+    Shape-polymorphic in ``N``, ``V``, and the α-count (exported as a
+    multiple of ``chunk``; the call wrapper pads with the last α and
+    slices).  ``k_states`` is static (it fixes the Newton system size).
+    """
+    if k_states < 2:
+        msg = f"need k_states >= 2, got {k_states}"
+        raise ValueError(msg)
+    dt = jnp.dtype(dtype)
+    N, V, AC = jax_export.symbolic_shape("N, V, AC")
+    specs = [
+        jax.ShapeDtypeStruct((k_states, N), dt),
+        jax.ShapeDtypeStruct((k_states,), dt),
+        jax.ShapeDtypeStruct((chunk * AC,), dt),
+        jax.ShapeDtypeStruct((N,), dt),
+        jax.ShapeDtypeStruct((N, V), dt),
+    ]
+    meta = {
+        "family": "mbar",
+        "k_states": k_states,
+        "tol": tol,
+        "max_iter": max_iter,
+        "method": method,
+        "chunk": chunk,
+        "dtype": dt.name,
+    }
+    fn = _mbar_fn(tol, max_iter, method, chunk)
+    return ExportedPipeline(_do_export(fn, specs, platforms), meta)
 
 
 def bucketed_runner(artifact: ExportedPipeline, buckets=None):
