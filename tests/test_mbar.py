@@ -286,6 +286,24 @@ class TestUncertainties:
         point = float(np.asarray(mbar.predict(1.0))[0])
         assert abs(point - float(np.asarray(mean)[0])) < 4 * s + 1e-3
 
+    def test_perturbed_free_energies_analytic(self):
+        from thermoextrap_tpu.models.mbar import (
+            mbar_perturbed_free_energies,
+        )
+
+        u_kn, n_k, xs, _ = _harmonic_problem([1.0, 1.5, 2.5], 60000, seed=25)
+        f = mbar_solve(u_kn, n_k)
+        sig_t = np.array([1.2, 1.8, 2.2])
+        u_t = xs[None, :] ** 2 / (2.0 * sig_t[:, None] ** 2)
+        got = np.asarray(mbar_perturbed_free_energies(u_kn, n_k, f, u_t))
+        want = -np.log(sig_t / 1.0)  # f(sigma) - f(sigma_0=1)
+        np.testing.assert_allclose(got, want, atol=0.02)
+        # consistency: a target equal to a sampled state reproduces its f_k
+        same = np.asarray(
+            mbar_perturbed_free_energies(u_kn, n_k, f, u_kn[1:2])
+        )
+        np.testing.assert_allclose(same[0], np.asarray(f)[1], atol=1e-10)
+
     def test_overlap_matrix(self):
         from thermoextrap_tpu.models.mbar import mbar_overlap
 

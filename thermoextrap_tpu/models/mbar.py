@@ -50,6 +50,7 @@ __all__ = [
     "mbar_fe_uncertainties",
     "mbar_log_weights",
     "mbar_overlap",
+    "mbar_perturbed_free_energies",
     "mbar_solve",
     "mbar_solve_info",
     "statistical_inefficiency",
@@ -370,6 +371,27 @@ def mbar_covariance(u_kn, n_k, f_k, log_sample_weight=None):
     inner = np.eye(len(s)) - (s[:, None] * (v.T @ (n_diag[:, None] * v)) * s[None, :])
     theta = (v * s[None, :]) @ np.linalg.pinv(inner) @ (s[:, None] * v.T)
     return theta
+
+
+def mbar_perturbed_free_energies(
+    u_kn, n_k, f_k, u_targets, log_sample_weight=None
+):
+    """Free energies of (possibly unsampled) target states, gauge ``f_0=0``.
+
+    pymbar's ``compute_perturbed_free_energies``:
+    ``f_a = -log sum_n exp(-u_a(x_n) - log_denom_n)`` with the mixture
+    denominator from the solved ``f_k``.  ``u_targets`` (A, N) → (A,).
+    One streaming logsumexp per target; no solve needed.
+    """
+    u_kn = jnp.asarray(u_kn)
+    u_targets = jnp.asarray(u_targets, u_kn.dtype)
+    log_n_k = jnp.log(jnp.asarray(n_k, dtype=u_kn.dtype))
+    f_k = jnp.asarray(f_k, u_kn.dtype)
+    log_denom = logsumexp((log_n_k + f_k)[:, None] - u_kn, axis=0)
+    t = -u_targets - log_denom[None, :]
+    if log_sample_weight is not None:
+        t = t + jnp.asarray(log_sample_weight, u_kn.dtype)[None, :]
+    return -logsumexp(t, axis=1)
 
 
 def mbar_overlap(u_kn, n_k, f_k, log_sample_weight=None):
