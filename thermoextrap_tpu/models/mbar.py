@@ -355,9 +355,8 @@ def mbar_covariance(u_kn, n_k, f_k, log_sample_weight=None):
         if log_sample_weight is None
         else jnp.asarray(log_sample_weight, dtype=u_kn.dtype)
     )
-    _, _, s_k = _newton_state(jnp.asarray(f_k, u_kn.dtype), u_kn, log_n_k, logm)
-    # O = W^T W with W columns normalized to 1: reuse the Hessian pass's
-    # w @ w.T.  (s_k ~ 1 at the solution; keep it for the exact W.)
+    # O = W^T W for the exact (unnormalized-by-S_k) weight matrix; at the
+    # solution every column sum S_k ~ 1 so no renormalization is needed.
     log_denom = logsumexp((log_n_k + jnp.asarray(f_k, u_kn.dtype))[:, None] - u_kn, axis=0)
     logw = jnp.asarray(f_k, u_kn.dtype)[:, None] - u_kn - log_denom[None, :]
     if logm is not None:
