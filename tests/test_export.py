@@ -543,3 +543,43 @@ def test_mbar_export_matches_solver(tmp_path):
 
     with pytest.raises(ValueError, match="K=3"):
         art2(u_kn[:2], n_k[:2], alphas, u_kn[0], x_n)
+
+
+def test_volume_export_matches_pipeline(tmp_path):
+    rng = np.random.default_rng(3)
+    r = 257
+    wv = (1.0 + 0.4 * rng.normal(size=r)).astype(np.float32)
+    xv = (0.5 + 0.3 * wv[:, None] + 0.2 * rng.normal(size=(r, 2))).astype(
+        np.float32
+    )
+    dxdqv = (0.1 * xv + 0.05 * rng.normal(size=(r, 2))).astype(np.float32)
+    vols = np.array([1.8, 2.0, 2.3], np.float32)
+
+    art = se.export_volume_pipeline(2.0, ndim=3)
+    assert set(art.platforms) == {"cpu", "tpu"}
+    run = pipeline.make_volume_pipeline(2.0, ndim=3)
+    got = np.asarray(art(wv, xv, dxdqv, vols))
+    want = np.asarray(run(wv, xv, dxdqv, vols))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    assert got.shape == (3, 2)
+
+    # polymorphic in R and V; scalar observables are accepted bare
+    got1 = np.asarray(art(wv[:64], xv[:64, 0], dxdqv[:64, 0], vols))
+    assert got1.shape == (3,)
+
+    # weighted + CI round-trips through a file
+    art_b = se.export_volume_pipeline(2.0, ndim=3, nrep=50, weighted=True)
+    w = rng.uniform(0.5, 1.5, r).astype(np.float32)
+    pred, std = art_b(wv, xv, dxdqv, vols, weight=w)
+    assert np.all(np.asarray(std) > 0)
+    path = tmp_path / "vol.bin"
+    art_b.save(path)
+    art2 = se.load_exported(path)
+    pred2, std2 = art2(wv, xv, dxdqv, vols, weight=w)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred2))
+    np.testing.assert_array_equal(np.asarray(std), np.asarray(std2))
+
+    with pytest.raises(ValueError, match="weight"):
+        art(wv, xv, dxdqv, vols, weight=w)
+    with pytest.raises(ValueError, match="must match"):
+        art(wv, xv, dxdqv[:, :1], vols)

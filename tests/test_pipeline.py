@@ -558,3 +558,122 @@ class TestXisUPipeline:
         got = np.asarray(serve(u, betas))
         ref = np.asarray(self._model(u, order, beta0).predict(betas))
         np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-10)
+
+
+class TestVolumePipeline:
+    """make_volume_pipeline == the eager volume.factory_extrapmodel path."""
+
+    @staticmethod
+    def _data(rng_np, R=4000, vec=False):
+        wv = rng_np.normal(1.0, 0.4, R)
+        if vec:
+            xv = 0.5 + 0.3 * wv[:, None] + rng_np.normal(0, 0.2, (R, 2))
+            dxdqv = 0.1 * xv + rng_np.normal(0, 0.05, (R, 2))
+        else:
+            xv = 0.5 + 0.3 * wv + rng_np.normal(0, 0.2, R)
+            dxdqv = 0.1 * xv + rng_np.normal(0, 0.05, R)
+        return wv, xv, dxdqv
+
+    def test_matches_model(self, rng_np):
+        from thermoextrap_tpu import volume
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        wv, xv, dxdqv = self._data(rng_np)
+        v0, nd = 2.0, 3
+        vols = np.array([1.8, 2.0, 2.3])
+        run = make_volume_pipeline(v0, ndim=nd)
+        got = np.asarray(run(wv, xv, dxdqv, vols))
+        model = volume.factory_extrapmodel(v0, wv, xv, dxdqv, ndim=nd)
+        np.testing.assert_allclose(
+            got, np.asarray(model.predict(vols)).reshape(got.shape), rtol=1e-10
+        )
+
+    def test_vector_observable(self, rng_np):
+        from thermoextrap_tpu import volume
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        wv, xv, dxdqv = self._data(rng_np, vec=True)
+        v0, nd = 2.0, 2
+        vols = np.array([1.9, 2.1])
+        run = make_volume_pipeline(v0, ndim=nd)
+        got = np.asarray(run(wv, xv, dxdqv, vols))
+        assert got.shape == (2, 2)
+        model = volume.factory_extrapmodel(v0, wv, xv, dxdqv, ndim=nd)
+        np.testing.assert_allclose(
+            got, np.asarray(model.predict(vols)).reshape(got.shape), rtol=1e-10
+        )
+
+    def test_bootstrap_calibrated(self, rng_np):
+        from thermoextrap_tpu import volume
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        wv, xv, dxdqv = self._data(rng_np)
+        v0, nd, nrep = 2.0, 3, 200
+        vols = np.array([1.8, 2.3])
+        run = make_volume_pipeline(v0, ndim=nd, nrep=nrep)
+        pred, std = run(wv, xv, dxdqv, vols, seed=3)
+        model = volume.factory_extrapmodel(v0, wv, xv, dxdqv, ndim=nd)
+        np.testing.assert_allclose(
+            np.asarray(pred),
+            np.asarray(model.predict(vols)).reshape(np.asarray(pred).shape),
+            rtol=1e-10,
+        )
+        boot = model.resample({"nrep": nrep})
+        ref_std = np.asarray(boot.predict(vols)).std(axis=1)
+        ratio = np.asarray(std) / ref_std
+        assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+        # different seeds -> different draws, same calibration
+        _, std2 = run(wv, xv, dxdqv, vols, seed=4)
+        assert not np.allclose(np.asarray(std2), np.asarray(std))
+
+    def test_weighted(self, rng_np):
+        from thermoextrap_tpu import volume
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        wv, xv, dxdqv = self._data(rng_np)
+        w = rng_np.uniform(0.5, 1.5, len(wv))
+        v0, nd = 2.0, 3
+        vols = np.array([1.9, 2.2])
+        run = make_volume_pipeline(v0, ndim=nd, weighted=True)
+        got = np.asarray(run(wv, xv, dxdqv, vols, w))
+        model = volume.factory_extrapmodel(
+            v0, wv, xv, dxdqv, ndim=nd, weight=np.asarray(w)
+        )
+        np.testing.assert_allclose(
+            got, np.asarray(model.predict(vols)).reshape(got.shape), rtol=1e-10
+        )
+
+    def test_sharded_matches_unsharded(self, rng_np):
+        import jax
+        import pytest
+
+        from thermoextrap_tpu.parallel import make_mesh, shard_rec
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        wv, xv, dxdqv = self._data(rng_np, R=4096)
+        v0, nd, nrep = 2.0, 3, 16
+        vols = np.array([1.9, 2.2])
+        mesh = make_mesh(8, axis_names=("rep", "rec"))
+        run_m = make_volume_pipeline(v0, ndim=nd, nrep=nrep, mesh=mesh)
+        run_1 = make_volume_pipeline(v0, ndim=nd)
+        ws = shard_rec(jnp.asarray(wv), mesh)
+        xs = shard_rec(jnp.asarray(xv), mesh)
+        ds = shard_rec(jnp.asarray(dxdqv), mesh)
+        pred_m, std_m = run_m(ws, xs, ds, vols, seed=5)
+        pred_1 = run_1(wv, xv, dxdqv, vols)
+        np.testing.assert_allclose(
+            np.asarray(pred_m), np.asarray(pred_1), rtol=1e-12
+        )
+        assert np.all(np.asarray(std_m) > 0)
+
+    def test_shape_mismatch_error(self, rng_np):
+        import pytest
+
+        from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+        wv, xv, _ = self._data(rng_np, R=100)
+        run = make_volume_pipeline(2.0)
+        with pytest.raises(ValueError, match="must match"):
+            run(wv, xv, np.zeros((100, 3)), np.array([2.0]))

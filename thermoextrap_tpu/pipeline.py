@@ -42,6 +42,7 @@ __all__ = [
     "make_streaming_extrap_pipeline",
     "make_streaming_interp_pipeline",
     "make_streaming_lnpi_pipeline",
+    "make_volume_pipeline",
     "streaming_jackknife",
 ]
 
@@ -1183,6 +1184,155 @@ def make_lnpi_pipeline(
 
     def run(uv, lnpi0, mudotn, betas, seed=0):
         return _run(uv, lnpi0, mudotn, betas, seed)
+
+    return run
+
+
+def make_volume_pipeline(
+    volume0: float,
+    *,
+    ndim: int = 3,
+    nrep: int = 0,
+    mesh=None,
+    weighted: bool = False,
+    bf16: bool = False,
+):
+    r"""Build a jitted ``run(wv, xv, dxdqv, volumes, seed=0)`` for first-order
+    volume extrapolation of ``<x>`` (reference volume.py:137-209 workflow) —
+    the volume-ensemble counterpart of :func:`make_extrap_pipeline`.
+
+    The volume derivative is a pure first-moment expression
+    (reference volume.py:39-80):
+
+    .. math::
+
+        \frac{d\langle x\rangle}{dV}
+          = \frac{\mathrm{cov}(x, W) + \langle dxdq \rangle}{V_0\, d}
+
+    with ``W = beta * virial`` and ``dxdq = sum_i dx/dq_i q_i``, since
+    ``-<x><W> + <xW> = cov(x, W)`` is exactly the order-1 central comoment
+    the fused kernel emits.  The pipeline therefore packs ``xv`` and
+    ``dxdqv`` as value columns of ONE order-1 fused reduction (one pass
+    over all three streams) and assembles the Taylor step; with ``nrep``
+    the in-kernel Poisson bootstrap resamples whole configurations — the
+    ``(x, W, dxdq)`` rows stay paired, matching the eager
+    ``VolumeDataCallback.resample`` index semantics.
+
+    Parameters
+    ----------
+    volume0 : reference volume the samples were drawn at.
+    ndim : spatial dimensionality ``d`` in the ``V * d`` denominator.
+    nrep, mesh, weighted, bf16 : as in :func:`make_extrap_pipeline`.
+
+    Returns
+    -------
+    ``run(wv, xv, dxdqv, volumes, seed=0)`` where ``wv (R,)`` is the
+    temperature-scaled virial ``beta * virial``, ``xv (R, *val)`` the
+    observable samples, ``dxdqv (R, *val)`` the ``sum_i dx/dq_i q_i``
+    samples, ``volumes (A,)`` → ``pred (A, *val)`` or ``(pred, std)``.
+    With ``weighted`` the call is ``run(wv, xv, dxdqv, volumes, weight,
+    seed=0)``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> run = make_volume_pipeline(1.0, ndim=1)
+    >>> wv = np.array([1.0, 2.0, 3.0, 4.0])
+    >>> xv = 2.0 * wv
+    >>> pred = run(wv, xv, np.zeros(4), np.array([1.0]))  # at V0: <x>
+    >>> float(np.asarray(pred)[0])
+    5.0
+    """
+    on_accel = jax.default_backend() != "cpu"
+    use_bf16 = bf16 and on_accel and mesh is None
+    order = 1  # higher orders would need force derivatives (volume.py:29-49)
+    v0d = float(volume0) * float(ndim)
+
+    @jax.jit
+    def _run(wv, xv, dxdqv, volumes, weight, seed):
+        wv = jnp.asarray(wv)
+        xv = jnp.asarray(xv)
+        dxdqv = jnp.asarray(dxdqv)
+        if xv.shape != dxdqv.shape:
+            msg = f"xv {xv.shape} and dxdqv {dxdqv.shape} must match"
+            raise ValueError(msg)
+        if use_bf16:
+            wv = wv.astype(jnp.bfloat16)
+            xv = xv.astype(jnp.bfloat16)
+            dxdqv = dxdqv.astype(jnp.bfloat16)
+        val_shape = xv.shape[1:]
+        r = wv.shape[0]
+        xflat = xv.reshape(r, -1)
+        v = xflat.shape[1]
+        packed = jnp.concatenate([xflat, dxdqv.reshape(r, -1)], axis=1)
+        volumes_a = jnp.atleast_1d(jnp.asarray(volumes))
+        dalpha = volumes_a - volume0
+
+        def _predict(xave, cov1, batch_ndim: int):
+            # xave (*b, 2V): [x means | dxdq means]; cov1 (*b, V) = cov(x, W)
+            deriv = (cov1 + xave[..., v:]) / v0d
+            da = dalpha.reshape((-1,) + (1,) * (batch_ndim + 1))
+            return xave[None, ..., :v] + da * deriv[None]
+
+        if mesh is not None:
+            from .parallel import reduce_central_comoments_sharded
+
+            xave, _uave, _du, dxdu = reduce_central_comoments_sharded(
+                wv, packed, order, mesh, weight=weight
+            )
+        else:
+            xave, _uave, _du, dxdu = dispatch.reduce_central(
+                wv, packed, order, weight=weight
+            )
+        pred = _predict(xave, dxdu[1, :v], 0)
+        pred = pred.reshape(volumes_a.shape + val_shape)
+        if not nrep:
+            return pred
+
+        if mesh is not None:
+            from .ops.resample import freq_from_indices, random_indices
+            from .parallel import resample_central_comoments_sharded
+
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bx, _bu, _bdu, bdxdu = resample_central_comoments_sharded(
+                wv, packed, freq, order, mesh, weight=weight
+            )
+        elif on_accel:
+            from .ops.moments_pallas import resample_central_comoments_poisson
+
+            bx, _bu, _bdu, bdxdu = resample_central_comoments_poisson(
+                wv, packed, nrep, order, weight=weight, seed=seed
+            )
+        else:
+            from .ops.resample import (
+                freq_from_indices,
+                random_indices,
+                resample_central_comoments,
+            )
+
+            freq = freq_from_indices(
+                random_indices(jax.random.key(seed), nrep, r), r
+            )
+            bx, _bu, _bdu, bdxdu = resample_central_comoments(
+                wv, packed, freq, order, weight=weight
+            )
+
+        # bx (nrep, 2V), bdxdu (2, nrep, 2V) -> bpred (A, nrep, V)
+        bpred = _predict(bx, bdxdu[1, :, :v], 1)
+        std = bpred.std(axis=1).reshape(volumes_a.shape + val_shape)
+        return pred, std
+
+    if weighted:
+
+        def run(wv, xv, dxdqv, volumes, weight, seed=0):
+            return _run(wv, xv, dxdqv, volumes, weight, seed)
+
+    else:
+
+        def run(wv, xv, dxdqv, volumes, seed=0):
+            return _run(wv, xv, dxdqv, volumes, None, seed)
 
     return run
 

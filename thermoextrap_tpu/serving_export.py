@@ -83,6 +83,7 @@ __all__ = [
     "export_mbar_reweighter",
     "export_streaming_extrap_pipeline",
     "export_streaming_lnpi_pipeline",
+    "export_volume_pipeline",
     "load_exported",
     "save_exported",
 ]
@@ -209,6 +210,49 @@ def _lnpi_fn(order: int, beta0: float, nrep: int):
     return fn
 
 
+def _volume_fn(volume0: float, ndim: int, nrep: int, weighted: bool):
+    """Pure-XLA first-order volume extrapolation step (export-safe).
+
+    Mirrors :func:`~thermoextrap_tpu.pipeline.make_volume_pipeline`:
+    ``d<x>/dV = (cov(x, W) + <dxdq>) / (V0 * d)`` from one order-1 central
+    comoment reduction over the ``[x | dxdq]``-packed value columns, with
+    Poisson(1) bootstrap frequencies for the CI replicates.
+    """
+    v0d = float(volume0) * float(ndim)
+
+    def fn(wv, xv, dxdqv, volumes, weight, seed):
+        r = wv.shape[0]
+        v = xv.shape[1]
+        packed = jnp.concatenate([xv, dxdqv], axis=1)
+        dalpha = volumes - jnp.asarray(volume0, volumes.dtype)
+
+        def _predict(xave, cov1, batch_ndim: int):
+            deriv = (cov1 + xave[..., v:]) / v0d
+            da = dalpha.reshape((-1,) + (1,) * (batch_ndim + 1))
+            return xave[None, ..., :v] + da * deriv[None]
+
+        xave, _uave, _du, dxdu = reduce_central_comoments(
+            wv, packed, 1, weight=weight
+        )
+        pred = _predict(xave, dxdu[1, :v], 0)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, r), dtype=jnp.int32
+        )
+        bx, _bu, _bdu, bdxdu = resample_central_comoments(
+            wv, packed, freq, 1, weight=weight
+        )
+        bpred = _predict(bx, bdxdu[1, :, :v], 1)
+        return pred, bpred.std(axis=1)
+
+    if weighted:
+        return fn
+    return lambda wv, xv, dxdqv, volumes, seed: fn(
+        wv, xv, dxdqv, volumes, None, seed
+    )
+
+
 def _mbar_fn(tol, max_iter: int, method: str, chunk: int):
     """Pure-XLA MBAR solve + α-family reweighting, one program.
 
@@ -263,7 +307,7 @@ class ExportedPipeline:
         m = self.meta
         dt = self._dtype()
         if weight is not None and not (
-            m["family"] == "extrap" and m.get("weighted")
+            m["family"] in ("extrap", "volume") and m.get("weighted")
         ):
             msg = (
                 "this artifact takes no weight operand (export with "
@@ -320,6 +364,34 @@ class ExportedPipeline:
                     else reshape(out)
                 )
             return out
+        if m["family"] == "volume":
+            wv, xv, dxdqv, volumes = args
+            wv = jnp.asarray(wv, dt)
+            xv = jnp.asarray(xv, dt)
+            dxdqv = jnp.asarray(dxdqv, dt)
+            if xv.shape != dxdqv.shape:
+                msg = f"xv {xv.shape} and dxdqv {dxdqv.shape} must match"
+                raise ValueError(msg)
+            val_shape = xv.shape[1:]
+            xv = xv.reshape(xv.shape[0], -1) if xv.ndim != 1 else xv[:, None]
+            dxdqv = (
+                dxdqv.reshape(dxdqv.shape[0], -1)
+                if dxdqv.ndim != 1
+                else dxdqv[:, None]
+            )
+            volumes = jnp.atleast_1d(jnp.asarray(volumes, dt))
+            call = [wv, xv, dxdqv, volumes]
+            if m["weighted"]:
+                if weight is None:
+                    msg = "this artifact was exported weighted=True; pass weight="
+                    raise ValueError(msg)
+                call.append(jnp.asarray(weight, dt))
+            call.append(jnp.asarray(seed, jnp.int32))
+            out = self._exported.call(*call)
+            reshape = lambda a: a.reshape(a.shape[:1] + val_shape)  # noqa: E731
+            if m["nrep"]:
+                return reshape(out[0]), reshape(out[1])
+            return reshape(out)
         if m["family"] == "lnpi":
             uv, lnpi0, mudotn, betas = args
             uv = jnp.asarray(uv, dt)
@@ -478,6 +550,53 @@ def export_lnpi_pipeline(
     return ExportedPipeline(
         _do_export(_lnpi_fn(order, beta0, nrep), specs, platforms), meta
     )
+
+
+def export_volume_pipeline(
+    volume0: float,
+    *,
+    ndim: int = 3,
+    nrep: int = 0,
+    weighted: bool = False,
+    nval: int | None = None,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export the first-order volume-extrapolation pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_volume_pipeline`) as an AOT
+    artifact, shape-polymorphic in the sample count ``R``, query count
+    ``A``, and (unless ``nval`` pins it) the value width ``V``.
+
+    The loaded artifact is called
+    ``artifact(wv, xv, dxdqv, volumes[, weight=]) -> pred | (pred, std)``
+    with ``wv (R,)`` the temperature-scaled virial and ``xv``/``dxdqv``
+    ``(R, *val)`` (a bare ``(R,)`` is accepted for scalar observables).
+    """
+    dt = jnp.dtype(dtype)
+    dims = "R, A" + ("" if nval else ", V")
+    syms = jax_export.symbolic_shape(dims)
+    R, A = syms[0], syms[1]
+    V = nval if nval else syms[2]
+    specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, V), dt),
+        jax.ShapeDtypeStruct((R, V), dt),
+        jax.ShapeDtypeStruct((A,), dt),
+    ]
+    if weighted:
+        specs.append(jax.ShapeDtypeStruct((R,), dt))
+    specs.append(jax.ShapeDtypeStruct((), jnp.int32))
+    meta = {
+        "family": "volume",
+        "volume0": volume0,
+        "ndim": ndim,
+        "nrep": nrep,
+        "weighted": weighted,
+        "nval": nval,
+        "dtype": dt.name,
+    }
+    fn = _volume_fn(volume0, ndim, nrep, weighted)
+    return ExportedPipeline(_do_export(fn, specs, platforms), meta)
 
 
 def export_gpr_predictor(

@@ -67,8 +67,14 @@ class VolumeDataCallback(DataCallbackABC):
     def check(self, data) -> None:
         pass
 
-    def dxdq(self, nbatch: int = 0):
-        return self.dxdqv.mean(axis=nbatch)
+    def dxdq(self, nbatch: int = 0, weight=None):
+        if weight is None:
+            return self.dxdqv.mean(axis=nbatch)
+        # weighted data must weight EVERY stream consistently (the serving
+        # pipeline packs dxdqv into the same weighted reduction as x)
+        w = jnp.asarray(weight)
+        w = w.reshape(w.shape + (1,) * (self.dxdqv.ndim - w.ndim))
+        return (w * self.dxdqv).sum(axis=nbatch) / w.sum()
 
     def resample(self, data, *, indices=None, freq=None, **kws):
         if indices is None:
@@ -79,7 +85,10 @@ class VolumeDataCallback(DataCallbackABC):
     def derivs_args(self, data, derivs_args):
         return (
             *tuple(derivs_args),
-            self.dxdq(nbatch=data.nbatch if hasattr(data, "nbatch") else 0),
+            self.dxdq(
+                nbatch=data.nbatch if hasattr(data, "nbatch") else 0,
+                weight=getattr(data, "weight", None),
+            ),
             self.volume,
             self.ndim,
         )
