@@ -1046,3 +1046,128 @@ class TestStreamingXisU:
 
         with pytest.raises(ValueError, match="val_shape"):
             make_streaming_extrap_pipeline(3, 1.0, x_is_u=True, val_shape=(2,))
+
+
+class TestStreamingVolume:
+    """make_streaming_volume_pipeline: exact chunked pooling of the
+    volume-ensemble serving path."""
+
+    @staticmethod
+    def _data(rng_np, R=4000, vec=False):
+        wv = rng_np.normal(1.0, 0.4, R)
+        if vec:
+            xv = 0.5 + 0.3 * wv[:, None] + rng_np.normal(0, 0.2, (R, 2))
+            dxdqv = 0.1 * xv + rng_np.normal(0, 0.05, (R, 2))
+        else:
+            xv = 0.5 + 0.3 * wv + rng_np.normal(0, 0.2, R)
+            dxdqv = 0.1 * xv + rng_np.normal(0, 0.05, R)
+        return wv, xv, dxdqv
+
+    def test_streamed_equals_one_shot(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_streaming_volume_pipeline,
+            make_volume_pipeline,
+        )
+
+        wv, xv, dxdqv = self._data(rng_np)
+        vols = np.array([1.8, 2.0, 2.3])
+        st, upd, prd = make_streaming_volume_pipeline(
+            2.0, ndim=3, dtype=np.float64
+        )
+        for lo, hi in ((0, 1000), (1000, 2500), (2500, 4000)):
+            st = upd(st, wv[lo:hi], xv[lo:hi], dxdqv[lo:hi])
+        got = np.asarray(prd(st, vols))
+        ref = np.asarray(
+            make_volume_pipeline(2.0, ndim=3)(wv, xv, dxdqv, vols)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-13)
+
+    def test_vector_and_weighted(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_streaming_volume_pipeline,
+            make_volume_pipeline,
+        )
+
+        wv, xv, dxdqv = self._data(rng_np, vec=True)
+        w = rng_np.uniform(0.5, 1.5, len(wv))
+        vols = np.array([1.9, 2.2])
+        st, upd, prd = make_streaming_volume_pipeline(
+            2.0, ndim=3, val_shape=(2,), dtype=np.float64
+        )
+        half = len(wv) // 2
+        st = upd(st, wv[:half], xv[:half], dxdqv[:half], weight=w[:half])
+        st = upd(st, wv[half:], xv[half:], dxdqv[half:], weight=w[half:])
+        got = np.asarray(prd(st, vols))
+        assert got.shape == (2, 2)
+        ref = np.asarray(
+            make_volume_pipeline(2.0, ndim=3, weighted=True)(
+                wv, xv, dxdqv, vols, w
+            )
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-13)
+
+    def test_bootstrap_ci(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_streaming_volume_pipeline,
+            make_volume_pipeline,
+        )
+
+        wv, xv, dxdqv = self._data(rng_np)
+        vols = np.array([1.8, 2.3])
+        st, upd, prd = make_streaming_volume_pipeline(
+            2.0, ndim=3, nrep=200, dtype=np.float64, seed=7
+        )
+        for lo, hi in ((0, 2000), (2000, 4000)):
+            st = upd(st, wv[lo:hi], xv[lo:hi], dxdqv[lo:hi])
+        pred, std = prd(st, vols)
+        ref = np.asarray(
+            make_volume_pipeline(2.0, ndim=3)(wv, xv, dxdqv, vols)
+        )
+        np.testing.assert_allclose(np.asarray(pred), ref, rtol=1e-13)
+        # CI calibrated against the one-shot pipeline's bootstrap
+        _, std_ref = make_volume_pipeline(2.0, ndim=3, nrep=200)(
+            wv, xv, dxdqv, vols, seed=3
+        )
+        ratio = np.asarray(std) / np.asarray(std_ref)
+        assert np.all((0.6 < ratio) & (ratio < 1.7)), ratio
+
+    def test_mesh_matches_unmeshed(self, rng_np):
+        import jax
+        import pytest
+
+        from thermoextrap_tpu.parallel import make_mesh, shard_rec
+        from thermoextrap_tpu.pipeline import make_streaming_volume_pipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        wv, xv, dxdqv = self._data(rng_np, R=4096)
+        vols = np.array([1.9, 2.2])
+        mesh = make_mesh(8, axis_names=("rep", "rec"))
+        stm, updm, prdm = make_streaming_volume_pipeline(
+            2.0, ndim=3, dtype=np.float64, mesh=mesh, nrep=8, seed=5
+        )
+        stu, updu, prdu = make_streaming_volume_pipeline(
+            2.0, ndim=3, dtype=np.float64, nrep=8, seed=5
+        )
+        half = len(wv) // 2
+        for lo, hi in ((0, half), (half, len(wv))):
+            stm = updm(
+                stm,
+                shard_rec(jnp.asarray(wv[lo:hi]), mesh),
+                shard_rec(jnp.asarray(xv[lo:hi]), mesh),
+                shard_rec(jnp.asarray(dxdqv[lo:hi]), mesh),
+            )
+            stu = updu(stu, wv[lo:hi], xv[lo:hi], dxdqv[lo:hi])
+        for got, want in zip(prdm(stm, vols), prdu(stu, vols)):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-13
+            )
+
+    def test_shape_mismatch_error(self, rng_np):
+        import pytest
+
+        from thermoextrap_tpu.pipeline import make_streaming_volume_pipeline
+
+        st, upd, _ = make_streaming_volume_pipeline(2.0)
+        with pytest.raises(ValueError, match="must match"):
+            upd(st, np.zeros(10), np.zeros(10), np.zeros((10, 2)))

@@ -42,6 +42,7 @@ __all__ = [
     "make_streaming_extrap_pipeline",
     "make_streaming_interp_pipeline",
     "make_streaming_lnpi_pipeline",
+    "make_streaming_volume_pipeline",
     "make_volume_pipeline",
     "streaming_jackknife",
 ]
@@ -864,6 +865,114 @@ def make_streaming_lnpi_pipeline(
         bpred = _poly_eval(
             _coefs(rep_s.uave, bdu, lnpi0[None], mudotn[None]), dalpha
         )
+        return pred, bpred.std(axis=1)
+
+    return state0, update, predict
+
+
+def make_streaming_volume_pipeline(
+    volume0: float,
+    *,
+    ndim: int = 3,
+    val_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+    bf16: bool = False,
+    mesh=None,
+    nrep: int = 0,
+    seed: int = 0,
+    xla_only: bool = False,
+):
+    r"""Streaming variant of :func:`make_volume_pipeline`: accumulate
+    ``(W, x, dxdq)`` sample chunks online, predict the first-order volume
+    extrapolation at any time — without retaining samples.
+
+    Mechanically this is the order-1 streaming comoment accumulator of
+    :func:`make_streaming_extrap_pipeline` with ``x`` and ``dxdq`` packed
+    as a leading value axis (``cov(x, W)`` is the order-1 central comoment
+    of the first packed column; ``<dxdq>`` the mean of the second), plus
+    the volume-specific prediction assembly — so chunk pooling, mesh
+    sharding, per-chunk Poisson replicate folding, and checkpointing are
+    all inherited exactly.
+
+    Parameters
+    ----------
+    volume0, ndim : as in :func:`make_volume_pipeline`.
+    val_shape, dtype, bf16, mesh, nrep, seed, xla_only : as in
+        :func:`make_streaming_extrap_pipeline`.
+
+    Returns
+    -------
+    ``(state0, update, predict)`` — ``update(state, wv, xv, dxdqv,
+    weight=None) -> state`` (``wv (chunk,)`` the temperature-scaled
+    virial, ``xv``/``dxdqv (chunk, *val_shape)``),
+    ``predict(state, volumes) -> (A, *val_shape)`` or ``(pred, std)``
+    when ``nrep > 0``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> state, update, predict = make_streaming_volume_pipeline(1.0, ndim=1)
+    >>> wv = np.array([1.0, 2.0, 3.0, 4.0])
+    >>> state = update(state, wv[:2], 2.0 * wv[:2], np.zeros(2))
+    >>> state = update(state, wv[2:], 2.0 * wv[2:], np.zeros(2))
+    >>> float(np.asarray(predict(state, np.array([1.0])))[0])  # <x> at V0
+    5.0
+    """
+    val_shape = tuple(val_shape)
+    v0d = float(volume0) * float(ndim)
+    state0, _update, _ = make_streaming_extrap_pipeline(
+        1,
+        volume0,
+        val_shape=(2, *val_shape),
+        dtype=dtype,
+        bf16=bf16,
+        mesh=mesh,
+        nrep=nrep,
+        seed=seed,
+        xla_only=xla_only,
+    )
+
+    def update(state, wv, xv, dxdqv, weight=None):
+        xv = jnp.asarray(xv)
+        dxdqv = jnp.asarray(dxdqv)
+        if xv.shape != dxdqv.shape:
+            msg = f"xv {xv.shape} and dxdqv {dxdqv.shape} must match"
+            raise ValueError(msg)
+        packed = jnp.stack(
+            [
+                xv.reshape(xv.shape[0], *val_shape),
+                dxdqv.reshape(xv.shape[0], *val_shape),
+            ],
+            axis=1,
+        )
+        return _update(state, wv, packed, weight=weight)
+
+    def _predict_from(xave, dxdu):
+        # xave (*b, 2, *val): [x means, dxdq means]; dxdu (2, *b, 2, *val)
+        x_mean = xave[..., 0, :] if val_shape else xave[..., 0]
+        if val_shape:
+            cov = dxdu[1][..., 0, :]
+            dxdq = xave[..., 1, :]
+        else:
+            cov = dxdu[1][..., 0]
+            dxdq = xave[..., 1]
+        return x_mean, (cov + dxdq) / v0d
+
+    @jax.jit
+    def predict(state, volumes):
+        volumes = jnp.atleast_1d(jnp.asarray(volumes))
+        dalpha = volumes - volume0
+        if not nrep:
+            x_mean, deriv = _predict_from(state.xave, state.dxdu)
+            da = dalpha.reshape((-1,) + (1,) * len(val_shape))
+            return x_mean[None] + da * deriv[None]
+        mean_s, rep_s, _step = state
+        x_mean, deriv = _predict_from(mean_s.xave, mean_s.dxdu)
+        da = dalpha.reshape((-1,) + (1,) * len(val_shape))
+        pred = x_mean[None] + da * deriv[None]
+        bx, bderiv = _predict_from(rep_s.xave, rep_s.dxdu)
+        dab = dalpha.reshape((-1, 1) + (1,) * len(val_shape))
+        bpred = bx[None] + dab * bderiv[None]  # (A, nrep, *val)
         return pred, bpred.std(axis=1)
 
     return state0, update, predict
