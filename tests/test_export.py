@@ -583,3 +583,52 @@ def test_volume_export_matches_pipeline(tmp_path):
         art(wv, xv, dxdqv, vols, weight=w)
     with pytest.raises(ValueError, match="must match"):
         art(wv, xv, dxdqv[:, :1], vols)
+
+
+def test_streaming_volume_bundle_matches_pipeline(tmp_path):
+    rng = np.random.default_rng(5)
+    r = 4000
+    wv = rng.normal(1.0, 0.4, r).astype(np.float32)
+    xv = (0.5 + 0.3 * wv + 0.2 * rng.normal(size=r)).astype(np.float32)
+    dxdqv = (0.1 * xv + 0.05 * rng.normal(size=r)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, r).astype(np.float32)
+    vols = np.array([1.8, 2.0, 2.3], np.float32)
+
+    art = se.export_streaming_volume_pipeline(2.0, ndim=3, weighted=True)
+    st = art.init_state()
+    st = art.update(st, wv[:1500], xv[:1500], dxdqv=dxdqv[:1500], weight=w[:1500])
+    st = art.update(st, wv[1500:], xv[1500:], dxdqv=dxdqv[1500:], weight=w[1500:])
+    got = np.asarray(art.predict(st, vols))
+    ref = np.asarray(
+        pipeline.make_volume_pipeline(2.0, ndim=3, weighted=True)(
+            wv, xv, dxdqv, vols, w
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-7)
+
+    # CI bundle round-trips through file + state checkpoint
+    art_b = se.export_streaming_volume_pipeline(2.0, ndim=3, nrep=16, seed=9)
+    stb = art_b.init_state()
+    stb = art_b.update(stb, wv[:1500], xv[:1500], dxdqv=dxdqv[:1500])
+    path = tmp_path / "vol_bundle.bin"
+    spath = tmp_path / "vol_state.ckpt"
+    art_b.save(path)
+    art_b.save_state(spath, stb)
+    art2 = se.load_exported(path)
+    st2 = art2.load_state(spath)
+    st2 = art2.update(st2, wv[1500:], xv[1500:], dxdqv=dxdqv[1500:])
+    pred, std = art2.predict(st2, vols)
+    assert np.all(np.asarray(std) > 0)
+    ref_u = np.asarray(
+        pipeline.make_volume_pipeline(2.0, ndim=3)(wv, xv, dxdqv, vols)
+    )
+    np.testing.assert_allclose(np.asarray(pred), ref_u, rtol=2e-6, atol=2e-7)
+
+    # guards: missing dxdqv, foreign-family dxdqv, weight on unweighted
+    with pytest.raises(ValueError, match="dxdqv"):
+        art_b.update(stb, wv, xv)
+    with pytest.raises(ValueError, match="weight"):
+        art_b.update(stb, wv, xv, dxdqv=dxdqv, weight=w)
+    ext = se.export_streaming_extrap_pipeline(2, 1.0)
+    with pytest.raises(ValueError, match="streaming_volume"):
+        ext.update(ext.init_state(), wv, xv, dxdqv=dxdqv)

@@ -83,6 +83,7 @@ __all__ = [
     "export_mbar_reweighter",
     "export_streaming_extrap_pipeline",
     "export_streaming_lnpi_pipeline",
+    "export_streaming_volume_pipeline",
     "export_volume_pipeline",
     "load_exported",
     "save_exported",
@@ -773,12 +774,43 @@ class StreamingExportedPipeline:
         values, but don't let callers alias the template)."""
         return tuple(np.array(a, copy=True) for a in self._state0)
 
-    def update(self, state, uv, xv=None, weight=None):
-        """Fold one sample chunk into ``state``; returns the new state."""
+    def update(self, state, uv, xv=None, weight=None, dxdqv=None):
+        """Fold one sample chunk into ``state``; returns the new state.
+
+        Extrap bundles: ``update(state, uv, xv[, weight=])`` (``xv`` omitted
+        for ``x_is_u``); lnΠ bundles: ``update(state, uv_grid)``; volume
+        bundles: ``update(state, wv, xv, dxdqv=...[, weight=])``.
+        """
         m = self.meta
         dt = self._dtype()
         uv = jnp.asarray(uv, dt)
         args = list(state)
+        if dxdqv is not None and m["family"] != "streaming_volume":
+            msg = "dxdqv= is only for streaming_volume bundles"
+            raise ValueError(msg)
+        if m["family"] == "streaming_volume":
+            if xv is None or dxdqv is None:
+                msg = (
+                    "volume streaming update takes (state, wv, xv, "
+                    "dxdqv=...[, weight=])"
+                )
+                raise ValueError(msg)
+            val_shape = tuple(m["val_shape"])
+            xv = jnp.asarray(xv, dt).reshape(uv.shape[0], *val_shape)
+            dxdqv = jnp.asarray(dxdqv, dt).reshape(uv.shape[0], *val_shape)
+            args.extend([uv, xv, dxdqv])
+            if m["weighted"]:
+                if weight is None:
+                    msg = "this artifact was exported weighted=True; pass weight="
+                    raise ValueError(msg)
+                args.append(jnp.asarray(weight, dt))
+            elif weight is not None:
+                msg = (
+                    "this artifact takes no weight operand (export with "
+                    "weighted=True); refusing to silently ignore weight="
+                )
+                raise ValueError(msg)
+            return tuple(self._upd.call(*args))
         if m["family"] == "streaming_lnpi":
             if xv is not None or weight is not None:
                 msg = "lnPi streaming update takes only (state, uv_grid)"
@@ -915,13 +947,13 @@ def _export_streaming(family, factory_kwargs, meta, update_sig, predict_sig,
     from .pipeline import (
         make_streaming_extrap_pipeline,
         make_streaming_lnpi_pipeline,
+        make_streaming_volume_pipeline,
     )
 
-    factory = (
-        make_streaming_lnpi_pipeline
-        if family == "streaming_lnpi"
-        else make_streaming_extrap_pipeline
-    )
+    factory = {
+        "streaming_lnpi": make_streaming_lnpi_pipeline,
+        "streaming_volume": make_streaming_volume_pipeline,
+    }.get(family, make_streaming_extrap_pipeline)
     state0, update, predict = factory(xla_only=True, **factory_kwargs)
     leaves0, treedef = jax.tree.flatten(state0)
     n = len(leaves0)
@@ -1020,6 +1052,66 @@ def export_streaming_extrap_pipeline(
         ),
         meta,
         {"specs": upd_specs, "args": upd_args},
+        {"specs": [jax.ShapeDtypeStruct((A,), dt)]},
+        platforms,
+    )
+
+
+def export_streaming_volume_pipeline(
+    volume0: float,
+    *,
+    ndim: int = 3,
+    val_shape: tuple = (),
+    nrep: int = 0,
+    seed: int = 0,
+    weighted: bool = False,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> StreamingExportedPipeline:
+    r"""Export the streaming volume pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_streaming_volume_pipeline`) as
+    an AOT bundle: ``update(state, wv, xv, dxdqv=...[, weight=])``
+    (polymorphic in chunk length ``R``) + ``predict(state, volumes)``
+    (polymorphic in query count ``A``) + the initial accumulator state.
+    """
+    dt = jnp.dtype(dtype)
+    val_shape = tuple(int(s) for s in val_shape)
+    (R,) = jax_export.symbolic_shape("R")
+    (A,) = jax_export.symbolic_shape("A")
+    upd_specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, *val_shape), dt),
+        jax.ShapeDtypeStruct((R, *val_shape), dt),
+    ]
+    if weighted:
+        upd_specs.append(jax.ShapeDtypeStruct((R,), dt))
+    n_ops = 4 if weighted else 3
+
+    meta = {
+        "family": "streaming_volume",
+        "volume0": volume0,
+        "ndim": ndim,
+        "val_shape": list(val_shape),
+        "nrep": nrep,
+        "seed": seed,
+        "weighted": weighted,
+        "dtype": dt.name,
+    }
+    return _export_streaming(
+        "streaming_volume",
+        dict(
+            volume0=volume0,
+            ndim=ndim,
+            val_shape=val_shape,
+            dtype=dt,
+            nrep=nrep,
+            seed=seed,
+        ),
+        meta,
+        {
+            "specs": upd_specs,
+            "args": lambda args, n: tuple(args[n + i] for i in range(n_ops)),
+        },
         {"specs": [jax.ShapeDtypeStruct((A,), dt)]},
         platforms,
     )
