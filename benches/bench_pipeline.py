@@ -120,6 +120,24 @@ def main() -> None:
     }
     print(json.dumps({"lnpi_grid_predict_ci": results["lnpi_grid_predict_ci"]}))
 
+    # volume ensemble: (W, x, dxdq) streams through ONE packed order-1
+    # reduction + Poisson CI (make_volume_pipeline)
+    from thermoextrap_tpu.pipeline import make_volume_pipeline
+
+    k3 = jax.random.key(11)
+    dxdqv = (0.1 * xv[:, 0] + 0.05 * jax.random.normal(k3, (r,), jnp.float32))
+    vols = jnp.linspace(1.8, 2.2, 5)
+    runv = make_volume_pipeline(2.0, ndim=3, nrep=nrep)
+    t = timed(
+        lambda: runv(uv, xv[:, 0], dxdqv, vols, seed=3),
+        lambda o: float(jnp.asarray(o[1])[0]),
+    )
+    results["volume_predict_ci"] = {
+        "wallclock_s": round(t, 4),
+        "grep_samples_per_s": round(nrep * r / t / 1e9, 2),
+    }
+    print(json.dumps({"volume_predict_ci": results["volume_predict_ci"]}))
+
     # streaming ingest: per-chunk update cost at 1/8 of the north-star size
     # (the merge epilogue must be unmeasurable next to the chunk reduction,
     # i.e. chunk rate ~= one-shot reduction rate)
