@@ -632,3 +632,41 @@ def test_streaming_volume_bundle_matches_pipeline(tmp_path):
     ext = se.export_streaming_extrap_pipeline(2, 1.0)
     with pytest.raises(ValueError, match="streaming_volume"):
         ext.update(ext.init_state(), wv, xv, dxdqv=dxdqv)
+
+
+def test_describe_artifact_and_cli(tmp_path):
+    """describe_artifact reads only the header (no program deserialization);
+    the CLI prints one JSON line per file."""
+    import json as _json
+
+    art = se.export_extrap_pipeline(order=2, beta0=1.0, nrep=8)
+    p1 = tmp_path / "a.bin"
+    art.save(p1)
+    bundle = se.export_streaming_volume_pipeline(2.0, ndim=3)
+    p2 = tmp_path / "b.bin"
+    bundle.save(p2)
+
+    d1 = se.describe_artifact(p1)
+    assert d1["family"] == "extrap" and d1["kind"] == "batch"
+    assert d1["nrep"] == 8 and d1["file_bytes"] > 0
+    d2 = se.describe_artifact(p2)
+    assert d2["family"] == "streaming_volume" and d2["kind"] == "streaming"
+    assert "_sizes" not in d2 and "_state_spec" not in d2
+
+    with pytest.raises(ValueError, match="not a thermoextrap_tpu"):
+        bad = tmp_path / "bad.bin"
+        bad.write_bytes(b"nope\n{}\n")
+        se.describe_artifact(bad)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "thermoextrap_tpu.serving_export",
+         str(p1), str(p2)],
+        capture_output=True, text=True, check=True,
+        cwd=str(tmp_path.parent),
+        env={**__import__("os").environ, "PYTHONPATH": str(
+            __import__("pathlib").Path(__file__).parent.parent)},
+    )
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 2
+    assert _json.loads(lines[0])["family"] == "extrap"
+    assert _json.loads(lines[1])["family"] == "streaming_volume"

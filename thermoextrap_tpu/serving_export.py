@@ -85,6 +85,7 @@ __all__ = [
     "export_streaming_lnpi_pipeline",
     "export_streaming_volume_pipeline",
     "export_volume_pipeline",
+    "describe_artifact",
     "load_exported",
     "save_exported",
 ]
@@ -1180,6 +1181,30 @@ def save_exported(artifact: ExportedPipeline, path) -> None:
     artifact.save(path)
 
 
+def describe_artifact(path) -> dict:
+    """Inspect an artifact file WITHOUT deserializing its programs.
+
+    Returns the header metadata plus ``kind`` (``"batch"`` /
+    ``"streaming"``) and ``file_bytes`` — cheap (reads only the first two
+    lines), for deployment tooling that routes or validates artifacts
+    before loading them.  CLI: ``python -m thermoextrap_tpu.serving_export
+    ARTIFACT [...]`` prints one JSON line per file.
+    """
+    import os
+
+    with open(path, "rb") as f:
+        magic = f.readline().rstrip(b"\n")
+        if magic not in (_MAGIC, _MAGIC_BUNDLE):
+            msg = f"{path}: not a thermoextrap_tpu export artifact"
+            raise ValueError(msg)
+        header = json.loads(f.readline().decode())
+    header.pop("_state_spec", None)
+    header.pop("_sizes", None)
+    header["kind"] = "streaming" if magic == _MAGIC_BUNDLE else "batch"
+    header["file_bytes"] = os.path.getsize(path)
+    return header
+
+
 def load_exported(path) -> ExportedPipeline | StreamingExportedPipeline:
     """Reload an artifact written by :func:`save_exported` / ``.save``.
 
@@ -1203,3 +1228,16 @@ def load_exported(path) -> ExportedPipeline | StreamingExportedPipeline:
     meta = json.loads(header.decode())
     exported = jax_export.deserialize(bytearray(payload))
     return ExportedPipeline(exported, meta)
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via subprocess test
+    import sys as _sys
+
+    if len(_sys.argv) < 2:
+        print(
+            "usage: python -m thermoextrap_tpu.serving_export ARTIFACT [...]",
+            file=_sys.stderr,
+        )
+        raise SystemExit(2)
+    for _p in _sys.argv[1:]:
+        print(json.dumps({"path": _p, **describe_artifact(_p)}, sort_keys=True))
