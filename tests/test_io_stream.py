@@ -209,3 +209,51 @@ def test_fan_in_group_program_entry_collectable():
     del update
     gc.collect()
     assert ref() is None
+
+
+def test_read_npy_chunks_matches_one_shot(tmp_path):
+    """Binary chunk ingest == the one-shot pipeline over the concatenation."""
+    import numpy as np
+
+    from thermoextrap_tpu.io_stream import ingest_stream, read_npy_chunks
+    from thermoextrap_tpu.pipeline import (
+        make_extrap_pipeline,
+        make_streaming_extrap_pipeline,
+    )
+
+    rng = np.random.default_rng(0)
+    paths = []
+    chunks = []
+    for i in range(3):
+        arr = np.column_stack(
+            [rng.normal(3.0, 0.7, 500), rng.normal(1.5, 0.3, 500)]
+        )
+        p = tmp_path / f"chunk{i}.npy"
+        np.save(p, arr)
+        paths.append(p)
+        chunks.append(arr)
+    full = np.concatenate(chunks)
+
+    state, update, predict = make_streaming_extrap_pipeline(
+        2, 2.0, dtype=np.float64
+    )
+    state = ingest_stream(update, state, read_npy_chunks(paths, columns=(0, 1)))
+    got = np.asarray(predict(state, np.array([1.9, 2.1])))
+    ref = np.asarray(
+        make_extrap_pipeline(2, 2.0)(full[:, 0], full[:, 1], np.array([1.9, 2.1]))
+    )
+    np.testing.assert_allclose(got, ref.reshape(got.shape), rtol=1e-12)
+
+    # 1-D files are a single column; column selection still works
+    p1 = tmp_path / "one.npy"
+    np.save(p1, full[:, 0])
+    (only,) = next(iter(read_npy_chunks([p1], columns=(0,))))
+    np.testing.assert_array_equal(only, full[:, 0])
+
+    # pickled object files are refused
+    import pytest
+
+    pbad = tmp_path / "bad.npy"
+    np.save(pbad, np.array([{"a": 1}], dtype=object), allow_pickle=True)
+    with pytest.raises(ValueError):
+        list(read_npy_chunks([pbad]))

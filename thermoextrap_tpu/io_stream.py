@@ -20,7 +20,12 @@ import queue
 import threading
 import weakref
 
-__all__ = ["ingest_stream", "prefetch_chunks", "read_table_chunks"]
+__all__ = [
+    "ingest_stream",
+    "prefetch_chunks",
+    "read_npy_chunks",
+    "read_table_chunks",
+]
 
 _END = ("end", None)
 
@@ -170,6 +175,30 @@ def read_table_chunks(paths, usecols=None, columns=None, depth: int = 2, device=
         if table.ndim == 1:  # single-column tables come back squeezed
             table = table[:, None]
         return tuple(table[:, c] for c in columns)
+
+    return prefetch_chunks(paths, load=_load, depth=depth, device=device)
+
+
+def read_npy_chunks(paths, columns=None, depth: int = 2, device=None):
+    """Prefetched iterator over ``.npy`` chunk files (one chunk per file) —
+    the binary production-format counterpart of :func:`read_table_chunks`
+    (a ``.npy`` read is a header parse + one contiguous read, so ingest
+    runs at storage speed instead of text-parse speed).
+
+    ``columns`` as in :func:`read_table_chunks`: yield
+    ``tuple(arr[:, c] for c in columns)`` ready to splat into a streaming
+    ``update`` (1-D files are treated as a single column).  Object arrays
+    are rejected (``allow_pickle=False``).
+    """
+    import numpy as np
+
+    def _load(p):
+        arr = np.load(p, allow_pickle=False)
+        if columns is None:
+            return arr
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        return tuple(np.ascontiguousarray(arr[:, c]) for c in columns)
 
     return prefetch_chunks(paths, load=_load, depth=depth, device=device)
 
