@@ -1171,3 +1171,27 @@ class TestStreamingVolume:
         st, upd, _ = make_streaming_volume_pipeline(2.0)
         with pytest.raises(ValueError, match="must match"):
             upd(st, np.zeros(10), np.zeros(10), np.zeros((10, 2)))
+
+    def test_jackknife_composes(self, rng_np):
+        """streaming_jackknife works over per-chunk volume states (nrep=0
+        states are plain DataCentralMoments, so merge/vmap compose)."""
+        from thermoextrap_tpu.pipeline import (
+            make_streaming_volume_pipeline,
+            streaming_jackknife,
+        )
+
+        wv, xv, dxdqv = self._data(rng_np, R=4000)
+        vols = np.array([1.8, 2.3])
+        st0, upd, prd = make_streaming_volume_pipeline(
+            2.0, ndim=3, dtype=np.float64
+        )
+        states = [
+            upd(st0, wv[lo : lo + 500], xv[lo : lo + 500], dxdqv[lo : lo + 500])
+            for lo in range(0, 4000, 500)
+        ]
+        pred, se = streaming_jackknife(states, prd, vols)
+        full = states[0].merge(*states[1:])
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(prd(full, vols)), rtol=1e-13
+        )
+        assert np.all(np.asarray(se) > 0)
