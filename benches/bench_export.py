@@ -76,7 +76,15 @@ def main():
     out["backend"] = jax.default_backend()
     out["metric"] = "export_artifact_serving_latency"
     print(json.dumps(out))
-    Path(__file__).parent.parent.joinpath("EXPORT_SERVING.json").write_text(
+    # one artifact per backend: the multi-platform ("cpu","tpu") exports are
+    # validated and timed on BOTH (EXPORT_SERVING.json = cpu reference,
+    # EXPORT_SERVING_TPU.json = the same artifacts executing on the chip)
+    name = (
+        "EXPORT_SERVING.json"
+        if out["backend"] == "cpu"
+        else "EXPORT_SERVING_TPU.json"
+    )
+    Path(__file__).parent.parent.joinpath(name).write_text(
         json.dumps(out, indent=1)
     )
 
