@@ -670,3 +670,48 @@ def test_describe_artifact_and_cli(tmp_path):
     assert len(lines) == 2
     assert _json.loads(lines[0])["family"] == "extrap"
     assert _json.loads(lines[1])["family"] == "streaming_volume"
+
+
+def test_perturb_export_matches_pipeline(tmp_path):
+    """Perturb artifact == make_perturb_pipeline exactly — including the
+    bootstrap std, since BOTH use Poisson(1) tables keyed on the same
+    seed (unlike the extrap families' kernel/multinomial split)."""
+    art = se.export_perturb_pipeline(1.0, nrep=64)
+    run = pipeline.make_perturb_pipeline(1.0, nrep=64)
+    for r in (257, 96):  # one artifact, two sample counts
+        uv, xv = _data(r)
+        pred_a, std_a = art(uv, xv, BETAS, seed=9)
+        pred_p, std_p = run(uv, xv, BETAS, seed=9)
+        np.testing.assert_allclose(
+            np.asarray(pred_a), np.asarray(pred_p), rtol=2e-6, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(std_a), np.asarray(std_p), rtol=2e-5, atol=2e-6
+        )
+    # file round-trip
+    path = tmp_path / "perturb.thexport"
+    art.save(path)
+    art2 = se.load_exported(path)
+    assert art2.meta["family"] == "perturb"
+    uv, xv = _data(128)
+    pred_a, _ = art(uv, xv, BETAS, seed=1)
+    pred_b, _ = art2(uv, xv, BETAS, seed=1)
+    np.testing.assert_allclose(np.asarray(pred_a), np.asarray(pred_b))
+
+
+def test_perturb_export_weighted_and_guards():
+    art_w = se.export_perturb_pipeline(1.0, weighted=True)
+    run_w = pipeline.make_perturb_pipeline(1.0, weighted=True)
+    uv, xv = _data(200)
+    w = np.random.default_rng(3).uniform(0.5, 2.0, 200).astype(np.float32)
+    got = np.asarray(art_w(uv, xv, BETAS, weight=w))
+    want = np.asarray(run_w(uv, xv, BETAS, w))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    with pytest.raises(ValueError, match="weighted=True"):
+        art_w(uv, xv, BETAS)
+    art_u = se.export_perturb_pipeline(1.0)
+    with pytest.raises(ValueError, match="no weight operand"):
+        art_u(uv, xv, BETAS, weight=w)
+    # scalar-observable squeeze: 1-D xv round-trips as (A,)
+    out = np.asarray(art_u(uv, xv[:, 0], BETAS))
+    assert out.shape == (3,)

@@ -677,3 +677,130 @@ class TestVolumePipeline:
         run = make_volume_pipeline(2.0)
         with pytest.raises(ValueError, match="must match"):
             run(wv, xv, np.zeros((100, 3)), np.array([2.0]))
+
+
+class TestPerturbPipeline:
+    """make_perturb_pipeline == PerturbModel.predict; weighted / CI /
+    sharded legs."""
+
+    def _data(self, rng_np, R=4000, V=None):
+        u = rng_np.normal(2.0, 0.5, R)
+        shape = (R,) if V is None else (R, V)
+        x = 1.5 + 0.3 * (u.reshape(R, *([1] * (len(shape) - 1))) - 2.0) + rng_np.normal(
+            0, 0.2, shape
+        )
+        return u, x.reshape(shape)
+
+    def test_matches_perturb_model(self, rng_np):
+        from thermoextrap_tpu.models.extrap import PerturbModel
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        u, x = self._data(rng_np)
+        betas = np.array([0.9, 1.0, 1.15])
+        run = make_perturb_pipeline(1.0)
+        got = np.asarray(run(u, x, betas))
+
+        class _D:
+            uv = jnp.asarray(u)
+            xv = jnp.asarray(x)
+
+        ref = np.asarray(PerturbModel(1.0, _D()).predict(betas))
+        np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+    def test_vector_observable_and_at_beta0(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        u, x = self._data(rng_np, V=3)
+        run = make_perturb_pipeline(1.0)
+        got = np.asarray(run(u, x, np.array([1.0, 1.1])))
+        assert got.shape == (2, 3)
+        # at beta0 the weights are uniform: plain mean
+        np.testing.assert_allclose(got[0], x.mean(axis=0), rtol=1e-12)
+
+    def test_weighted_zero_pad_exact(self, rng_np):
+        """Zero-weight padded samples change nothing (bucket-pad seam)."""
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        u, x = self._data(rng_np, R=1000)
+        betas = np.array([0.95, 1.1])
+        w = rng_np.uniform(0.5, 2.0, 1000)
+        run_w = make_perturb_pipeline(1.0, weighted=True)
+        base = np.asarray(run_w(u, x, betas, w))
+        up = np.concatenate([u, rng_np.normal(0, 1, 64)])
+        xp = np.concatenate([x, rng_np.normal(0, 1, 64)])
+        wp = np.concatenate([w, np.zeros(64)])
+        padded = np.asarray(run_w(up, xp, betas, wp))
+        np.testing.assert_allclose(padded, base, rtol=1e-12)
+
+    def test_bootstrap_std_calibrated(self, rng_np):
+        """CI from the Poisson freq-matmul path tracks the eager
+        resample-the-model bootstrap statistically."""
+        from thermoextrap_tpu.models.extrap import PerturbModel
+        from thermoextrap_tpu.ops.resample import (
+            freq_from_indices,
+            random_indices,
+        )
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        import jax as _jax
+
+        u, x = self._data(rng_np, R=3000)
+        betas = np.array([1.08])
+        nrep = 300
+        run = make_perturb_pipeline(1.0, nrep=nrep)
+        pred, std = run(u, x, betas, seed=3)
+        assert np.all(np.asarray(std) > 0)
+
+        # eager reference: index-resample the samples, re-predict
+        class _D:
+            uv = jnp.asarray(u)
+            xv = jnp.asarray(x)
+
+        model = PerturbModel(1.0, _D())
+        idx = np.asarray(
+            random_indices(_jax.random.key(7), nrep, u.shape[0])
+        )
+        reps = np.stack(
+            [
+                np.asarray(
+                    PerturbModel(
+                        1.0,
+                        type(
+                            "D",
+                            (),
+                            {"uv": jnp.asarray(u[i]), "xv": jnp.asarray(x[i])},
+                        )(),
+                    ).predict(betas)
+                )
+                for i in idx[:60]
+            ]
+        )
+        ref_std = reps.std(axis=0)
+        ratio = np.asarray(std) / ref_std
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray(model.predict(betas)), rtol=1e-12
+        )
+
+    def test_mesh_equals_unsharded(self, rng_np):
+        import jax
+        import pytest
+
+        from thermoextrap_tpu.parallel import make_mesh
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        u, x = self._data(rng_np, R=4096, V=2)
+        betas = np.array([0.9, 1.05])
+        mesh = make_mesh(8, axis_names=("rec",))
+        run_m = make_perturb_pipeline(1.0, nrep=32, mesh=mesh)
+        run_1 = make_perturb_pipeline(1.0, nrep=32)
+        pred_m, std_m = run_m(u, x, betas, seed=11)
+        pred_1, std_1 = run_1(u, x, betas, seed=11)
+        np.testing.assert_allclose(
+            np.asarray(pred_m), np.asarray(pred_1), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(std_m), np.asarray(std_1), rtol=1e-8
+        )

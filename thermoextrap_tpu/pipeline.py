@@ -39,6 +39,7 @@ __all__ = [
     "make_extrap_pipeline",
     "make_gpr_pipeline",
     "make_lnpi_pipeline",
+    "make_perturb_pipeline",
     "make_streaming_extrap_pipeline",
     "make_streaming_interp_pipeline",
     "make_streaming_lnpi_pipeline",
@@ -1293,6 +1294,138 @@ def make_lnpi_pipeline(
 
     def run(uv, lnpi0, mudotn, betas, seed=0):
         return _run(uv, lnpi0, mudotn, betas, seed)
+
+    return run
+
+
+def _perturb_weights(uv, dalpha, weight):
+    """Max-shift-stabilized unnormalized perturbation weights ``(A, R)``:
+    ``exp(-dalpha_a * u_n + log w_n - max_n)``.  Zero sample weights drop
+    exactly (``-inf`` log-mask — the bucket-padding seam).  Shared by the
+    live pipeline and the AOT export tracer so the math cannot drift."""
+    logw = -dalpha[:, None] * uv[None, :]  # (A, R)
+    if weight is not None:
+        w = jnp.asarray(weight, uv.dtype)
+        logm = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
+        logw = logw + logm[None, :]
+    shift = jax.lax.stop_gradient(jnp.max(logw, axis=1, keepdims=True))
+    return jnp.exp(logw - shift)
+
+
+def _perturb_predict(e, xflat):
+    """``<x>`` per target from stabilized weights: one (A, R) @ (R, V)."""
+    num = jnp.matmul(e, xflat, precision=jax.lax.Precision.HIGHEST)
+    return num / e.sum(axis=1)[:, None]
+
+
+def _perturb_boot(e, xflat, freq):
+    """Replicate predictions ``(A, nrep, V)``: per target one
+    ``(nrep, R) @ (R, V+1)`` matmul of Poisson counts against the
+    weighted samples (numerator) and weights (denominator) — the
+    freq-matmul bootstrap shape, batched over targets by vmap."""
+
+    def one(e_a):
+        y = jnp.concatenate([e_a[:, None] * xflat, e_a[:, None]], axis=1)
+        s = jnp.matmul(freq, y, precision=jax.lax.Precision.HIGHEST)
+        return s[:, :-1] / s[:, -1:]
+
+    return jax.vmap(one)(e)
+
+
+def make_perturb_pipeline(
+    beta0: float,
+    *,
+    nrep: int = 0,
+    mesh=None,
+    weighted: bool = False,
+):
+    r"""Build a jitted ``run(uv, xv, betas[, weight], seed=0)`` for
+    exponential-reweighting perturbation (reference models.py:1009-1046
+    ``PerturbModel`` workflow) — the zero-derivative serving path:
+
+    .. math::
+
+        \langle x\rangle_\beta = \frac{\langle x\, e^{-(\beta-\beta_0) u}
+        \rangle_{\beta_0}}{\langle e^{-(\beta-\beta_0) u}\rangle_{\beta_0}}
+
+    logsumexp-stabilized, evaluated for every target β in ONE dispatch
+    (an ``(A, R) @ (R, V)`` matmul — MXU work).  With ``nrep`` the CI
+    replicates push Poisson(1) resample counts through the same stabilized
+    weights: per target one ``(nrep, R) @ (R, V+1)`` matmul.  Unlike the
+    extrapolation pipelines the bootstrap frequency table IS materialized
+    in HBM (``(nrep, R)``) — perturbation is a moderate-R workload
+    (exponential reweighting only has overlap between nearby states); for
+    1e8-sample streams use the β-extrapolation pipelines.
+
+    Parameters
+    ----------
+    beta0 : reference state the samples were drawn at.
+    nrep : if > 0 also return the bootstrap standard deviation.
+    mesh : optional ``jax.sharding.Mesh`` with a ``"rec"`` axis: operands
+        are placed sample-sharded and GSPMD turns the sample-axis
+        reductions/matmuls into mesh psums (the
+        ``parallel.sharded.mbar_solve_sharded`` pattern — no shard_map
+        needed).
+    weighted : adds a per-sample weight operand (zero weights drop
+        samples exactly).
+
+    Returns
+    -------
+    ``run(uv, xv, betas, seed=0)`` mapping ``uv (R,)``, ``xv (R, *val)``,
+    ``betas (A,)`` → ``pred (A, *val)`` or ``(pred, std)``; with
+    ``weighted`` the call is ``run(uv, xv, betas, weight, seed=0)``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> run = make_perturb_pipeline(1.0)
+    >>> uv = np.array([0.5, 1.0, 1.5, 2.0])
+    >>> pred = run(uv, 3.0 * uv, np.array([1.0]))  # at beta0: plain mean
+    >>> np.testing.assert_allclose(np.asarray(pred)[0], np.mean(3.0 * uv))
+    """
+
+    @jax.jit
+    def _run(uv, xv, betas, weight, seed):
+        uv = jnp.asarray(uv)
+        xv = jnp.asarray(xv)
+        betas_a = jnp.atleast_1d(jnp.asarray(betas))
+        val_shape = xv.shape[1:]
+        r = uv.shape[0]
+        xflat = xv.reshape(r, -1)
+        dalpha = (betas_a - beta0).astype(uv.dtype)
+        e = _perturb_weights(uv, dalpha, weight)
+        pred = _perturb_predict(e, xflat).reshape(betas_a.shape + val_shape)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, r)
+        ).astype(uv.dtype)
+        bpred = _perturb_boot(e, xflat, freq)  # (A, nrep, V)
+        std = bpred.std(axis=1).reshape(betas_a.shape + val_shape)
+        return pred, std
+
+    def _prep(uv, xv, weight):
+        if mesh is None:
+            return uv, xv, weight
+        from .parallel import shard_rec
+
+        uv = shard_rec(jnp.asarray(uv), mesh)
+        xv = shard_rec(jnp.asarray(xv), mesh)
+        if weight is not None:
+            weight = shard_rec(jnp.asarray(weight), mesh)
+        return uv, xv, weight
+
+    if weighted:
+
+        def run(uv, xv, betas, weight, seed=0):
+            uv, xv, weight = _prep(uv, xv, weight)
+            return _run(uv, xv, betas, weight, seed)
+
+    else:
+
+        def run(uv, xv, betas, seed=0):
+            uv, xv, _ = _prep(uv, xv, None)
+            return _run(uv, xv, betas, None, seed)
 
     return run
 

@@ -28,7 +28,9 @@ platform; bootstrap replicates use Poisson(1) frequency tables (the same
 convention as the streaming pipelines — a valid bootstrap whose CI
 converges to the multinomial one, pipeline.py streaming notes).
 
-Five artifact families: batch β-extrap (:func:`export_extrap_pipeline`),
+The artifact families: batch β-extrap (:func:`export_extrap_pipeline`),
+perturbation reweighting (:func:`export_perturb_pipeline`), first-order
+volume extrapolation (:func:`export_volume_pipeline`),
 macrostate-grid lnΠ (:func:`export_lnpi_pipeline`), frozen GPR posterior
 predictors (:func:`export_gpr_predictor` — polymorphic in the query count
 ``M``), MBAR solve+reweighting (:func:`export_mbar_reweighter` — the
@@ -81,6 +83,7 @@ __all__ = [
     "export_gpr_predictor",
     "export_lnpi_pipeline",
     "export_mbar_reweighter",
+    "export_perturb_pipeline",
     "export_streaming_extrap_pipeline",
     "export_streaming_lnpi_pipeline",
     "export_streaming_volume_pipeline",
@@ -255,6 +258,32 @@ def _volume_fn(volume0: float, ndim: int, nrep: int, weighted: bool):
     )
 
 
+def _perturb_fn(beta0: float, nrep: int, weighted: bool):
+    """Pure-XLA exponential-reweighting perturbation step (export-safe).
+
+    Mirrors :func:`~thermoextrap_tpu.pipeline.make_perturb_pipeline` via
+    the SAME shared weight/predict/bootstrap helpers, with Poisson(1)
+    frequency tables for the CI replicates.
+    """
+    from .pipeline import _perturb_boot, _perturb_predict, _perturb_weights
+
+    def fn(uv, xv, betas, weight, seed):
+        dalpha = betas - jnp.asarray(beta0, betas.dtype)
+        e = _perturb_weights(uv, dalpha, weight)
+        pred = _perturb_predict(e, xv)
+        if not nrep:
+            return pred
+        freq = jax.random.poisson(
+            jax.random.key(seed), 1.0, (nrep, uv.shape[0])
+        ).astype(uv.dtype)
+        bpred = _perturb_boot(e, xv, freq)
+        return pred, bpred.std(axis=1)
+
+    if weighted:
+        return fn
+    return lambda uv, xv, betas, seed: fn(uv, xv, betas, None, seed)
+
+
 def _mbar_fn(tol, max_iter: int, method: str, chunk: int):
     """Pure-XLA MBAR solve + α-family reweighting, one program.
 
@@ -309,7 +338,7 @@ class ExportedPipeline:
         m = self.meta
         dt = self._dtype()
         if weight is not None and not (
-            m["family"] in ("extrap", "volume") and m.get("weighted")
+            m["family"] in ("extrap", "perturb", "volume") and m.get("weighted")
         ):
             msg = (
                 "this artifact takes no weight operand (export with "
@@ -366,6 +395,25 @@ class ExportedPipeline:
                     else reshape(out)
                 )
             return out
+        if m["family"] == "perturb":
+            uv, xv, betas = args
+            uv = jnp.asarray(uv, dt)
+            xv = jnp.asarray(xv, dt)
+            val_shape = xv.shape[1:]
+            xv = xv.reshape(xv.shape[0], -1) if xv.ndim != 1 else xv[:, None]
+            betas = jnp.atleast_1d(jnp.asarray(betas, dt))
+            call = [uv, xv, betas]
+            if m["weighted"]:
+                if weight is None:
+                    msg = "this artifact was exported weighted=True; pass weight="
+                    raise ValueError(msg)
+                call.append(jnp.asarray(weight, dt))
+            call.append(jnp.asarray(seed, jnp.int32))
+            out = self._exported.call(*call)
+            reshape = lambda a: a.reshape(a.shape[:1] + val_shape)  # noqa: E731
+            if m["nrep"]:
+                return reshape(out[0]), reshape(out[1])
+            return reshape(out)
         if m["family"] == "volume":
             wv, xv, dxdqv, volumes = args
             wv = jnp.asarray(wv, dt)
@@ -552,6 +600,51 @@ def export_lnpi_pipeline(
     return ExportedPipeline(
         _do_export(_lnpi_fn(order, beta0, nrep), specs, platforms), meta
     )
+
+
+def export_perturb_pipeline(
+    beta0: float,
+    *,
+    nrep: int = 0,
+    weighted: bool = False,
+    nval: int | None = None,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> ExportedPipeline:
+    r"""Export the exponential-reweighting perturbation pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_perturb_pipeline`; reference
+    ``PerturbModel``, models.py:1009-1046) as an AOT artifact,
+    shape-polymorphic in the sample count ``R``, query count ``A``, and
+    (unless ``nval`` pins it) the value width ``V``.
+
+    The loaded artifact is called ``artifact(uv, xv, betas[, weight=])``
+    → ``pred (A, *val)`` or ``(pred, std)`` with ``nrep`` bootstrap
+    replicates (Poisson(1) frequency table — moderate-R serving; the
+    extrapolation artifacts are the 1e8-sample path).
+    """
+    dt = jnp.dtype(dtype)
+    dims = "R, A" + ("" if nval else ", V")
+    syms = jax_export.symbolic_shape(dims)
+    R, A = syms[0], syms[1]
+    V = nval if nval else syms[2]
+    specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, V), dt),
+        jax.ShapeDtypeStruct((A,), dt),
+    ]
+    if weighted:
+        specs.append(jax.ShapeDtypeStruct((R,), dt))
+    specs.append(jax.ShapeDtypeStruct((), jnp.int32))
+    meta = {
+        "family": "perturb",
+        "beta0": beta0,
+        "nrep": nrep,
+        "weighted": weighted,
+        "nval": nval,
+        "dtype": dt.name,
+    }
+    fn = _perturb_fn(beta0, nrep, weighted)
+    return ExportedPipeline(_do_export(fn, specs, platforms), meta)
 
 
 def export_volume_pipeline(
