@@ -715,3 +715,29 @@ def test_perturb_export_weighted_and_guards():
     # scalar-observable squeeze: 1-D xv round-trips as (A,)
     out = np.asarray(art_u(uv, xv[:, 0], BETAS))
     assert out.shape == (3,)
+
+
+def test_bucketed_runner_perturb_and_volume():
+    """bucketed_runner now serves every weighted batch family with exact
+    zero-weight padding."""
+    art_p = se.export_perturb_pipeline(1.0, weighted=True)
+    serve_p = se.bucketed_runner(art_p, buckets=[64, 256])
+    uv, xv = _data(100)
+    got = np.asarray(serve_p(uv, xv, BETAS))
+    want = np.asarray(art_p(uv, xv, BETAS, weight=np.ones(100, np.float32)))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    art_v = se.export_volume_pipeline(2.0, ndim=3, weighted=True)
+    serve_v = se.bucketed_runner(art_v, buckets=[64, 256])
+    rng = np.random.default_rng(5)
+    wv = rng.normal(size=100).astype(np.float32)
+    xv2 = rng.normal(size=(100, 2)).astype(np.float32)
+    dx = rng.normal(size=(100, 2)).astype(np.float32)
+    vols = np.array([1.9, 2.1], np.float32)
+    got = np.asarray(serve_v(wv, xv2, dx, vols))
+    want = np.asarray(art_v(wv, xv2, dx, vols, weight=np.ones(100, np.float32)))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+    art_u = se.export_perturb_pipeline(1.0)
+    with pytest.raises(ValueError, match="weighted=True"):
+        se.bucketed_runner(art_u)

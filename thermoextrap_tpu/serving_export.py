@@ -786,27 +786,44 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
     deployment compiles at most ``len(buckets)`` programs, persistable
     across processes with the compilation cache.
 
-    Requires an ``extrap`` artifact exported with ``weighted=True`` (the
-    padding rides the weight operand).  ``buckets`` defaults to powers of
+    Requires an ``extrap``, ``perturb``, or ``volume`` artifact exported
+    with ``weighted=True`` (the padding rides the weight operand; the
+    extrap kernels and the perturb ``-inf`` log-mask both drop
+    zero-weight samples exactly).  ``buckets`` defaults to powers of
     two ``2^12 .. 2^27``; requests above the largest bucket run at exact
     shape (one-off compile).
 
-    Returns ``serve(uv, xv, betas, weight=None, seed=0)``, or
-    ``serve(uv, betas, weight=None, seed=0)`` for an ``x_is_u`` artifact.
+    Returns ``serve(uv, xv, betas, weight=None, seed=0)`` (extrap /
+    perturb), ``serve(uv, betas, weight=None, seed=0)`` for an
+    ``x_is_u`` artifact, or ``serve(wv, xv, dxdqv, volumes, weight=None,
+    seed=0)`` for a volume artifact.
     """
     from .pipeline import bucket_pad, normalize_buckets
 
     m = artifact.meta
-    if m["family"] != "extrap" or not m["weighted"]:
+    if m["family"] not in ("extrap", "perturb", "volume") or not m["weighted"]:
         msg = (
-            "bucketed_runner needs an extrap artifact exported with "
-            f"weighted=True, got family={m['family']!r} "
+            "bucketed_runner needs an extrap, perturb, or volume artifact "
+            f"exported with weighted=True, got family={m['family']!r} "
             f"weighted={m.get('weighted')}"
         )
         raise ValueError(msg)
     buckets = normalize_buckets(buckets)
 
-    if m.get("x_is_u"):
+    if m["family"] == "volume":
+
+        def serve(wv, xv, dxdqv, volumes, weight=None, seed=0):
+            xv = np.asarray(xv)
+            dxdqv = np.asarray(dxdqv)
+            if xv.ndim == 1:
+                xv = xv[:, None]
+            if dxdqv.ndim == 1:
+                dxdqv = dxdqv[:, None]
+            wvp, xvp, wp = bucket_pad(wv, xv, weight, buckets)
+            _, dxp, _ = bucket_pad(wv, dxdqv, weight, buckets)
+            return artifact(wvp, xvp, dxp, volumes, weight=wp, seed=seed)
+
+    elif m.get("x_is_u"):
 
         def serve(uv, betas, weight=None, seed=0):
             uvp, _xvp, wp = bucket_pad(uv, None, weight, buckets)
