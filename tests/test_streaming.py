@@ -1195,3 +1195,99 @@ class TestStreamingVolume:
             np.asarray(pred), np.asarray(prd(full, vols)), rtol=1e-13
         )
         assert np.all(np.asarray(se) > 0)
+
+
+class TestStreamingPerturb:
+    """Online-softmax streaming perturbation == one-shot stabilized
+    reweight, for any chunking."""
+
+    def _data(self, rng_np, R=3000):
+        u = rng_np.normal(2.0, 0.6, R)
+        x = 1.5 + 0.3 * (u - 2.0) + rng_np.normal(0, 0.2, R)
+        return u, x
+
+    def test_chunked_equals_one_shot(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_perturb_pipeline,
+            make_streaming_perturb_pipeline,
+        )
+
+        u, x = self._data(rng_np)
+        betas = np.array([0.7, 1.0, 1.4])  # wide spread: max crossings
+        st, update, predict = make_streaming_perturb_pipeline(
+            1.0, betas, dtype=jnp.float64
+        )
+        # ragged chunks in an order that forces running-max rescales
+        for lo, hi in ((0, 700), (700, 701), (701, 2200), (2200, 3000)):
+            st = update(st, u[lo:hi], x[lo:hi])
+        got = np.asarray(predict(st))
+        want = np.asarray(make_perturb_pipeline(1.0)(u, x, betas))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    def test_chunking_invariance(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_streaming_perturb_pipeline
+
+        u, x = self._data(rng_np, R=1000)
+        betas = np.array([0.8, 1.3])
+        preds = []
+        for bounds in (((0, 1000),), ((0, 250), (250, 1000))):
+            st, update, predict = make_streaming_perturb_pipeline(
+                1.0, betas, dtype=jnp.float64
+            )
+            for lo, hi in bounds:
+                st = update(st, u[lo:hi], x[lo:hi])
+            preds.append(np.asarray(predict(st)))
+        np.testing.assert_allclose(preds[0], preds[1], rtol=1e-13)
+
+    def test_zero_weight_drops_exactly(self, rng_np):
+        from thermoextrap_tpu.pipeline import make_streaming_perturb_pipeline
+
+        u, x = self._data(rng_np, R=500)
+        betas = np.array([1.1])
+        st, update, predict = make_streaming_perturb_pipeline(
+            1.0, betas, dtype=jnp.float64
+        )
+        st = update(st, u, x)
+        base = np.asarray(predict(st))
+        # a second, fully zero-weight chunk must change nothing
+        st = update(st, u[:64] + 100.0, x[:64], weight=np.zeros(64))
+        np.testing.assert_allclose(np.asarray(predict(st)), base, rtol=0)
+
+    def test_vector_values_and_ci(self, rng_np):
+        from thermoextrap_tpu.pipeline import (
+            make_perturb_pipeline,
+            make_streaming_perturb_pipeline,
+        )
+
+        u, _ = self._data(rng_np, R=2000)
+        x = 1.5 + 0.3 * (u[:, None] - 2.0) + rng_np.normal(0, 0.2, (2000, 3))
+        betas = np.array([0.95, 1.1])
+        st, update, predict = make_streaming_perturb_pipeline(
+            1.0, betas, val_shape=(3,), dtype=jnp.float64, nrep=200, seed=4
+        )
+        for lo, hi in ((0, 800), (800, 2000)):
+            st = update(st, u[lo:hi], x[lo:hi])
+        pred, std = predict(st)
+        assert np.asarray(pred).shape == (2, 3)
+        assert np.all(np.asarray(std) > 0)
+        # one-shot CI (different draws): statistically compatible scale
+        _, std_1 = make_perturb_pipeline(1.0, nrep=200)(u, x, betas, seed=9)
+        ratio = np.asarray(std) / np.asarray(std_1)
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0)
+
+    def test_ci_replicate_keying_advances(self, rng_np):
+        """Each chunk folds with its own PRNG draw (the step counter
+        advances) — two identical chunks must NOT produce identical
+        replicate increments."""
+        from thermoextrap_tpu.pipeline import make_streaming_perturb_pipeline
+
+        u, x = self._data(rng_np, R=300)
+        st, update, _ = make_streaming_perturb_pipeline(
+            1.0, np.array([1.0]), dtype=jnp.float64, nrep=16
+        )
+        st1 = update(st, u, x)
+        st2 = update(st1, u, x)
+        inc1 = np.asarray(st1[3])
+        inc2 = np.asarray(st2[3]) - inc1  # second chunk's contribution
+        assert not np.allclose(inc1, inc2)
+        assert int(st2[5]) == 2

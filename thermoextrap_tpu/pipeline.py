@@ -43,6 +43,7 @@ __all__ = [
     "make_streaming_extrap_pipeline",
     "make_streaming_interp_pipeline",
     "make_streaming_lnpi_pipeline",
+    "make_streaming_perturb_pipeline",
     "make_streaming_volume_pipeline",
     "make_volume_pipeline",
     "streaming_jackknife",
@@ -975,6 +976,135 @@ def make_streaming_volume_pipeline(
         dab = dalpha.reshape((-1, 1) + (1,) * len(val_shape))
         bpred = bx[None] + dab * bderiv[None]  # (A, nrep, *val)
         return pred, bpred.std(axis=1)
+
+    return state0, update, predict
+
+
+def make_streaming_perturb_pipeline(
+    beta0: float,
+    betas,
+    *,
+    val_shape: tuple[int, ...] = (),
+    dtype=jnp.float32,
+    nrep: int = 0,
+    seed: int = 0,
+):
+    r"""Streaming variant of :func:`make_perturb_pipeline`: fold sample
+    chunks into per-target exponential-reweighting accumulators as a
+    simulation runs — no sample retention.  No reference analogue (the
+    reference ``PerturbModel`` holds the full timeseries,
+    models.py:1009-1046).
+
+    A running perturbation average needs a numerically stable online
+    normalization, so the state carries, per target β, the *running
+    maximum* ``m_a`` of the log-weights and max-shifted sums — the online
+    softmax (flash-attention) recurrence: when a chunk raises the max,
+    the old sums are rescaled by ``exp(m_old - m_new)`` before the chunk's
+    contributions (``exp(logw - m_new)``) are added.  The final ``num/den``
+    ratio is EXACTLY the one-shot stabilized reweight up to float
+    associativity, for any chunking.
+
+    The target β's are fixed at factory time (they define the
+    accumulators); memory is ``O(A * (V + nrep))`` — samples never stick.
+
+    Parameters
+    ----------
+    beta0 : reference state of the stream.
+    betas : target inverse temperatures (A,) served by ``predict``.
+    val_shape : trailing value shape of ``xv`` chunks (``()`` = scalar).
+    dtype : accumulator dtype.
+    nrep : if > 0 the state carries Poisson-bootstrap replicate sums and
+        ``predict`` returns ``(pred, std)``; each chunk is folded into
+        every replicate with independent Poisson(1) counts keyed on
+        ``(seed, chunk index)`` — chunk-wise independent draws are a valid
+        Poisson bootstrap of the whole stream (per-sample independence).
+    seed : base PRNG seed for the replicate counts.
+
+    Returns
+    -------
+    ``(state0, update, predict)`` — ``update(state, uv, xv, weight=None)
+    -> state`` (jitted; zero weights drop samples exactly),
+    ``predict(state) -> (A, *val_shape)`` or ``(pred, std)``.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> st, update, predict = make_streaming_perturb_pipeline(
+    ...     1.0, np.array([1.0])
+    ... )
+    >>> st = update(st, np.array([1.0, 2.0]), np.array([2.0, 4.0]))
+    >>> st = update(st, np.array([3.0, 4.0]), np.array([6.0, 8.0]))
+    >>> float(np.asarray(predict(st))[0])  # at beta0: plain mean
+    5.0
+    """
+    betas_c = jnp.atleast_1d(jnp.asarray(betas, dtype))
+    a = betas_c.shape[0]
+    v = int(np.prod(val_shape, dtype=np.int64)) if val_shape else 1
+    dalpha = betas_c - jnp.asarray(beta0, dtype)
+
+    state0 = [
+        jnp.full((a,), -jnp.inf, dtype),  # running max of logw
+        jnp.zeros((a, v), dtype),  # num = sum e * x
+        jnp.zeros((a,), dtype),  # den = sum e
+    ]
+    if nrep:
+        state0 += [
+            jnp.zeros((a, nrep, v), dtype),
+            jnp.zeros((a, nrep), dtype),
+            jnp.zeros((), jnp.int32),  # chunk counter (PRNG keying)
+        ]
+    state0 = tuple(state0)
+
+    @jax.jit
+    def update(state, uv, xv, weight=None):
+        uv = jnp.asarray(uv, dtype)
+        xflat = jnp.asarray(xv, dtype).reshape(uv.shape[0], -1)
+        logw = -dalpha[:, None] * uv[None, :]  # (A, chunk)
+        if weight is not None:
+            w = jnp.asarray(weight, dtype)
+            logm = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
+            logw = logw + logm[None, :]
+        m = state[0]
+        new_m = jnp.maximum(m, jnp.max(logw, axis=1))
+        # all-(-inf) targets (only zero-weight samples so far) stay zeroed;
+        # the finite mask keeps exp(-inf - -inf) NaNs out of the recurrence
+        finite = jnp.isfinite(new_m)
+        safe_m = jnp.where(finite, new_m, 0.0)
+        scale = jnp.where(finite, jnp.exp(m - safe_m), 0.0)  # (A,)
+        e = jnp.where(
+            finite[:, None], jnp.exp(logw - safe_m[:, None]), 0.0
+        )  # (A, chunk)
+        num = scale[:, None] * state[1] + jnp.matmul(
+            e, xflat, precision=jax.lax.Precision.HIGHEST
+        )
+        den = scale * state[2] + e.sum(axis=1)
+        if not nrep:
+            return (new_m, num, den)
+        bnum, bden, step = state[3], state[4], state[5]
+        key = jax.random.fold_in(jax.random.key(seed), step)
+        freq = jax.random.poisson(key, 1.0, (nrep, uv.shape[0])).astype(dtype)
+
+        def one(e_a):
+            return jnp.matmul(
+                freq,
+                e_a[:, None] * xflat,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (nrep, V)
+
+        bnum = scale[:, None, None] * bnum + jax.vmap(one)(e)
+        bden = scale[:, None] * bden + jnp.matmul(
+            e, freq.T, precision=jax.lax.Precision.HIGHEST
+        )
+        return (new_m, num, den, bnum, bden, step + 1)
+
+    @jax.jit
+    def predict(state):
+        pred = (state[1] / state[2][:, None]).reshape((a, *val_shape))
+        if not nrep:
+            return pred
+        bpred = state[3] / state[4][..., None]  # (A, nrep, V)
+        std = bpred.std(axis=1).reshape((a, *val_shape))
+        return pred, std
 
     return state0, update, predict
 
