@@ -138,6 +138,27 @@ def main() -> None:
     }
     print(json.dumps({"volume_predict_ci": results["volume_predict_ci"]}))
 
+    # perturbation reweighting: logsumexp-stabilized (A, R) reweight +
+    # per-target (nrep, R) freq matmuls.  Moderate-R family: the Poisson
+    # frequency table IS materialized ((nrep, R) f32), so size it to HBM
+    # (1e7 x 128 ~ 5 GB) rather than the 1e8 north star.
+    from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+    r_p = 10_000_000 if on_accel and not args.quick else 500_000
+    nrep_p = 128
+    runp = make_perturb_pipeline(beta0, nrep=nrep_p)
+    t = timed(
+        lambda: runp(uv[:r_p], xv[:r_p, 0], betas, seed=4),
+        lambda o: float(jnp.asarray(o[1])[0]),
+    )
+    results["perturb_predict_ci"] = {
+        "R": r_p,
+        "nrep": nrep_p,
+        "wallclock_s": round(t, 4),
+        "grep_samples_per_s": round(nrep_p * r_p / t / 1e9, 2),
+    }
+    print(json.dumps({"perturb_predict_ci": results["perturb_predict_ci"]}))
+
     # streaming ingest: per-chunk update cost at 1/8 of the north-star size
     # (the merge epilogue must be unmeasurable next to the chunk reduction,
     # i.e. chunk rate ~= one-shot reduction rate)

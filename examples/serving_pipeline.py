@@ -139,6 +139,30 @@ def main() -> None:
     print(f"one-dispatch volume extrap + CI ({rv:.0e} samples, {nrep} reps): "
           f"{dt * 1e3:.1f} ms")
 
+    # --- perturbation reweighting: the zero-derivative serving path
+    # (reference PerturbModel) — logsumexp-stabilized (A, R) reweight +
+    # freq-matmul Poisson CI, checked against the analytic ideal gas
+    from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+    pbetas = jnp.asarray([1.9, 2.0, 2.1], x.dtype)
+    run_pert = make_perturb_pipeline(beta0, nrep=nrep)
+    ppred, pstd = run_pert(u, x, pbetas, seed=7)
+    float(ppred[0])
+    t0 = time.perf_counter()
+    ppred, pstd = run_pert(u, x, pbetas, seed=8)
+    float(ppred[0])
+    dt = time.perf_counter() - t0
+    pexact = np.array([idealgas.x_ave(float(b)) for b in pbetas])
+    print(f"one-dispatch perturb reweight + CI ({u.shape[0]:.0e} records, "
+          f"{nrep} reps): {dt * 1e3:.1f} ms")
+    for b, p, s, e in zip(np.asarray(pbetas), np.asarray(ppred),
+                          np.asarray(pstd), pexact):
+        print(f"  beta={b:.2f}: pred={p:.6f} +/- {s:.1e}  analytic={e:.6f}")
+    # at beta0 reweighting is the plain sample mean; nearby targets must
+    # stay within a few bootstrap sigma of the analytic curve
+    assert abs(np.asarray(ppred)[1] - pexact[1]) < 1e-3
+    assert np.all(np.asarray(pstd) > 0)
+
 
 if __name__ == "__main__":
     main()
