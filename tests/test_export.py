@@ -741,3 +741,42 @@ def test_bucketed_runner_perturb_and_volume():
     art_u = se.export_perturb_pipeline(1.0)
     with pytest.raises(ValueError, match="weighted=True"):
         se.bucketed_runner(art_u)
+
+
+def test_streaming_perturb_bundle_matches_inprocess(tmp_path):
+    """Streaming perturb bundle == in-process online-softmax pipeline
+    (same chunking, same seed -> identical states), predict takes no args."""
+    betas = np.array([0.9, 1.0, 1.2], np.float32)
+    art = se.export_streaming_perturb_pipeline(
+        1.0, betas, val_shape=(2,), nrep=16, seed=3
+    )
+    path = tmp_path / "sperturb.thexport"
+    art.save(path)
+    art = se.load_exported(path)
+    assert art.meta["family"] == "streaming_perturb"
+    assert art.meta["betas"] == pytest.approx([0.9, 1.0, 1.2])
+
+    st_a = art.init_state()
+    st_p, update, predict = pipeline.make_streaming_perturb_pipeline(
+        1.0, betas, val_shape=(2,), nrep=16, seed=3
+    )
+    uv, xv = _data(300)
+    for lo, hi in ((0, 100), (100, 300)):
+        st_a = art.update(st_a, uv[lo:hi], xv[lo:hi])
+        st_p = update(st_p, uv[lo:hi], xv[lo:hi])
+    pred_a, std_a = art.predict(st_a)
+    pred_p, std_p = predict(st_p)
+    np.testing.assert_allclose(
+        np.asarray(pred_a), np.asarray(pred_p), rtol=2e-6, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(std_a), np.asarray(std_p), rtol=2e-5, atol=2e-6
+    )
+    with pytest.raises(ValueError, match="takes only"):
+        art.predict(st_a, betas)
+    # state checkpoint round-trip (includes the -inf max row + int32 step)
+    ck = tmp_path / "st.ckpt"
+    art.save_state(ck, st_a)
+    st_back = art.load_state(ck)
+    pred_b, _ = art.predict(st_back)
+    np.testing.assert_array_equal(np.asarray(pred_b), np.asarray(pred_a))

@@ -988,6 +988,7 @@ def make_streaming_perturb_pipeline(
     dtype=jnp.float32,
     nrep: int = 0,
     seed: int = 0,
+    xla_only: bool = False,
 ):
     r"""Streaming variant of :func:`make_perturb_pipeline`: fold sample
     chunks into per-target exponential-reweighting accumulators as a
@@ -1019,6 +1020,9 @@ def make_streaming_perturb_pipeline(
         ``(seed, chunk index)`` — chunk-wise independent draws are a valid
         Poisson bootstrap of the whole stream (per-sample independence).
     seed : base PRNG seed for the replicate counts.
+    xla_only : accepted for export-driver symmetry
+        (:func:`~thermoextrap_tpu.serving_export.export_streaming_perturb_pipeline`);
+        the perturb paths are already pure XLA, so it is a no-op.
 
     Returns
     -------

@@ -86,6 +86,7 @@ __all__ = [
     "export_perturb_pipeline",
     "export_streaming_extrap_pipeline",
     "export_streaming_lnpi_pipeline",
+    "export_streaming_perturb_pipeline",
     "export_streaming_volume_pipeline",
     "export_volume_pipeline",
     "describe_artifact",
@@ -961,11 +962,20 @@ class StreamingExportedPipeline:
         return tuple(self._upd.call(*args))
 
     def predict(self, state, *args):
-        """Extrap: ``predict(state, betas)``; lnΠ:
-        ``predict(state, lnpi0, mudotn, betas)``.  Returns ``pred`` or
-        ``(pred, std)`` when exported with ``nrep > 0``."""
+        """Extrap/volume: ``predict(state, betas)``; lnΠ:
+        ``predict(state, lnpi0, mudotn, betas)``; perturb:
+        ``predict(state)`` (targets baked into the artifact).  Returns
+        ``pred`` or ``(pred, std)`` when exported with ``nrep > 0``."""
         m = self.meta
         dt = self._dtype()
+        if m["family"] == "streaming_perturb":
+            if args:
+                msg = (
+                    "perturb streaming predict takes only (state) — the "
+                    "target betas are baked into the artifact"
+                )
+                raise ValueError(msg)
+            return self._prd.call(*state)
         if m["family"] == "streaming_lnpi":
             lnpi0, mudotn, betas = args
             grid = tuple(m["grid_shape"])
@@ -1058,11 +1068,13 @@ def _export_streaming(family, factory_kwargs, meta, update_sig, predict_sig,
     from .pipeline import (
         make_streaming_extrap_pipeline,
         make_streaming_lnpi_pipeline,
+        make_streaming_perturb_pipeline,
         make_streaming_volume_pipeline,
     )
 
     factory = {
         "streaming_lnpi": make_streaming_lnpi_pipeline,
+        "streaming_perturb": make_streaming_perturb_pipeline,
         "streaming_volume": make_streaming_volume_pipeline,
     }.get(family, make_streaming_extrap_pipeline)
     state0, update, predict = factory(xla_only=True, **factory_kwargs)
@@ -1224,6 +1236,67 @@ def export_streaming_volume_pipeline(
             "args": lambda args, n: tuple(args[n + i] for i in range(n_ops)),
         },
         {"specs": [jax.ShapeDtypeStruct((A,), dt)]},
+        platforms,
+    )
+
+
+def export_streaming_perturb_pipeline(
+    beta0: float,
+    betas,
+    *,
+    val_shape: tuple = (),
+    nrep: int = 0,
+    seed: int = 0,
+    weighted: bool = False,
+    dtype=jnp.float32,
+    platforms=("cpu", "tpu"),
+) -> StreamingExportedPipeline:
+    r"""Export the streaming perturbation-reweighting pipeline
+    (:func:`~thermoextrap_tpu.pipeline.make_streaming_perturb_pipeline`)
+    as an AOT bundle: ``update(state, uv, xv[, weight=])`` (polymorphic in
+    chunk length ``R``; the online-softmax running-max rescale lives
+    inside the program) + ``predict(state)`` + the initial accumulator
+    state.  The target β's are BAKED into the artifact (they define the
+    accumulators); ``predict`` takes no arguments.
+    """
+    dt = jnp.dtype(dtype)
+    val_shape = tuple(int(s) for s in val_shape)
+    betas_l = [float(b) for b in np.atleast_1d(np.asarray(betas))]
+    (R,) = jax_export.symbolic_shape("R")
+    upd_specs = [
+        jax.ShapeDtypeStruct((R,), dt),
+        jax.ShapeDtypeStruct((R, *val_shape), dt),
+    ]
+    if weighted:
+        upd_specs.append(jax.ShapeDtypeStruct((R,), dt))
+    n_ops = 3 if weighted else 2
+
+    meta = {
+        "family": "streaming_perturb",
+        "beta0": beta0,
+        "betas": betas_l,
+        "val_shape": list(val_shape),
+        "nrep": nrep,
+        "seed": seed,
+        "weighted": weighted,
+        "dtype": dt.name,
+    }
+    return _export_streaming(
+        "streaming_perturb",
+        dict(
+            beta0=beta0,
+            betas=jnp.asarray(betas_l, dt),
+            val_shape=val_shape,
+            dtype=dt,
+            nrep=nrep,
+            seed=seed,
+        ),
+        meta,
+        {
+            "specs": upd_specs,
+            "args": lambda args, n: tuple(args[n + i] for i in range(n_ops)),
+        },
+        {"specs": []},
         platforms,
     )
 
