@@ -780,3 +780,41 @@ def test_streaming_perturb_bundle_matches_inprocess(tmp_path):
     st_back = art.load_state(ck)
     pred_b, _ = art.predict(st_back)
     np.testing.assert_array_equal(np.asarray(pred_b), np.asarray(pred_a))
+
+
+def test_streaming_perturb_bundle_weighted(tmp_path):
+    """Weighted streaming-perturb bundle: a zero-weight chunk is a no-op
+    through the artifact, weights match the in-process pipeline, and the
+    missing-xv error names the perturb family (not extrap)."""
+    betas = np.array([0.8, 1.1], np.float32)
+    art = se.export_streaming_perturb_pipeline(
+        1.0, betas, val_shape=(2,), weighted=True
+    )
+    path = tmp_path / "sperturb_w.thexport"
+    art.save(path)
+    art = se.load_exported(path)
+    assert art.meta["weighted"] is True
+
+    uv, xv = _data(200)
+    w = np.linspace(0.5, 2.0, 200).astype(np.float32)
+    st = art.update(art.init_state(), uv, xv, weight=w)
+    # zero-weight chunk: state advances but the prediction is unchanged
+    pred0 = np.asarray(art.predict(st))
+    st_z = art.update(st, uv[:64], xv[:64], weight=np.zeros(64, np.float32))
+    np.testing.assert_allclose(
+        np.asarray(art.predict(st_z)), pred0, rtol=1e-6, atol=1e-7
+    )
+    # matches the in-process weighted streaming pipeline
+    st_p, update, predict = pipeline.make_streaming_perturb_pipeline(
+        1.0, betas, val_shape=(2,)
+    )
+    st_p = update(st_p, uv, xv, w)
+    np.testing.assert_allclose(
+        pred0, np.asarray(predict(st_p)), rtol=2e-6, atol=2e-6
+    )
+    # weighted artifact refuses a weightless update, and the missing-xv
+    # message is family-aware
+    with pytest.raises(ValueError, match="weighted=True"):
+        art.update(st, uv, xv)
+    with pytest.raises(ValueError, match="perturb streaming update"):
+        art.update(st, uv, weight=w)

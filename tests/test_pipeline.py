@@ -331,6 +331,28 @@ class TestBucketedRunner:
         serve = make_bucketed_extrap_runner(2, 1.0, buckets=(8, 16))
         serve.warmup(val_shape=(1,), n_betas=2)
 
+    def test_bucket_pad_tuple_streams(self, rng_np):
+        """bucket_pad pads several value streams together (volume runner's
+        (xv, dxdqv) pair) identically to padding each alone."""
+        from thermoextrap_tpu.pipeline import bucket_pad
+
+        uv = rng_np.normal(0.0, 1.0, 100)
+        xv = rng_np.normal(0.0, 1.0, (100, 2))
+        dx = rng_np.normal(0.0, 1.0, (100, 2))
+        buckets = (128,)
+        up, (xp, dp), wp = bucket_pad(uv, (xv, dx), None, buckets)
+        up1, xp1, wp1 = bucket_pad(uv, xv, None, buckets)
+        _, dp1, _ = bucket_pad(uv, dx, None, buckets)
+        np.testing.assert_array_equal(up, up1)
+        np.testing.assert_array_equal(xp, xp1)
+        np.testing.assert_array_equal(dp, dp1)
+        np.testing.assert_array_equal(wp, wp1)
+        assert up.shape == (128,) and xp.shape == (128, 2)
+        # no pad needed: streams come back unchanged
+        u2, (x2, d2), _ = bucket_pad(uv, (xv, dx), None, (100,))
+        np.testing.assert_array_equal(x2, xv)
+        np.testing.assert_array_equal(d2, dx)
+
     def test_f64_weights_not_downcast(self, rng_np):
         from thermoextrap_tpu.pipeline import (
             make_bucketed_extrap_runner,
@@ -716,6 +738,22 @@ class TestPerturbPipeline:
         assert got.shape == (2, 3)
         # at beta0 the weights are uniform: plain mean
         np.testing.assert_allclose(got[0], x.mean(axis=0), rtol=1e-12)
+
+    def test_all_zero_weights_yield_nan_not_poison(self, rng_np):
+        """Fully zero-weight input: weights collapse to exact zeros (the
+        streaming finite-mask convention), so the prediction is the 0/0
+        NaN from the normalization — never exp(-inf - -inf) NaN inside
+        the matmul."""
+        from thermoextrap_tpu.pipeline import _perturb_weights, make_perturb_pipeline
+
+        u, x = self._data(rng_np, R=64)
+        e = np.asarray(
+            _perturb_weights(jnp.asarray(u), jnp.array([0.1, -0.1]), np.zeros(64))
+        )
+        np.testing.assert_array_equal(e, np.zeros_like(e))
+        run = make_perturb_pipeline(1.0, weighted=True)
+        out = np.asarray(run(u, x, np.array([0.9, 1.1]), np.zeros(64)))
+        assert np.isnan(out).all()
 
     def test_weighted_zero_pad_exact(self, rng_np):
         """Zero-weight padded samples change nothing (bucket-pad seam)."""

@@ -1443,6 +1443,11 @@ def _perturb_weights(uv, dalpha, weight):
         logm = jnp.where(w > 0, jnp.log(jnp.where(w > 0, w, 1.0)), -jnp.inf)
         logw = logw + logm[None, :]
     shift = jax.lax.stop_gradient(jnp.max(logw, axis=1, keepdims=True))
+    # All-masked row (every weight zero): shift is -inf and -inf - -inf = NaN.
+    # Mirror the streaming accumulator's finite-mask so the weights collapse
+    # to exact zeros instead (prediction then yields the 0/0 NaN convention
+    # in one place, the normalization, rather than poisoning the matmul).
+    shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
     return jnp.exp(logw - shift)
 
 
@@ -1805,15 +1810,19 @@ def bucket_pad(uv, xv, weight, buckets):
 
     Pads ``(uv, xv, weight)`` up to the smallest bucket >= R (unchanged if
     R exceeds the largest bucket); ``xv=None`` passes through (the
-    ``x_is_u`` runner has no observable stream).  Exact: padded samples
+    ``x_is_u`` runner has no observable stream) and ``xv`` may be a
+    *tuple* of value streams padded together in one pass (the volume
+    runner's ``(xv, dxdqv)`` pair).  Exact: padded samples
     carry zero
     weight, and the pad value replicates the last sample so bf16 streams
     stay in distribution.  Weights keep their own floating dtype (a silent
     f32 downcast of user f64 weights would break the padded == unpadded
     exactness); integer weights are promoted to f32.
     """
+    multi = isinstance(xv, tuple)
     uv = np.asarray(uv)
-    xv = None if xv is None else np.asarray(xv)
+    xvs = tuple(np.asarray(x) for x in (xv if multi else (xv,)) if x is not None)
+    xv = None if not xvs else (xvs if multi else xvs[0])
     r = uv.shape[0]
     if r == 0:
         msg = "serve() needs at least one sample"
@@ -1829,16 +1838,18 @@ def bucket_pad(uv, xv, weight, buckets):
     if rp == r:
         return uv, xv, w
     pad = rp - r
+
+    def _pad_vals(x):
+        tail = np.broadcast_to(x[-1], (pad, *x.shape[1:])).astype(x.dtype)
+        return np.concatenate([x, tail])
+
     uvp = np.concatenate([uv, np.full(pad, uv[-1], dtype=uv.dtype)])
     xvp = (
         None
         if xv is None
-        else np.concatenate(
-            [
-                xv,
-                np.broadcast_to(xv[-1], (pad, *xv.shape[1:])).astype(xv.dtype),
-            ]
-        )
+        else tuple(_pad_vals(x) for x in xvs)
+        if multi
+        else _pad_vals(xv)
     )
     wp = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
     return uvp, xvp, wp

@@ -820,8 +820,7 @@ def bucketed_runner(artifact: ExportedPipeline, buckets=None):
                 xv = xv[:, None]
             if dxdqv.ndim == 1:
                 dxdqv = dxdqv[:, None]
-            wvp, xvp, wp = bucket_pad(wv, xv, weight, buckets)
-            _, dxp, _ = bucket_pad(wv, dxdqv, weight, buckets)
+            wvp, (xvp, dxp), wp = bucket_pad(wv, (xv, dxdqv), weight, buckets)
             return artifact(wvp, xvp, dxp, volumes, weight=wp, seed=seed)
 
     elif m.get("x_is_u"):
@@ -938,8 +937,13 @@ class StreamingExportedPipeline:
                 args.append(uv)
             else:
                 if xv is None:
+                    fam = (
+                        "perturb"
+                        if m["family"] == "streaming_perturb"
+                        else "extrap"
+                    )
                     msg = (
-                        "extrap streaming update takes (state, uv, xv"
+                        f"{fam} streaming update takes (state, uv, xv"
                         "[, weight=])"
                     )
                     raise ValueError(msg)
