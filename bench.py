@@ -207,6 +207,26 @@ def main() -> None:
                 )
         except Exception:
             pass
+    # the apparent single-call rate is tunnel-dispatch-bound here (operands
+    # are already device-resident); for HOST-fed streams the binding roof is
+    # the measured host->device ingest bandwidth (bench_ingest_roof.py) —
+    # report it so the device->apparent gap reads as a measured transfer
+    # limit, not an anecdote
+    ingest_path = Path(__file__).parent / "INGEST_ROOF.json"
+    if ingest_path.exists():
+        try:
+            ing = json.loads(ingest_path.read_text())
+            put_gbps = ing.get("roof_put_gbps")
+            if put_gbps:
+                extras["ingest_roof_put_gbps"] = put_gbps
+                extras["ingest_bound_f32_gsps"] = round(put_gbps / 8, 2)
+                sf = ing.get("streaming_fan8", {})
+                if sf.get("pct_of_put_roof") is not None:
+                    extras["streaming_ingest_pct_of_put_roof"] = sf[
+                        "pct_of_put_roof"
+                    ]
+        except Exception:
+            pass
 
     print(
         json.dumps(

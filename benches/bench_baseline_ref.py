@@ -1,0 +1,194 @@
+"""Measured reference-stack baseline (BASELINE.md "measure, then beat it").
+
+The reference delegates its hot loop — the order-6 central-comoment
+reduction — to cmomy/numba (compiled, fused, single-pass;
+/root/reference/pyproject.toml:41, data.py:1632-1640) on a multi-core CPU
+node.  Neither ``cmomy`` nor ``numba`` (nor ``gpflow``) is installable in
+this environment (zero egress; imports verified absent), so the compiled
+per-core rate is measured here with a faithful stand-in: the repo's own
+native C++ engine (``native/cmoments.cpp``) — the same algorithm class
+numba JIT-compiles for cmomy (fused single-pass central-moment update,
+f64 accumulation, -O3 auto-vectorized), measured SINGLE-core on f64 data
+(the reference's xarray/cmomy convention).  numpy and single-thread torch
+two-pass rates are measured alongside as floors; the per-core baseline is
+the best of the three.
+
+The projection to the reference node stays LINEAR in core count
+(BASELINE_CORES=64) — maximally generous to the baseline, since a
+memory-bound reduction scales sublinearly across cores sharing DRAM
+bandwidth.  An upper bound on the *node* is also reported from the
+measured single-core DRAM stream rate: the reduction reads 16 B/sample
+(u + x at f64), so node_rate <= node_dram_gbps / 16; on typical 64-core
+nodes (~200-400 GB/s) that caps the node at 12-25 Gs/s regardless of
+cores — far below the measured 93-160 Gs/s device rates.
+
+GPR fit row: GPflow is unmeasurable here for the same reason.  The repo's
+own fit already runs its linalg on host CPU f64 (``gp_models._compute_ctx``),
+so ``BENCH_GPR.json``'s warm 0.15 s IS a compiled-CPU measurement of the
+same math; the reference additionally rebuilds its TF graph every
+active-learning iteration (ref active_utils.py:802-869).  That bound is
+recorded in BASELINE.json rather than fabricated as a number.
+
+Writes the ``published`` block of BASELINE.json and prints one JSON line.
+
+Usage: python benches/bench_baseline_ref.py [--r N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+ORDER = 6
+BASELINE_CORES = 64
+REPEATS = 6
+
+
+def best_of(fn, n=REPEATS):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def numpy_two_pass(u, x, order):
+    ubar = u.mean()
+    xbar = x.mean()
+    du = u - ubar
+    dx = x - xbar
+    p = np.ones_like(u)
+    outs = [dx.mean()]
+    for _ in range(order):
+        p = p * du
+        outs.append(p.mean())
+        outs.append((p * dx).mean())
+    return outs
+
+
+def torch_rate(u64, x64, r):
+    try:
+        import torch
+    except Exception:
+        return None
+    torch.set_num_threads(1)
+    u = torch.from_numpy(u64)
+    x = torch.from_numpy(x64)
+
+    def run():
+        du = u - u.mean()
+        dx = x - x.mean()
+        p = torch.ones_like(u)
+        outs = [dx.mean()]
+        for _ in range(ORDER):
+            p = p * du
+            outs.append(p.mean())
+            outs.append((p * dx).mean())
+        return outs
+
+    run()
+    return r / best_of(run)
+
+
+def dram_stream_gbps(r):
+    """Single-core host DRAM read bandwidth (np.dot over a fresh buffer) —
+    the quantity that bounds a multi-core node's reduction rate."""
+    a = np.ones(r, np.float64)
+    b = np.ones(r, np.float64)
+    best = best_of(lambda: np.dot(a, b))
+    return 16 * r / best / 1e9  # two f64 streams
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--r", type=int, default=20_000_000)
+    args = ap.parse_args()
+    r = args.r
+
+    rng = np.random.default_rng(0)
+    u64 = rng.normal(5.0, 1.0, r)
+    x64 = rng.normal(2.0, 0.5, r)
+
+    rate_np = r / best_of(lambda: numpy_two_pass(u64, x64, ORDER))
+    rate_torch = torch_rate(u64, x64, r)
+
+    from thermoextrap_tpu import native
+
+    native_ok = native.available()
+    rate_native = None
+    if native_ok:
+        xv = np.ascontiguousarray(x64[:, None])
+        rate_native = r / best_of(
+            lambda: native.reduce_central_comoments(u64, xv, ORDER)
+        )
+
+    rates = {
+        "numpy_two_pass": rate_np,
+        "torch_single_thread": rate_torch,
+        "native_cpp_fused_single_pass": rate_native,
+    }
+    per_core = max(v for v in rates.values() if v)
+    per_core_impl = max((v, k) for k, v in rates.items() if v)[1]
+    node_linear = per_core * BASELINE_CORES
+    stream_gbps = dram_stream_gbps(min(r, 20_000_000))
+
+    published = {
+        "measured_on": "this host, single core (nproc=1)",
+        "R": r,
+        "order": ORDER,
+        "dtype": "float64 (cmomy/xarray convention)",
+        "single_core_gsps": {
+            k: (round(v / 1e9, 4) if v else None) for k, v in rates.items()
+        },
+        "per_core_baseline_gsps": round(per_core / 1e9, 4),
+        "per_core_baseline_impl": per_core_impl,
+        "node64_linear_projection_gsps": round(node_linear / 1e9, 3),
+        "host_stream_read_gbps_single_core": round(stream_gbps, 1),
+        "node_dram_bound_note": (
+            "reduction reads 16 B/sample f64; a 64-core node with "
+            "200-400 GB/s DRAM is bounded at 12-25 Gs/s regardless of "
+            "core count — the linear projection is the more generous bound"
+        ),
+        "cmomy_numba_status": (
+            "not installable (zero-egress environment; cmomy/numba/gpflow "
+            "imports verified absent) — stand-in is the repo's native C++ "
+            "fused single-pass engine, the same algorithm class numba "
+            "compiles for cmomy (native/cmoments.cpp)"
+        ),
+        "gpr_fit_baseline": {
+            "status": (
+                "GPflow unmeasurable here (same reason); the repo's own "
+                "fit linalg already runs on host CPU f64 "
+                "(gp_models._compute_ctx), so BENCH_GPR.json fit_warm_s "
+                "is a compiled-CPU measurement of the same math; the "
+                "reference additionally rebuilds its TF graph every "
+                "active-learning iteration (ref active_utils.py:802-869)"
+            ),
+            "repo_fit_warm_s": None,  # filled from BENCH_GPR.json below
+        },
+    }
+    try:
+        bg = json.loads(
+            Path(__file__).parent.parent.joinpath("BENCH_GPR.json").read_text()
+        )
+        published["gpr_fit_baseline"]["repo_fit_warm_s"] = bg.get("fit_warm_s")
+    except Exception:
+        pass
+
+    bpath = Path(__file__).parent.parent / "BASELINE.json"
+    base = json.loads(bpath.read_text())
+    base["published"] = published
+    bpath.write_text(json.dumps(base, indent=2))
+    print(json.dumps(published))
+
+
+if __name__ == "__main__":
+    main()

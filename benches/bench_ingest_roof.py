@@ -1,0 +1,210 @@
+"""Host→device ingest bandwidth roof (the last roof in the stack).
+
+The device kernels run at 93-160 Gs/s (370-740 GB/s of HBM traffic,
+bench.py / HBM_ROOF.json), but a STREAMING deployment must first move the
+samples from host memory onto the chip.  On this measurement tunnel
+(remote axon backend) that transfer is the end-to-end bottleneck: the
+apparent 1e8 rates in BENCH_r03 (3.3-3.9 Gs/s) were attributed to it but
+never measured.  This bench pins the number down so every apparent
+streaming rate can be reported as a fraction of the *measured* transfer
+roof rather than an anecdote (VERDICT r3 "what's weak" #1).
+
+Measured (f32 host buffers, distinct per put so no layer can cache):
+
+- ``put_gbps[chunk_mb]``: marginal ``jax.device_put`` bandwidth per chunk
+  size — staging ``n_hi`` distinct buffers minus staging ``n_lo``,
+  differenced (cancels fixed per-put dispatch + the sync call).  Arrival
+  of each buffer is forced by a jitted per-buffer scalar consume
+  (``block_until_ready`` does not reliably wait on this tunnel).
+- ``roof_put_gbps``: best marginal rate over the sweep — THE ingest roof.
+- ``overlap``: staging from a prefetch worker thread
+  (``io_stream.prefetch_chunks(device=...)``) while the consumer runs a
+  device compute chain; efficiency 1.0 = transfer fully hidden.
+- ``streaming_fan8``: the real ingest path (``ingest_stream`` +
+  streaming-extrap update, ``fan_in=8``) as % of the put roof.
+
+Compile economy: ONE jitted per-buffer consume per chunk size (shapes
+differ), one compute chain, one streaming update + fan-8 group program —
+every remote compile on this tunnel costs minutes, and the round-3
+version of this bench died of compile count.  Results are written
+incrementally to INGEST_ROOF.json after every section.
+
+Usage: python benches/bench_ingest_roof.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+REPEATS = 3
+N_LO, N_HI = 2, 6  # differenced put counts per chunk size
+
+OUT_PATH = Path(__file__).parent.parent / "INGEST_ROOF.json"
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    on_accel = jax.default_backend() != "cpu"
+    dev = jax.devices()[0]
+    chunk_mbs = [16, 64, 256] if on_accel and not args.quick else [4, 16]
+
+    out = {"backend": jax.default_backend()}
+
+    def flush():
+        OUT_PATH.write_text(json.dumps(out, indent=1))
+
+    @jax.jit
+    def consume1(b):
+        return b[0] + b[-1]
+
+    def stage_time(bufs) -> float:
+        """Wall time to device_put every buffer and see each arrive."""
+        t0 = time.perf_counter()
+        staged = [jax.device_put(b, dev) for b in bufs]
+        for s in staged:
+            float(consume1(s))
+        dt = time.perf_counter() - t0
+        for s in staged:
+            s.delete()
+        return dt
+
+    rng = np.random.default_rng(0)
+    put_rows = {}
+    best_gbps = 0.0
+    bufs = None
+    for mb in chunk_mbs:
+        n_el = mb * (1 << 20) // 4
+        bufs = [rng.normal(size=n_el).astype(np.float32) for _ in range(N_HI)]
+        float(consume1(jax.device_put(bufs[0], dev)))  # one compile per size
+        t_lo = min(stage_time(bufs[:N_LO]) for _ in range(REPEATS))
+        t_hi = min(stage_time(bufs) for _ in range(REPEATS))
+        gbps = None
+        if t_hi > t_lo:
+            gbps = (N_HI - N_LO) * n_el * 4 / (t_hi - t_lo) / 1e9
+            best_gbps = max(best_gbps, gbps)
+        put_rows[f"{mb}MB"] = {
+            "t_lo_s": round(t_lo, 4),
+            "t_hi_s": round(t_hi, 4),
+            "marginal_gbps": None if gbps is None else round(gbps, 3),
+        }
+        out["chunk_sweep_put"] = put_rows
+        out["roof_put_gbps"] = round(best_gbps, 3)
+        flush()
+        print(json.dumps({f"put_{mb}MB": put_rows[f"{mb}MB"]}), flush=True)
+
+    # ---- overlap: prefetch-thread staging vs a device compute chain ----
+    from thermoextrap_tpu.io_stream import prefetch_chunks
+
+    n_ov = N_HI  # reuse the LAST size's buffers (no new compile)
+    mb = chunk_mbs[-1]
+    work = jax.device_put(bufs[0], dev)
+    k_work = 400 if on_accel else 4
+
+    @jax.jit
+    def compute_chain(x):
+        def body(_, c):
+            c = jax.lax.optimization_barrier(c)
+            return c * 0.999999 + 1e-7
+
+        return jax.lax.fori_loop(0, k_work, body, x)[0]
+
+    float(compute_chain(work))  # warm
+
+    def t_compute_only() -> float:
+        t0 = time.perf_counter()
+        for _ in range(n_ov):
+            float(compute_chain(work))
+        return time.perf_counter() - t0
+
+    def t_both() -> float:
+        t0 = time.perf_counter()
+        staged = []
+        for ch in prefetch_chunks(bufs, depth=2, device=dev):
+            staged.append(ch)
+            float(compute_chain(work))
+        for s in staged:
+            float(consume1(s))
+        dt = time.perf_counter() - t0
+        for s in staged:
+            s.delete()
+        return dt
+
+    tc = min(t_compute_only() for _ in range(REPEATS))
+    tp = min(stage_time(bufs) for _ in range(REPEATS))
+    tb = min(t_both() for _ in range(REPEATS))
+    denom = min(tc, tp)
+    eff = max(0.0, min(1.0, (tc + tp - tb) / denom)) if denom > 0 else 0.0
+    out["overlap"] = {
+        "chunk_mb": mb,
+        "t_compute_s": round(tc, 4),
+        "t_put_s": round(tp, 4),
+        "t_both_s": round(tb, 4),
+        "efficiency": round(eff, 3),
+    }
+    flush()
+    print(json.dumps({"overlap": out["overlap"]}), flush=True)
+
+    # ---- the real streaming ingest path as % of the put roof ----
+    from thermoextrap_tpu.io_stream import ingest_stream
+    from thermoextrap_tpu.pipeline import make_streaming_extrap_pipeline
+
+    chunk = bufs[0].shape[0]
+    n_chunks = N_HI
+    xbufs = [rng.normal(2.0, 0.5, chunk).astype(np.float32) for _ in range(n_chunks)]
+    state0, update, predict = make_streaming_extrap_pipeline(6, 1.0)
+
+    def run_stream():
+        st = ingest_stream(
+            update,
+            state0,
+            list(zip(bufs, xbufs)),
+            load=lambda c: c,
+            device=dev,
+            fan_in=8,
+        )
+        return float(np.asarray(predict(st, np.array([1.0], np.float32)))[0])
+
+    run_stream()  # warm/compile (update + fan-8 group program)
+    t_s = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run_stream()
+        t_s = min(t_s, time.perf_counter() - t0)
+    stream_gbps = n_chunks * chunk * 8 / t_s / 1e9  # u+x f32 = 8 B/sample
+    out["streaming_fan8"] = {
+        "chunk_mb": mb,
+        "n_chunks": n_chunks,
+        "wallclock_s": round(t_s, 4),
+        "gbps": round(stream_gbps, 3),
+        "gsamples_per_s": round(n_chunks * chunk / t_s / 1e9, 3),
+        "pct_of_put_roof": (
+            round(100 * stream_gbps / best_gbps, 1) if best_gbps else None
+        ),
+    }
+    out["note"] = (
+        "roof_put_gbps = best marginal device_put bandwidth over the chunk "
+        "sweep (differenced n_hi-n_lo staging, per-buffer jitted scalar "
+        "consume forces arrival); overlap.efficiency 1.0 = prefetch staging "
+        "fully hidden behind device compute; streaming_fan8 = the real "
+        "ingest_stream+update path (u+x f32 = 8 B/sample) against that roof"
+    )
+    flush()
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

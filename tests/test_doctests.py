@@ -39,6 +39,24 @@ def test_docstring_examples_run():
     assert attempted >= 10, f"only {attempted} doctest examples found"
 
 
+def test_tutorials_execute():
+    """The narrative tutorial pages (docs/tutorial_*.md — the reference's
+    executed-notebook role, /root/reference/conftest.py:1-14 nbval) run
+    end-to-end with their shown outputs: doctest.testfile parses the
+    ``>>>`` blocks directly from the markdown."""
+    docs = sorted(
+        (Path(__file__).parent.parent / "docs").glob("tutorial_*.md")
+    )
+    assert len(docs) >= 2, "tutorial pages missing"
+    flags = doctest.ELLIPSIS | doctest.NORMALIZE_WHITESPACE
+    for page in docs:
+        r = doctest.testfile(
+            str(page), module_relative=False, optionflags=flags, verbose=False
+        )
+        assert r.attempted >= 5, f"{page.name}: tutorial lost its examples"
+        assert r.failed == 0, f"{page.name}: {r.failed} tutorial blocks failed"
+
+
 def test_api_md_covers_public_names():
     """Every top-level public name must be mentioned in docs/api.md."""
     api = Path(__file__).parent.parent / "docs" / "api.md"

@@ -16,6 +16,7 @@ import pytest
 
 from thermoextrap_tpu import beta as beta_xpan
 from thermoextrap_tpu.data import DataCentralMoments
+from thermoextrap_tpu.ops.resample import poisson1_freq
 
 ORDER = 6
 R = 3000
@@ -593,9 +594,8 @@ class TestStreamingBootstrap:
 
         # reconstruct the per-chunk Poisson tables the CPU path drew
         freqs = [
-            jax.random.poisson(
+            poisson1_freq(
                 jax.random.fold_in(jax.random.key(11), step),
-                1.0,
                 (16, len(ch[0])),
                 dtype=jnp.int32,
             )
@@ -732,9 +732,8 @@ class TestStreamingInterpBootstrap:
             seed_i = int((self.SEED + 0x9E3779B9 * (i + 1)) & 0x7FFFFFFF)
             freq = jnp.concatenate(
                 [
-                    jax.random.poisson(
+                    poisson1_freq(
                         jax.random.fold_in(jax.random.key(seed_i), s),
-                        1.0,
                         (self.NREP, c),
                         dtype=jnp.int32,
                     )
@@ -835,9 +834,8 @@ class TestStreamingLnpiBootstrap:
         # reconstruct the per-chunk Poisson tables the CPU path drew
         freq = jnp.concatenate(
             [
-                jax.random.poisson(
+                poisson1_freq(
                     jax.random.fold_in(jax.random.key(self.SEED), s),
-                    1.0,
                     (self.NREP, c.shape[-1]),
                     dtype=jnp.int32,
                 )

@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.resample import poisson1_freq
 import numpy as np
 from jax.scipy.special import logsumexp
 
@@ -459,7 +461,7 @@ def mbar_bootstrap_expectations(
     k_states = u_kn.shape[0]
 
     def one_rep(rep_key):
-        c = jax.random.poisson(rep_key, 1.0, (u_kn.shape[1],)).astype(u_kn.dtype)
+        c = poisson1_freq(rep_key, (u_kn.shape[1],), dtype=u_kn.dtype)
         n_rep = jax.ops.segment_sum(c, state_id, num_segments=k_states)
         logc = jnp.log(c)  # log(0) = -inf drops the sample exactly
         f, _, _ = mbar_solve_info(

@@ -843,17 +843,9 @@ def _resample_epilogue(
 
 # Poisson(1) inverse-CDF thresholds as uint32 cutoffs: freq = #{k : u32 > t_k}.
 # Truncated at 9 (P ~ 1e-7); mean stays 1 to ~1e-7.
-_POISSON1_CDF = (
-    0.36787944117144233,
-    0.7357588823428847,
-    0.9196986029286058,
-    0.9810118431238462,
-    0.9963401531726563,
-    0.9994058151824183,
-    0.9999167588507119,
-    0.9999897508033253,
-    0.9999988747974049,
-)
+# canonical truncated Poisson(1) CDF lives in ops.resample (shared with
+# the XLA-path poisson1_freq so the truncation contract is identical)
+from .resample import POISSON1_CDF as _POISSON1_CDF  # noqa: E402
 
 
 _POISSON_SPAN = 8  # subrows concatenated per MXU dot (K = span * lanes; 16/K=2048 measured identical)

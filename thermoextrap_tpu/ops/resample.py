@@ -64,6 +64,45 @@ def freq_from_indices(indices, nrec: int, dtype=jnp.int32):
     return freq.at[rep_ids, indices].add(1)
 
 
+# Poisson(1) CDF, truncated at count 9 (P(X>9) ~ 1.1e-7 per draw) — the
+# canonical constant for EVERY Poisson-bootstrap draw in the package: the
+# Pallas in-kernel PRNG (ops/moments_pallas._poisson_draw) and the XLA
+# freq-materializing paths (:func:`poisson1_freq`) share it so the
+# truncation contract is identical everywhere.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974049,
+)
+
+
+def poisson1_freq(rng, shape, dtype=jnp.float32):
+    """Poisson(1) frequency table via the u32 CDF-threshold sum.
+
+    One uniform u32 draw + 9 compares per entry — the same transform the
+    in-kernel Pallas bootstrap runs at ~200 Gdraw/s on chip
+    (``PRNG_ROOF.json``).  ``jax.random.poisson`` lowers to an iterative
+    transformed-rejection loop that measured ~25x slower for the big
+    ``(nrep, R)`` tables the perturbation/freq-matmul paths materialize;
+    use this for any hot Poisson(1) table.  Marginal distribution is
+    Poisson(1) truncated at 9, matching the Pallas kernels' contract (the
+    concrete values differ from ``jax.random.poisson`` at equal key —
+    both are valid iid streams; artifacts and live pipelines always draw
+    through the SAME helper, so equal-seed comparisons stay matched).
+    """
+    bits = jax.random.bits(rng, shape, dtype=jnp.uint32)
+    f = jnp.zeros(shape, jnp.int32)
+    for cdf in POISSON1_CDF:
+        f = f + (bits > jnp.uint32(int(cdf * 4294967296.0))).astype(jnp.int32)
+    return f.astype(dtype)
+
+
 def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial", dtype=jnp.int32):
     """Random frequency table.
 
@@ -75,7 +114,7 @@ def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial", dtype=jn
     if method == "multinomial":
         return freq_from_indices(random_indices(rng, nrep, nrec), nrec, dtype=dtype)
     if method == "poisson":
-        return jax.random.poisson(rng, 1.0, (nrep, nrec)).astype(dtype)
+        return poisson1_freq(rng, (nrep, nrec), dtype=dtype)
     msg = f"unknown method {method!r}"
     raise ValueError(msg)
 

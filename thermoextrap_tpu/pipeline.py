@@ -32,6 +32,7 @@ from .models.derivatives import (
 )
 from .models.extrap import _poly_eval
 from .ops import dispatch
+from .ops.resample import poisson1_freq
 from .ops.series import series_neg_log
 
 __all__ = [
@@ -527,9 +528,7 @@ def make_streaming_extrap_pipeline(
             bwsum = bwsum[:, 0]
         else:
             key = jax.random.fold_in(jax.random.key(seed), step)
-            freq = jax.random.poisson(
-                key, 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
-            )
+            freq = poisson1_freq(key, (nrep, uv.shape[0]), dtype=jnp.int32)
             if mesh is not None:
                 from .parallel import (
                     resample_central_umoments_batched_sharded,
@@ -576,9 +575,7 @@ def make_streaming_extrap_pipeline(
             )
         else:
             key = jax.random.fold_in(jax.random.key(seed), step)
-            freq = jax.random.poisson(
-                key, 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
-            )
+            freq = poisson1_freq(key, (nrep, uv.shape[0]), dtype=jnp.int32)
             if mesh is not None:
                 from .parallel import resample_central_comoments_sharded
 
@@ -796,9 +793,7 @@ def make_streaming_lnpi_pipeline(
             )
         else:
             key = jax.random.fold_in(jax.random.key(seed), step)
-            freq = jax.random.poisson(
-                key, 1.0, (nrep, uv.shape[-1]), dtype=jnp.int32
-            )
+            freq = poisson1_freq(key, (nrep, uv.shape[-1]), dtype=jnp.int32)
             if mesh is not None:
                 from .parallel import resample_central_umoments_batched_sharded
 
@@ -1086,7 +1081,7 @@ def make_streaming_perturb_pipeline(
             return (new_m, num, den)
         bnum, bden, step = state[3], state[4], state[5]
         key = jax.random.fold_in(jax.random.key(seed), step)
-        freq = jax.random.poisson(key, 1.0, (nrep, uv.shape[0])).astype(dtype)
+        freq = poisson1_freq(key, (nrep, uv.shape[0]), dtype=dtype)
 
         def one(e_a):
             return jnp.matmul(
@@ -1536,9 +1531,7 @@ def make_perturb_pipeline(
         pred = _perturb_predict(e, xflat).reshape(betas_a.shape + val_shape)
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, r)
-        ).astype(uv.dtype)
+        freq = poisson1_freq(jax.random.key(seed), (nrep, r), dtype=uv.dtype)
         bpred = _perturb_boot(e, xflat, freq)  # (A, nrep, V)
         std = bpred.std(axis=1).reshape(betas_a.shape + val_shape)
         return pred, std

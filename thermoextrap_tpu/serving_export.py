@@ -72,7 +72,7 @@ from .models.derivatives import (
 )
 from .models.extrap import _poly_eval
 from .ops.moments import reduce_central_comoments
-from .ops.resample import resample_central_comoments
+from .ops.resample import poisson1_freq, resample_central_comoments
 from .ops.series import series_neg_log
 
 __all__ = [
@@ -146,8 +146,8 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         pred = _poly_eval(_coefs(xave, du[:, None], dxdu), dalpha)
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+        freq = poisson1_freq(
+            jax.random.key(seed), (nrep, uv.shape[0]), dtype=jnp.int32
         )
         bx, _bu, bdu, bdxdu = resample_central_comoments(
             uv, xv, freq, order, weight=weight
@@ -170,8 +170,8 @@ def _extrap_fn(order: int, beta0: float, minus_log: bool, nrep: int,
         )
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, uv.shape[0]), dtype=jnp.int32
+        freq = poisson1_freq(
+            jax.random.key(seed), (nrep, uv.shape[0]), dtype=jnp.int32
         )
         bu, bdu_full = resample_central_umoments_batched(
             uv[None], freq, order + 1, weight=weight
@@ -206,8 +206,8 @@ def _lnpi_fn(order: int, beta0: float, nrep: int):
         pred = _poly_eval(_coefs(uave, du, lnpi0, mudotn), dalpha)
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, uv.shape[-1]), dtype=jnp.int32
+        freq = poisson1_freq(
+            jax.random.key(seed), (nrep, uv.shape[-1]), dtype=jnp.int32
         )
         bu, bdu = resample_central_umoments_batched(uv, freq, order)
         bpred = _poly_eval(_coefs(bu, bdu, lnpi0[None], mudotn[None]), dalpha)
@@ -243,9 +243,7 @@ def _volume_fn(volume0: float, ndim: int, nrep: int, weighted: bool):
         pred = _predict(xave, dxdu[1, :v], 0)
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, r), dtype=jnp.int32
-        )
+        freq = poisson1_freq(jax.random.key(seed), (nrep, r), dtype=jnp.int32)
         bx, _bu, _bdu, bdxdu = resample_central_comoments(
             wv, packed, freq, 1, weight=weight
         )
@@ -274,9 +272,9 @@ def _perturb_fn(beta0: float, nrep: int, weighted: bool):
         pred = _perturb_predict(e, xv)
         if not nrep:
             return pred
-        freq = jax.random.poisson(
-            jax.random.key(seed), 1.0, (nrep, uv.shape[0])
-        ).astype(uv.dtype)
+        freq = poisson1_freq(
+            jax.random.key(seed), (nrep, uv.shape[0]), dtype=uv.dtype
+        )
         bpred = _perturb_boot(e, xv, freq)
         return pred, bpred.std(axis=1)
 
@@ -1126,7 +1124,7 @@ def export_streaming_extrap_pipeline(
     ``predict`` (polymorphic in query count ``A``) + the initial state.
 
     The exported programs use the pure-XLA compute paths; with ``nrep``
-    the replicate frequencies come from a per-chunk ``jax.random.poisson``
+    the replicate frequencies come from a per-chunk ``poisson1_freq``
     table keyed on ``(seed, chunk index)`` carried in the state — the
     exported fold matches the in-process ``xla_only=True`` pipeline
     exactly, chunking-invariant CI semantics included.
