@@ -32,10 +32,16 @@ Methodology (all documented in the extras):
   ``pct_of_roof = 8 * device_f32_gsps / roof``.  (bf16 streams 4 B/sample
   and is VPU-bound, not bandwidth-bound, at its higher rate.)
 - ``vs_baseline``: this host has a SINGLE CPU core (nproc=1), so a measured
-  multicore baseline is impossible here.  The baseline is the best of
-  vectorized-numpy and torch single-core two-pass rates, projected to the
-  reference's 64-core node assuming PERFECT linear scaling (maximally
-  conservative: real scaling of a memory-bound reduction is sublinear).
+  multicore baseline is impossible here.  The per-core rate is the MEASURED
+  compiled single-core rate from BASELINE.json.published (native C++ fused
+  single-pass f64 engine — the cmomy/numba stand-in, ~5x the numpy floor;
+  benches/bench_baseline_ref.py), projected to the reference's 64-core node
+  assuming PERFECT linear scaling.  Sanity check: 64 x 1.35 GB/s of f64
+  stream traffic = 86 GB/s, under a typical node's 200-400 GB/s DRAM, so
+  the projection is core-bound and the linear assumption is not DRAM-capped
+  — 5.4 Gs/s is a fair node estimate, and the DRAM ceiling itself (12-25
+  Gs/s) is still far below the measured device rates.  Falls back to
+  numpy/torch measured in-process if the artifact is absent.
 
 Timing: on the axon backend ``block_until_ready`` does not reliably wait;
 runs are synchronized by fetching a scalar.  Best-of-repeats filters the
@@ -178,20 +184,37 @@ def main() -> None:
     )
     device_f32, apparent_f32 = measure(uv, xv)
 
-    # single-core CPU baseline (numpy + torch), projected to the reference
-    # node core count assuming perfect linear scaling
-    rng = np.random.default_rng(0)
-    ub = rng.normal(5.0, 1.0, BASELINE_R).astype(np.float32)
-    xb = rng.normal(2.0, 0.5, BASELINE_R).astype(np.float32)
-    base_dt = float("inf")
-    for _ in range(6):  # the shared host core throttles unpredictably;
-        t0 = time.perf_counter()  # min-of-6 credits the baseline its best
-        numpy_two_pass(ub, xb, ORDER)
-        base_dt = min(base_dt, time.perf_counter() - t0)
-    single_core = BASELINE_R / base_dt
-    torch_rate = torch_two_pass_rate(BASELINE_R)
-    if torch_rate:
-        single_core = max(single_core, torch_rate)
+    # single-core CPU baseline, projected to the reference node core count
+    # assuming perfect linear scaling.  Preferred source: the MEASURED
+    # compiled per-core rate from benches/bench_baseline_ref.py
+    # (BASELINE.json.published — native C++ fused single-pass on f64, the
+    # cmomy/numba stand-in; ~5x the numpy two-pass floor).  Fallback when
+    # the artifact is absent: measure numpy/torch here.
+    single_core = None
+    baseline_impl = None
+    try:
+        pub = json.loads(
+            (Path(__file__).parent / "BASELINE.json").read_text()
+        ).get("published", {})
+        if pub.get("per_core_baseline_gsps"):
+            single_core = pub["per_core_baseline_gsps"] * 1e9
+            baseline_impl = pub.get("per_core_baseline_impl")
+    except Exception:
+        pass
+    if single_core is None:
+        rng = np.random.default_rng(0)
+        ub = rng.normal(5.0, 1.0, BASELINE_R).astype(np.float32)
+        xb = rng.normal(2.0, 0.5, BASELINE_R).astype(np.float32)
+        base_dt = float("inf")
+        for _ in range(6):  # the shared host core throttles unpredictably;
+            t0 = time.perf_counter()  # min-of-6 credits the baseline its best
+            numpy_two_pass(ub, xb, ORDER)
+            base_dt = min(base_dt, time.perf_counter() - t0)
+        single_core = BASELINE_R / base_dt
+        torch_rate = torch_two_pass_rate(BASELINE_R)
+        if torch_rate:
+            single_core = max(single_core, torch_rate)
+        baseline_impl = "numpy/torch two-pass (measured now)"
     baseline_rate = single_core * BASELINE_CORES
 
     extras = {}
@@ -239,14 +262,17 @@ def main() -> None:
                 "apparent_1e8_bf16_gsps": round(apparent_bf16 / 1e9, 4),
                 "apparent_1e8_f32_gsps": round(apparent_f32 / 1e9, 4),
                 "baseline_single_core_gsps": round(single_core / 1e9, 4),
+                "baseline_impl": baseline_impl,
                 "baseline_projection_cores": BASELINE_CORES,
                 **extras,
                 "note": (
                     "value = bf16 device rate from K-chained in-jit "
                     "timing (removes fixed+noisy tunnel dispatch overhead); "
-                    "baseline = measured single-core two-pass x64 cores "
-                    "assumed linear; pct_of_roof_f32 = f32 stream rate / "
-                    "measured chip read bandwidth (bench_hbm_roof.py)"
+                    "baseline = measured single-core COMPILED rate "
+                    "(BASELINE.json.published, native C++ fused single-pass "
+                    "= the cmomy/numba stand-in) x64 cores assumed linear; "
+                    "pct_of_roof_f32 = f32 stream rate / measured chip read "
+                    "bandwidth (bench_hbm_roof.py)"
                 ),
             }
         )

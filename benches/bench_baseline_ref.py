@@ -16,11 +16,13 @@ the best of the three.
 The projection to the reference node stays LINEAR in core count
 (BASELINE_CORES=64) — maximally generous to the baseline, since a
 memory-bound reduction scales sublinearly across cores sharing DRAM
-bandwidth.  An upper bound on the *node* is also reported from the
-measured single-core DRAM stream rate: the reduction reads 16 B/sample
-(u + x at f64), so node_rate <= node_dram_gbps / 16; on typical 64-core
-nodes (~200-400 GB/s) that caps the node at 12-25 Gs/s regardless of
-cores — far below the measured 93-160 Gs/s device rates.
+bandwidth.  The DRAM ceiling of the node is
+reported alongside: the reduction reads 16 B/sample (u + x at f64), so
+node_rate <= node_dram_gbps / 16 — 12-25 Gs/s on a typical 200-400 GB/s
+node.  At the measured per-core rate the 64-core projection stays under
+that ceiling (core-bound), so the linear projection is the operative
+baseline; both numbers sit far below the measured 93-160 Gs/s device
+rates.
 
 GPR fit row: GPflow is unmeasurable here for the same reason.  The repo's
 own fit already runs its linalg on host CPU f64 (``gp_models._compute_ctx``),
@@ -154,8 +156,10 @@ def main() -> None:
         "host_stream_read_gbps_single_core": round(stream_gbps, 1),
         "node_dram_bound_note": (
             "reduction reads 16 B/sample f64; a 64-core node with "
-            "200-400 GB/s DRAM is bounded at 12-25 Gs/s regardless of "
-            "core count — the linear projection is the more generous bound"
+            "200-400 GB/s DRAM is DRAM-capped at 12-25 Gs/s; at the "
+            "measured per-core rate the x64 linear projection stays "
+            "below that cap (core-bound), so the projection is the "
+            "operative baseline"
         ),
         "cmomy_numba_status": (
             "not installable (zero-egress environment; cmomy/numba/gpflow "
