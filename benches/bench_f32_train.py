@@ -193,10 +193,69 @@ def main() -> None:
     res32w, t32w, guards32w = _lbfgs(fun32w, x0)
     n32w = max(res32w.nit, 1)
 
+    # ---- 3b. LOG-SPACE whitened f32 (representation-safe) ----
+    # Diagnosis (F32_TRAIN_EXPERIMENT round-4 first pass): the naive f32
+    # casts fail on REPRESENTATION, not conditioning — the order-scaled
+    # noise diag exp(2 p dplus + s) reaches ~1e50 at the gpflow-default
+    # init, overflowing f32 before any factorization, while the whitened
+    # matrix's condition number at the same point is ~7.  So build the
+    # whitened operator WITHOUT ever materializing K+S: every factor is
+    # an exp of a *difference* of log-scales, all O(1).
+    def neg_lml_logwhitened(vec, fixed, locs, gid, y, cov, dplus, mean_x):
+        kp, lp = split(vec, fixed)
+        pvals = [kp[k] for k in porder]
+        k = gm._pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, ftab)
+        lsc = lp["p"] * dplus + 0.5 * lp["s"]  # (N,) log noise scale
+        covd = jnp.einsum("dii->di", cov)  # (D, N)
+        # log diag(K + S): logaddexp over the three contributions
+        ld = jnp.logaddexp(
+            jnp.log(jnp.maximum(jnp.diag(k), 1e-30))[None, :],
+            jnp.logaddexp(
+                2.0 * lsc[None, :] + jnp.log(jnp.maximum(covd, 1e-30)),
+                jnp.log(svm) * jnp.ones_like(covd),
+            ),
+        )  # (D, N)
+        e = jnp.exp(-0.5 * ld)  # (D, N), O(exp(-large)) but multiplies K
+        wk = k[None] * e[:, :, None] * e[:, None, :]
+        f = jnp.exp(lsc[None, :] - 0.5 * ld)  # noise factor / sqrt(diag)
+        ws = cov * f[:, :, None] * f[:, None, :]
+        w = wk + ws + (svm * e**2)[:, :, None] * jnp.eye(
+            k.shape[0], dtype=k.dtype
+        )
+        chol_w = jnp.linalg.cholesky(w)
+        err = jnp.moveaxis(y - mean_x, 1, 0)  # (D, N)
+
+        def one(lw, dd, ee, ldd):
+            alpha = jax.scipy.linalg.solve_triangular(
+                lw, (dd * ee)[:, None], lower=True
+            )[:, 0]
+            n = dd.shape[0]
+            return (
+                -0.5 * jnp.sum(alpha**2)
+                - 0.5 * n * jnp.log(2.0 * jnp.pi)
+                - jnp.sum(jnp.log(jnp.diagonal(lw)))
+                - 0.5 * jnp.sum(ldd)
+            )
+
+        return -jnp.sum(jax.vmap(one)(chol_w, err, e, ld))
+
+    vag_lw = jax.jit(jax.value_and_grad(neg_lml_logwhitened))
+
+    def fun32lw(x):
+        v, g = vag_lw(jnp.asarray(x, jnp.float32), *bound32)
+        return float(v), np.asarray(g)
+
+    fun32lw(x0)  # compile
+    res32lw, t32lw, guards32lw = _lbfgs(fun32lw, x0)
+    n32lw = max(res32lw.nit, 1)
+
     # sanity: whitened f64 == plain f64 identity (host)
     with gm._compute_ctx():
         v_plain = float(val_and_grad(jnp.asarray(res64.x), *bound)[0])
         v_white = float(vag_w(jnp.asarray(res64.x), *(jnp.asarray(b) for b in bound))[0])
+        v_logw = float(
+            vag_lw(jnp.asarray(res64.x), *(jnp.asarray(b) for b in bound))[0]
+        )
 
     def summarize(res, dt, guards, nit):
         model.set_unconstrained(res.x)
@@ -230,22 +289,28 @@ def main() -> None:
             "wallclock_s": round(t64, 3),
         },
         "whitened_identity_check_f64": round(abs(v_white - v_plain), 8),
+        "logwhitened_identity_check_f64": round(abs(v_logw - v_plain), 8),
         "f32_plain_device": summarize(res32, t32, guards32, n32),
         "f32_whitened_device": summarize(res32w, t32w, guards32w, n32w),
+        "f32_logwhitened_device": summarize(res32lw, t32lw, guards32lw, n32lw),
     }
     model.set_unconstrained(res64.x)  # leave the model at the f64 optimum
 
-    gap_p = out["f32_plain_device"]["nll_gap_vs_f64"]
-    gap_w = out["f32_whitened_device"]["nll_gap_vs_f64"]
-    ok_w = abs(gap_w) < 0.5 and out["f32_whitened_device"]["nan_guard_hits"] == 0
-    ok_p = abs(gap_p) < 0.5 and out["f32_plain_device"]["nan_guard_hits"] == 0
+    def ok(key):
+        row = out[key]
+        return abs(row["nll_gap_vs_f64"]) < 0.5 and row["nan_guard_hits"] == 0
+
+    viable = [k for k in
+              ("f32_plain_device", "f32_whitened_device",
+               "f32_logwhitened_device") if ok(k)]
     out["verdict"] = (
-        "f32 on-chip training VIABLE on this conditioning"
-        + (" (whitened and plain)" if ok_p and ok_w else
-           " (whitened only)" if ok_w else "")
-        if ok_w
+        f"f32 on-chip training VIABLE via {viable} — the failure mode of "
+        "the naive cast is f32 RANGE (noise diag ~1e50 at init), not "
+        "conditioning; log-space whitening fixes representation"
+        if viable
         else "measured NEGATIVE: f32 on-chip training does not reach the "
-        "f64 optimum on this workload — host-f64 pin stands"
+        "f64 optimum on this workload even with log-space whitening — "
+        "host-f64 pin stands"
     )
     Path(__file__).parent.parent.joinpath("F32_TRAIN_EXPERIMENT.json").write_text(
         json.dumps(out, indent=1)
