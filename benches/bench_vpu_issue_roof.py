@@ -52,7 +52,10 @@ from jax.experimental import pallas as pl
 
 REPEATS = 5
 K_LO, K_HI = 20, 60  # issues per element (compile-time unrolled)
-ROWS, LANES = 1024, 128
+# small block: the kernel unrolls rows/8 groups x n_issues ops, and the
+# remote compile service rejects oversized HLO bodies (HTTP 413 at
+# rows=1024 x 60 issues)
+ROWS, LANES = 64, 128
 
 
 def _issue_kernel(x_ref, o_ref, *, n_issues, rows, lanes):
