@@ -289,6 +289,45 @@ class TestHeteroscedasticGPR:
         assert params["kernel/l"] > 0
         assert params["kernel/var"] > 0
 
+    def test_logwhitened_lml_identity(self, sine_fit):
+        """The log-space-whitened LML is the SAME function as the plain
+        one (f64): it exists so f32 device training can't overflow on the
+        order-scaled noise diagonal (F32_TRAIN_EXPERIMENT.json)."""
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.gpr_active import gp_models as gm
+
+        model, res = sine_fit
+        fns = model._lml_fns()
+        bound = model._bound_args()
+        with gm._compute_ctx():
+            for vec in (res.x, np.zeros_like(res.x), np.full_like(res.x, 0.7)):
+                v = float(fns["lml"](jnp.asarray(vec, jnp.float64), *bound))
+                w = float(
+                    fns["lml_logw"](jnp.asarray(vec, jnp.float64), *bound)
+                )
+                assert abs(v - w) < 1e-8 * max(1.0, abs(v))
+
+    def test_on_device_f32_train_reaches_f64_optimum(self, sine_fit):
+        """train(on_device=True): f32 log-whitened L-BFGS lands at the
+        host-f64 optimum's NLL (within f32 slop) with no NaN rollback."""
+        from thermoextrap_tpu.gpr_active import gp_models as gm
+
+        model64, res64 = sine_fit
+        X = model64.X
+        Y = np.asarray(model64._y_np)
+        cov = np.asarray(model64.likelihood.cov_np)[0]
+        model = HeteroscedasticGPR(
+            (X, Y, cov), kernel=RBFDerivKernel(), likelihood_kwargs={"p": 1.0}
+        )
+        res = model.train(on_device=True)
+        with gm._compute_ctx():
+            nll64_at = float(model64.neg_lml(np.asarray(res.x, np.float64)))
+        assert np.isfinite(res.fun)
+        assert nll64_at <= float(res64.fun) + 0.05, (
+            f"f32 on-device optimum {nll64_at} worse than f64 {res64.fun}"
+        )
+
     def test_prediction_accuracy(self, sine_fit):
         model, _ = sine_fit
         xt = np.linspace(0.5, 5.5, 11)

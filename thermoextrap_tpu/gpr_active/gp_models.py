@@ -567,10 +567,66 @@ def _build_lml_fns(kernel, groups, spec_struct, stable_var_min):
         chol = jnp.linalg.cholesky(ks)
         return jnp.sum(multioutput_multivariate_normal(y, mean_x, chol))
 
+    def lml_logwhitened(vec, fixed, locs, gid, y, cov, dplus, mean_x):
+        """The same LML through a LOG-SPACE Jacobi-whitened Cholesky —
+        exact at f64 (0-ulp identity on the bench workload) and
+        f32-REPRESENTABLE: the order-scaled noise diagonal
+        ``exp(2 p d+ + s)`` can reach ~1e50 at gpflow-default inits,
+        overflowing a plain f32 ``K + S`` before any factorization,
+        while the *whitened* matrix is near-identity-conditioned.  Every
+        factor here is an ``exp`` of a difference of log-scales, so
+        ``K + S`` never materializes (measured: trains on-chip at f32 to
+        the f64 optimum, F32_TRAIN_EXPERIMENT.json / VERDICT r3 weak 5).
+        """
+        kernel_p, lik_p = split(vec, fixed)
+        pvals = [kernel_p[k] for k in param_order]
+        k = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns)
+        lsc = lik_p["p"] * dplus + 0.5 * lik_p["s"]  # (N,) log noise scale
+        covd = jnp.einsum("dii->di", cov)  # (D, N)
+        ld = jnp.logaddexp(
+            jnp.log(jnp.maximum(jnp.diag(k), 1e-30))[None, :],
+            jnp.logaddexp(
+                2.0 * lsc[None, :] + jnp.log(jnp.maximum(covd, 1e-30)),
+                jnp.log(stable_var_min) * jnp.ones_like(covd),
+            ),
+        )  # (D, N) log diag(K + S)
+        e = jnp.exp(-0.5 * ld)
+        f = jnp.exp(lsc[None, :] - 0.5 * ld)
+        w = (
+            k[None] * e[:, :, None] * e[:, None, :]
+            + cov * f[:, :, None] * f[:, None, :]
+            + (stable_var_min * e**2)[:, :, None]
+            * jnp.eye(k.shape[0], dtype=k.dtype)
+        )
+        chol_w = jnp.linalg.cholesky(w)
+        err = jnp.moveaxis(y - mean_x, 1, 0)  # (D, N)
+
+        def one(lw, dd, ee, ldd):
+            alpha = jax.scipy.linalg.solve_triangular(
+                lw, (dd * ee)[:, None], lower=True
+            )[:, 0]
+            n = dd.shape[0]
+            return (
+                -0.5 * jnp.sum(alpha**2)
+                - 0.5 * n * jnp.log(2.0 * jnp.pi)
+                - jnp.sum(jnp.log(jnp.diagonal(lw)))
+                - 0.5 * jnp.sum(ldd)
+            )
+
+        return jnp.sum(jax.vmap(one)(chol_w, err, e, ld))
+
     def neg(*args):
         return -lml(*args)
 
-    return {"lml": jax.jit(lml), "neg_vag": jax.jit(jax.value_and_grad(neg))}
+    def neg_logw(*args):
+        return -lml_logwhitened(*args)
+
+    return {
+        "lml": jax.jit(lml),
+        "neg_vag": jax.jit(jax.value_and_grad(neg)),
+        "lml_logw": jax.jit(lml_logwhitened),
+        "neg_vag_logw": jax.jit(jax.value_and_grad(neg_logw)),
+    }
 
 
 def _build_predict_fn(
@@ -728,12 +784,25 @@ class TrainableGPModel:
 
     # -- training ----------------------------------------------------------------
 
-    def train(self, max_iter: int = 1000, tol: float | None = None):
+    def train(
+        self, max_iter: int = 1000, tol: float | None = None,
+        on_device: bool = False,
+    ):
         """L-BFGS-B on the negative LML with NaN guarding and rollback
         (reference train path: gpflow.optimizers.Scipy + the NaN-rollback
-        behavior of train_GPR, active_utils.py:802-869)."""
+        behavior of train_GPR, active_utils.py:802-869).
+
+        ``on_device=True`` runs the objective/gradient on the default
+        accelerator at f32 through the log-space-whitened LML
+        (``lml_logw`` — the only f32-representable form: the naive cast
+        overflows on the order-scaled noise diagonal; measured to reach
+        the f64 optimum in F32_TRAIN_EXPERIMENT.json).  Default stays
+        host-f64 (exact, and fast at typical N).
+        """
         from scipy import optimize
 
+        if on_device:
+            return self._train_inner(optimize, max_iter, on_device=True)
         ctx = _compute_ctx()
         ctx.__enter__()
         try:
@@ -741,9 +810,27 @@ class TrainableGPModel:
         finally:
             ctx.__exit__(None, None, None)
 
-    def _train_inner(self, optimize, max_iter):
-        val_and_grad = self._lml_fns()["neg_vag"]
-        bound = self._bound_args()
+    def _train_inner(self, optimize, max_iter, on_device: bool = False):
+        if on_device:
+            val_and_grad = self._lml_fns()["neg_vag_logw"]
+            bound = tuple(
+                jnp.asarray(
+                    b,
+                    jnp.float32
+                    if np.asarray(b).dtype.kind == "f"
+                    else None,
+                )
+                for b in self._bound_args()
+            )
+
+            vag64 = val_and_grad
+
+            def val_and_grad(x, *b):  # noqa: F811 - f32 cast wrapper
+                return vag64(jnp.asarray(x, jnp.float32), *b)
+
+        else:
+            val_and_grad = self._lml_fns()["neg_vag"]
+            bound = self._bound_args()
 
         def fun(x):
             v, g = val_and_grad(jnp.asarray(x), *bound)
