@@ -1088,14 +1088,25 @@ def resample_central_comoments_poisson(
 
 
 def _poisson_resample_u_batched_kernel(
-    su_ref, seed_ref, u_ref, *rest, order, use_w, n_real
+    su_ref, seed_ref, u_ref, *rest, order, use_w, n_real, gb
 ):
-    """Batched-grid Poisson bootstrap of u-moments.  Grid ``(b, i, j)`` =
-    (batch row, rep block, rec block).  The PRNG seed EXCLUDES the batch
-    id, so every batch row sees the IDENTICAL frequency tile: a bootstrap
-    replicate resamples whole configurations, which are joint across the
-    macrostate grid (reference lnpi resampling along ``rec``,
-    lnpi.py:258-286)."""
+    """Batched-grid Poisson bootstrap of u-moments.  Grid ``(bg, i, j)``
+    = (batch GROUP of ``gb`` rows, rep block, rec block).  The PRNG seed
+    EXCLUDES the batch id, so every batch row sees the IDENTICAL
+    frequency tile: a bootstrap replicate resamples whole
+    configurations, which are joint across the macrostate grid
+    (reference lnpi resampling along ``rec``, lnpi.py:258-286).
+
+    **Row-group MXU packing (round 4, +gb× utilization)**: because the
+    frequency tile is shared, ``gb`` batch rows' contribution rows stack
+    into ONE transposed dot — ``(gb·(order+1), K) @ (K, reps)`` — so the
+    MXU runs at ``gb·(order+1)/128`` row utilization instead of
+    ``(order+1)/128``, and the Poisson tile is drawn once per GROUP
+    instead of once per row (the per-row kernel redrew the identical
+    tile ``nbatch`` times).  The draw schedule per ``(i, j)`` step is
+    unchanged, so replicate frequencies are identical to the per-row
+    kernel for any ``gb`` (results differ only by f32 dot association).
+    """
     if use_w:
         w_ref, out_ref = rest
     else:
@@ -1108,32 +1119,35 @@ def _poisson_resample_u_batched_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)  # batch-independent stream
 
+    bg = pl.program_id(0)
     rep_block = out_ref.shape[1]
     subrows, lanes = u_ref.shape[1], u_ref.shape[2]
-    # strided span-concatenated K, exactly as in _poisson_resample_kernel;
-    # the draw schedule depends only on (i, j), so batch rows still see
-    # identical frequency tiles
+    # strided span-concatenated K, exactly as in _poisson_resample_kernel
     span, stride = _dot_span(subrows)
     s_len = span * lanes
-    # transposed dot orientation, as in _poisson_resample_kernel: output
-    # lanes = replicates, only order+1 rows stream per pass
-    acc = jnp.zeros((order + 1, rep_block), jnp.float32)
+    n1 = order + 1
+    acc = jnp.zeros((gb * n1, rep_block), jnp.float32)
 
     for s0 in range(stride):
-        du = (
-            _span_cat(u_ref[0], s0, span, stride).astype(jnp.float32)
-            - su_ref[b, 0]
-        )
         mask = _span_mask(j, subrows, s0, span, stride, lanes, n_real)
-        p0 = _span_cat(w_ref[0], s0, span, stride) * mask if use_w else mask
-
-        prows = [p0]
-        for _ in range(order):
-            prows.append(prows[-1] * du)
-        p = jnp.concatenate(prows, axis=0)  # (order+1, S)
+        rows = []
+        for k in range(gb):
+            du = (
+                _span_cat(u_ref[k], s0, span, stride).astype(jnp.float32)
+                - su_ref[bg * gb + k, 0]
+            )
+            p0 = (
+                _span_cat(w_ref[k], s0, span, stride) * mask
+                if use_w
+                else mask
+            )
+            prows = [p0]
+            for _ in range(order):
+                prows.append(prows[-1] * du)
+            rows.extend(prows)
+        p = jnp.concatenate(rows, axis=0)  # (gb*(order+1), S)
 
         f = _poisson_draw(rep_block, s_len)
 
@@ -1142,7 +1156,8 @@ def _poisson_resample_u_batched_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_ref[0] += acc.T
+    for k in range(gb):
+        out_ref[k] += acc[k * n1 : (k + 1) * n1].T
 
 
 @_interpret_eager_jit("nrep", "order", "rep_block", "return_wsum", "interpret")
@@ -1195,26 +1210,45 @@ def resample_central_umoments_batched_poisson(
     nb = rp // lanes
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
-    def packb(a):
-        if r == rp:
-            return a.reshape(nbatch, nb, lanes)  # bitcast, zero copy
-        return jnp.pad(a, ((0, 0), (0, rp - r))).reshape(nbatch, nb, lanes)
+    # batch-group size: stack gb rows' (order+1) contrib rows into one
+    # MXU dot (see kernel docstring) — as many as fill the 128 MXU rows
+    gb = max(1, min(nbatch, 128 // (order + 1)))
+    nbp = ((nbatch + gb - 1) // gb) * gb
 
+    def packb(a):
+        if r != rp:
+            a = jnp.pad(a, ((0, 0), (0, rp - r)))
+        if nbp != nbatch:
+            # pad rows replicate row 0 (cheap, numerically tame; sliced off)
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (nbp - nbatch, rp))]
+            )
+        return a.reshape(nbp, nb, lanes)
+
+    s_up = (
+        s_u
+        if nbp == nbatch
+        else jnp.concatenate([s_u, jnp.broadcast_to(s_u[:1], (nbp - nbatch,))])
+    )
     operands = [
-        s_u.reshape(nbatch, 1).astype(jnp.float32),
+        s_up.reshape(nbp, 1).astype(jnp.float32),
         jnp.full((1, 1), seed, dtype=jnp.int32),
         packb(u2),
     ]
     in_specs = [
-        pl.BlockSpec((nbatch, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+        # whole shift table in SMEM (a (gb, 1) block can violate the
+        # last-two-dims tiling rule); the kernel indexes b*gb + k
+        pl.BlockSpec(
+            (nbp, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM
+        ),
         pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, subrows, lanes), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((gb, subrows, lanes), lambda b, i, j: (b, j, 0)),
     ]
     use_w = w2 is not None
     if use_w:
         operands.append(packb(w2))
         in_specs.append(
-            pl.BlockSpec((1, subrows, lanes), lambda b, i, j: (b, j, 0))
+            pl.BlockSpec((gb, subrows, lanes), lambda b, i, j: (b, j, 0))
         )
 
     (out,) = pl.pallas_call(
@@ -1223,19 +1257,20 @@ def resample_central_umoments_batched_poisson(
             order=order,
             use_w=use_w,
             n_real=r,
+            gb=gb,
         ),
-        grid=(nbatch, pp // rep_block, nb // subrows),
+        grid=(nbp // gb, pp // rep_block, nb // subrows),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, rep_block, order + 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((gb, rep_block, order + 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nbatch, pp, order + 1), jnp.float32),
+            jax.ShapeDtypeStruct((nbp, pp, order + 1), jnp.float32),
         ],
         interpret=interpret,
     )(*operands)
 
-    sums = jnp.moveaxis(out[:, :nrep], 2, 0)  # (order+1, nbatch, nrep)
+    sums = jnp.moveaxis(out[:nbatch, :nrep], 2, 0)  # (order+1, nbatch, nrep)
     m = sums / sums[0]
     uave_r = (m[1] + s_u[:, None]).T  # (nrep, nbatch)
     du_r = shift_raw_moments(m, m[1])  # (order+1, nbatch, nrep)
