@@ -114,6 +114,47 @@ def main() -> None:
     ratio_pm = xave_p5.std() / xave_m.std()
     gate("poisson_vs_multinomial_sem", 0.8 < ratio_pm < 1.25, ratio_pm)
 
+    # 6. batch-grouped grid kernel (round 4): nbatch=1 must match the
+    # flat kernel's u-moments (identical (i, j)-keyed freq tiles), and
+    # the multi-group + batch-pad paths (group_rows=2 over nbatch=5)
+    # must be gb-invariant up to f32 dot association
+    from thermoextrap_tpu.ops.moments_pallas import (
+        resample_central_umoments_batched_poisson,
+    )
+
+    r6, nrep6 = 1_000_000, 256
+    u6 = uv[:r6]
+    _xa6, uave_f6, du_f6, _ = resample_central_comoments_poisson(
+        u6, xv[:r6], nrep6, order, seed=31
+    )
+    uave_b6, du_b6 = resample_central_umoments_batched_poisson(
+        u6[None], nrep6, order, seed=31
+    )
+    err_flat = float(
+        np.max(np.abs(np.asarray(uave_b6)[:, 0] - np.asarray(uave_f6)))
+    ) + float(
+        np.max(
+            np.abs(np.asarray(du_b6)[2:, :, 0] - np.asarray(du_f6)[2:])
+        )
+    )
+    gate("grouped_vs_flat_maxabs", err_flat < 1e-4, err_flat)
+
+    u5rows = jax.numpy.broadcast_to(u6, (5, r6))
+    ua_d, du_d = resample_central_umoments_batched_poisson(
+        u5rows, nrep6, order, seed=33
+    )
+    ua_g, du_g = resample_central_umoments_batched_poisson(
+        u5rows, nrep6, order, seed=33, group_rows=2
+    )
+    err_gb = float(np.max(np.abs(np.asarray(ua_g) - np.asarray(ua_d)))) + float(
+        np.max(np.abs(np.asarray(du_g)[2:] - np.asarray(du_d)[2:]))
+    )
+    gate("grouped_gb_invariance_maxabs", err_gb < 1e-4, err_gb)
+    cross = float(
+        np.max(np.abs(np.asarray(ua_g) - np.asarray(ua_g)[:, :1]))
+    )
+    gate("grouped_cross_batch_shared_freq", cross == 0.0, cross)
+
     out["ok"] = all(ok for _, ok, _ in checks)
     Path(__file__).parent.parent.joinpath("POISSON_CHIP.json").write_text(
         json.dumps(out) + "\n"

@@ -56,8 +56,10 @@ def pytest_configure(config):
 # One representative slice of every layer, runnable in a single command
 # budget: `python -m pytest -m quick` (~3 min on the contended 1-core host).
 # Central registry (nodeid prefixes) rather than per-file decorators so the
-# tier is visible and maintained in ONE place; `pytest -m quick` fails loudly
-# via test_quick_tier_registry_is_live if a prefix stops matching.
+# tier is visible and maintained in ONE place; a stale prefix fails loudly
+# at COLLECTION time (pytest.UsageError raised in
+# pytest_collection_modifyitems below when a full-suite collection matches
+# nothing for some prefix).
 QUICK_PREFIXES = (
     # L0 kernels + resampling (interpret-mode Pallas)
     "test_moments.py",

@@ -691,6 +691,16 @@ def test_poisson_umoments_batched_interpret(rng_np):
     # return_wsum: identical moments plus the per-replicate resampled
     # weight (the streaming lnPi accumulator's merge weight), Poisson(1)
     # total ~ R and shared across the grid rows
+    # multi-group + batch-pad paths (gb < nbatch, nbp != nbatch): with
+    # group_rows=2 the 3 rows span two groups and one pad row; the draw
+    # schedule is gb-invariant, so results match the default grouping
+    # exactly up to f32 dot association
+    ua2, du2g = resample_central_umoments_batched_poisson(
+        u, nrep, order, seed=7, interpret=True, group_rows=2
+    )
+    np.testing.assert_allclose(np.asarray(ua2), uave, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(du2g)[2:], du[2:], rtol=1e-5)
+
     uw, duw, wsum = resample_central_umoments_batched_poisson(
         u, nrep, order, seed=7, interpret=True, return_wsum=True
     )

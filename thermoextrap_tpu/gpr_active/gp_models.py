@@ -812,7 +812,16 @@ class TrainableGPModel:
 
     def _train_inner(self, optimize, max_iter, on_device: bool = False):
         if on_device:
-            val_and_grad = self._lml_fns()["neg_vag_logw"]
+            fns = self._lml_fns()
+            if "neg_vag_logw" not in fns:
+                msg = (
+                    f"{type(self).__name__} has no log-whitened LML core; "
+                    "train(on_device=True) is only available for models "
+                    "whose _lml_fns provide 'neg_vag_logw' "
+                    "(HeteroscedasticGPR)"
+                )
+                raise NotImplementedError(msg)
+            val_and_grad = fns["neg_vag_logw"]
             bound = tuple(
                 jnp.asarray(
                     b,

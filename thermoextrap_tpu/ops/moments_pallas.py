@@ -1160,7 +1160,9 @@ def _poisson_resample_u_batched_kernel(
         out_ref[k] += acc[k * n1 : (k + 1) * n1].T
 
 
-@_interpret_eager_jit("nrep", "order", "rep_block", "return_wsum", "interpret")
+@_interpret_eager_jit(
+    "nrep", "order", "rep_block", "return_wsum", "interpret", "group_rows"
+)
 def resample_central_umoments_batched_poisson(
     uv,
     nrep: int,
@@ -1171,6 +1173,7 @@ def resample_central_umoments_batched_poisson(
     rep_block: int = 128,
     return_wsum: bool = False,
     interpret: bool = False,
+    group_rows: int | None = None,
 ):
     r"""On-chip Poisson bootstrap of BATCHED central u-moments (the lnΠ
     macrostate-grid uncertainty path): frequencies generated in-kernel
@@ -1211,8 +1214,14 @@ def resample_central_umoments_batched_poisson(
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
 
     # batch-group size: stack gb rows' (order+1) contrib rows into one
-    # MXU dot (see kernel docstring) — as many as fill the 128 MXU rows
-    gb = max(1, min(nbatch, 128 // (order + 1)))
+    # MXU dot (see kernel docstring) — as many as fill the 128 MXU rows.
+    # group_rows= overrides (tests exercise the multi-group + pad paths
+    # at small nbatch; results are gb-invariant up to f32 association)
+    gb = (
+        max(1, min(nbatch, 128 // (order + 1)))
+        if group_rows is None
+        else max(1, int(group_rows))
+    )
     nbp = ((nbatch + gb - 1) // gb) * gb
 
     def packb(a):

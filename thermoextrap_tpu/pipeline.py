@@ -413,13 +413,14 @@ def make_streaming_extrap_pipeline(
         (not their distribution) depend on the chunk boundaries.  On an
         accelerator the frequencies come from the in-kernel PRNG (no
         ``(nrep, chunk)`` table in HBM); on CPU / under ``mesh`` from a
-        ``jax.random.poisson`` table keyed on ``(seed, chunk index)``.
+        :func:`~thermoextrap_tpu.ops.resample.poisson1_freq` table keyed
+        on ``(seed, chunk index)``.
         Replicate state memory is ``nrep * (order+2) * prod(val_shape)``
         floats — negligible.
     seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
     xla_only : force the pure-XLA compute paths even on an accelerator
-        backend (the ``jax.random.poisson`` frequency table instead of the
-        in-kernel Mosaic PRNG).  Required when the update/predict programs
+        backend (the :func:`~thermoextrap_tpu.ops.resample.poisson1_freq`
+        frequency table instead of the in-kernel Mosaic PRNG).  Required when the update/predict programs
         are AOT-exported for multiple platforms
         (:func:`~thermoextrap_tpu.serving_export.export_streaming_extrap_pipeline`).
 
@@ -726,8 +727,9 @@ def make_streaming_lnpi_pipeline(
         frequencies SHARED across the grid: replicates resample whole
         configurations, reference lnpi.py:258-286 semantics).  On an
         accelerator the frequencies come from the in-kernel PRNG; on
-        CPU / under ``mesh`` from a per-chunk ``jax.random.poisson``
-        table keyed on ``(seed, chunk index)``.
+        CPU / under ``mesh`` from a per-chunk
+        :func:`~thermoextrap_tpu.ops.resample.poisson1_freq` table keyed
+        on ``(seed, chunk index)``.
     seed : base PRNG seed for the replicate frequencies (``nrep > 0``).
     xla_only : force the pure-XLA compute paths (AOT-export seam, as in
         :func:`make_streaming_extrap_pipeline`).
@@ -1814,7 +1816,13 @@ def bucket_pad(uv, xv, weight, buckets):
     """
     multi = isinstance(xv, tuple)
     uv = np.asarray(uv)
-    xvs = tuple(np.asarray(x) for x in (xv if multi else (xv,)) if x is not None)
+    if multi:
+        if any(x is None for x in xv):
+            msg = "bucket_pad: a tuple of value streams may not contain None"
+            raise ValueError(msg)
+        xvs = tuple(np.asarray(x) for x in xv)
+    else:
+        xvs = () if xv is None else (np.asarray(xv),)
     xv = None if not xvs else (xvs if multi else xvs[0])
     r = uv.shape[0]
     if r == 0:

@@ -935,11 +935,7 @@ class StreamingExportedPipeline:
                 args.append(uv)
             else:
                 if xv is None:
-                    fam = (
-                        "perturb"
-                        if m["family"] == "streaming_perturb"
-                        else "extrap"
-                    )
+                    fam = m["family"].removeprefix("streaming_")
                     msg = (
                         f"{fam} streaming update takes (state, uv, xv"
                         "[, weight=])"
