@@ -198,6 +198,13 @@ def main() -> None:
             {"apparent_gsps": round(Bg * Rg2 / t / 1e9, 2),
              "note": "128-divisible R: zero-copy bitcast path"},
         )
+        # free the ~5 GB of batched operands before the bootstrap section:
+        # together with the 1e8 flat streams and the (nrep, R) freq-table
+        # scatter temporaries they overflowed HBM (observed
+        # RESOURCE_EXHAUSTED at freq_from_indices, round 4)
+        for _arr in (ub, xb, ug, ug2):
+            _arr.delete()
+        del ub, xb, ug, ug2
 
     if only in (None, "bootstrap"):
         # 128-divisible R: the int32 freq table bitcasts (no cast/pad copy)

@@ -1215,13 +1215,20 @@ def resample_central_umoments_batched_poisson(
 
     # batch-group size: stack gb rows' (order+1) contrib rows into one
     # MXU dot (see kernel docstring) — as many as fill the 128 MXU rows.
+    # Prefer the largest DIVISOR of nbatch under the cap: then the group
+    # reshape is zero-copy.  A non-divisor gb needs batch padding, and
+    # the pad concatenate materializes a copy of the WHOLE operand
+    # (measured OOM at B=512 x 1e6 f32 when the pad path engaged), so
+    # padding is reserved for batch counts with no usable divisor.
     # group_rows= overrides (tests exercise the multi-group + pad paths
-    # at small nbatch; results are gb-invariant up to f32 association)
-    gb = (
-        max(1, min(nbatch, 128 // (order + 1)))
-        if group_rows is None
-        else max(1, int(group_rows))
-    )
+    # at small nbatch; results are gb-invariant up to f32 association).
+    cap = max(1, min(nbatch, 128 // (order + 1)))
+    if group_rows is not None:
+        gb = max(1, int(group_rows))
+    else:
+        gb = max(d for d in range(1, cap + 1) if nbatch % d == 0)
+        if gb < max(2, cap // 2) and nbatch > cap:
+            gb = cap  # poor divisor (e.g. prime nbatch): pad instead
     nbp = ((nbatch + gb - 1) // gb) * gb
 
     def packb(a):
