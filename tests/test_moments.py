@@ -151,6 +151,32 @@ class TestResample:
         assert freq.shape == (8, 100)
         assert int(np.asarray(freq).min()) >= 0
 
+    def test_poisson1_freq_distribution(self):
+        """poisson1_freq's marginal is Poisson(1) truncated at 9: chi-square
+        against the exact pmf (the CDF-threshold transform contract shared
+        with the Pallas in-kernel draw)."""
+        import math
+
+        import jax
+
+        from thermoextrap_tpu.ops.resample import POISSON1_CDF, poisson1_freq
+
+        n = 200_000
+        f = np.asarray(poisson1_freq(jax.random.key(3), (n,), dtype=np.int32))
+        assert f.min() >= 0 and f.max() <= len(POISSON1_CDF)
+        counts = np.bincount(f, minlength=10)[:10]
+        pmf = np.array([math.exp(-1.0) / math.factorial(k) for k in range(10)])
+        pmf[9] = 1.0 - pmf[:9].sum()  # truncation mass folds into 9
+        expect = n * pmf
+        keep = expect > 5  # standard chi-square validity cut
+        chi2 = float(((counts[keep] - expect[keep]) ** 2 / expect[keep]).sum())
+        dof = int(keep.sum()) - 1
+        # P(chi2_7 > 30) ~ 1e-4: loose enough to never flake, tight enough
+        # to catch a wrong threshold constant or an off-by-one truncation
+        assert chi2 < 30, (chi2, dof, counts)
+        assert abs(f.mean() - 1.0) < 0.02
+        assert abs(f.var() - 1.0) < 0.03
+
 
 def test_use_impl_context_manager_restores():
     from thermoextrap_tpu.ops import dispatch
