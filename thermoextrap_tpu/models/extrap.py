@@ -66,6 +66,54 @@ def _poly_eval(coefs, dalpha, *, cumsum: bool = False, no_sum: bool = False):
     return terms.sum(axis=dalpha.ndim)
 
 
+def joint_interp_coefs(alpha0s, derivs_list, order: int):
+    """Joint-polynomial coefficients through all states: solve the
+    ``(porder+1)^2`` derivative-matching system (reference
+    models.py:853-932; the shared core of :meth:`InterpModel.coefs` and
+    the streaming-interp pipeline's fused predict).  Run under a host-f64
+    context — the system's condition number grows like ``alpha^porder``.
+
+    ``derivs_list``: one ``(order+1, *rest)`` UNNORMALIZED derivative
+    stack per state (extra ``rest`` axes — e.g. a bootstrap-replicate
+    batch — ride through the solve's RHS).
+    """
+    nstates = len(alpha0s)
+    porder = nstates * (order + 1) - 1
+
+    power = np.arange(porder + 1)
+    fact = np.array([math.factorial(p) for p in power], dtype=np.float64)
+
+    rows = []
+    for a in (float(a) for a in alpha0s):
+        for j in range(order + 1):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                denom = np.array(
+                    [math.factorial(p - j) if p >= j else np.inf for p in power]
+                )
+                row = np.where(power >= j, a ** np.maximum(power - j, 0), 0.0)
+                row = row * fact / denom
+            rows.append(row)
+    mat = jnp.asarray(np.nan_to_num(np.array(rows), posinf=0.0, neginf=0.0))
+
+    derivs = jnp.concatenate(
+        [jnp.asarray(d, dtype=jnp.float64) for d in derivs_list], axis=0
+    )  # (porder+1, *rest)
+    rest = derivs.shape[1:]
+    flat = derivs.reshape(porder + 1, -1)
+    coefs = jnp.linalg.solve(mat, flat)
+    return coefs.reshape((porder + 1, *rest))
+
+
+def eval_abs_poly(coefs, alpha):
+    """Evaluate the joint polynomial in ABSOLUTE alpha (the interp
+    convention — extrapolation polynomials use ``dalpha`` powers via
+    :func:`_poly_eval` instead)."""
+    alpha = jnp.asarray(alpha, dtype=coefs.dtype)
+    p = _alpha_powers(alpha, coefs.shape[0] - 1)
+    terms = p.reshape(p.shape + (1,) * (coefs.ndim - 1)) * coefs
+    return terms.sum(axis=alpha.ndim)
+
+
 class ExtrapModel:
     """Taylor-series extrapolation (reference models.py:433-576)."""
 
@@ -331,41 +379,16 @@ class InterpModel(StateCollection):
         return out
 
     def _coefs(self, derivs_list, order):
-        porder = len(self) * (order + 1) - 1
-
-        power = np.arange(porder + 1)
-        fact = np.array([math.factorial(p) for p in power], dtype=np.float64)
-
-        rows = []
-        for m in self.states:
-            a = float(m.alpha0)
-            for j in range(order + 1):
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    denom = np.array(
-                        [math.factorial(p - j) if p >= j else np.inf for p in power]
-                    )
-                    row = np.where(power >= j, a ** np.maximum(power - j, 0), 0.0)
-                    row = row * fact / denom
-                rows.append(row)
-        mat = jnp.asarray(np.nan_to_num(np.array(rows), posinf=0.0, neginf=0.0))
-
-        derivs = jnp.concatenate(
-            [jnp.asarray(d, dtype=jnp.float64) for d in derivs_list], axis=0
-        )  # (porder+1, *rest)
-        rest = derivs.shape[1:]
-        flat = derivs.reshape(porder + 1, -1)
-        coefs = jnp.linalg.solve(mat, flat)
-        return coefs.reshape((porder + 1, *rest))
+        return joint_interp_coefs(
+            [float(m.alpha0) for m in self.states], derivs_list, order
+        )
 
     def predict(self, alpha, order=None, minus_log=None):
         from ..utils.compute import host_f64
 
         coefs = self.coefs(order=order, minus_log=minus_log)
         with host_f64():
-            alpha = jnp.asarray(alpha, dtype=coefs.dtype)
-            p = _alpha_powers(alpha, coefs.shape[0] - 1)
-            terms = p.reshape(p.shape + (1,) * (coefs.ndim - 1)) * coefs
-            return terms.sum(axis=alpha.ndim)
+            return eval_abs_poly(coefs, alpha)
 
 
 class InterpModelPiecewise(StateCollection, _PiecewiseMixin):
