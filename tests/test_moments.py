@@ -164,13 +164,19 @@ class TestResample:
         n = 200_000
         f = np.asarray(poisson1_freq(jax.random.key(3), (n,), dtype=np.int32))
         assert f.min() >= 0 and f.max() <= len(POISSON1_CDF)
-        counts = np.bincount(f, minlength=10)[:10]
+        counts = np.bincount(f, minlength=10)[:10].astype(np.float64)
         pmf = np.array([math.exp(-1.0) / math.factorial(k) for k in range(10)])
         pmf[9] = 1.0 - pmf[:9].sum()  # truncation mass folds into 9
         expect = n * pmf
-        keep = expect > 5  # standard chi-square validity cut
-        chi2 = float(((counts[keep] - expect[keep]) ** 2 / expect[keep]).sum())
-        dof = int(keep.sum()) - 1
+        # pool every small-expectation bin into ONE tail cell (standard
+        # chi-square validity cut) — dropping them instead would blind the
+        # test to a corrupted top threshold / off-by-one truncation, the
+        # exact failure modes this gate exists for
+        keep = expect > 5
+        counts_p = np.append(counts[keep], counts[~keep].sum())
+        expect_p = np.append(expect[keep], expect[~keep].sum())
+        chi2 = float(((counts_p - expect_p) ** 2 / expect_p).sum())
+        dof = len(counts_p) - 1
         # P(chi2_7 > 30) ~ 1e-4: loose enough to never flake, tight enough
         # to catch a wrong threshold constant or an off-by-one truncation
         assert chi2 < 30, (chi2, dof, counts)
