@@ -1490,17 +1490,23 @@ def _perturb_predict(e, xflat):
 
 
 def _perturb_boot(e, xflat, freq):
-    """Replicate predictions ``(A, nrep, V)``: per target one
-    ``(nrep, R) @ (R, V+1)`` matmul of Poisson counts against the
-    weighted samples (numerator) and weights (denominator) — the
-    freq-matmul bootstrap shape, batched over targets by vmap."""
-
-    def one(e_a):
-        y = jnp.concatenate([e_a[:, None] * xflat, e_a[:, None]], axis=1)
-        s = jnp.matmul(freq, y, precision=jax.lax.Precision.HIGHEST)
-        return s[:, :-1] / s[:, -1:]
-
-    return jax.vmap(one)(e)
+    """Replicate predictions ``(A, nrep, V)``: one einsum of Poisson
+    counts against every target's weighted samples (numerator) and
+    weights (denominator) — the freq-matmul bootstrap shape with the
+    target axis riding as a batch dimension (symbolic-A-safe for the AOT
+    export tracer; a Python loop over targets breaks shape-polymorphic
+    export).  Measured equivalent to the earlier per-target vmap on chip
+    (0.070 vs 0.065 s at R=1e7 x 128 x A=5 — XLA already amortized the
+    frequency-table reads across targets)."""
+    v = xflat.shape[1]
+    # [x | 1] once, weighted per target: (A, R, V+1) — A stays a free
+    # (possibly symbolic, for the AOT export tracer) batch dimension
+    xe = jnp.concatenate([xflat, jnp.ones_like(xflat[:, :1])], axis=1)
+    y = e[:, :, None] * xe[None]  # (A, R, V+1)
+    s = jnp.einsum(
+        "nr,arv->anv", freq, y, precision=jax.lax.Precision.HIGHEST
+    )  # (A, nrep, V+1)
+    return s[..., :v] / s[..., v:]
 
 
 def make_perturb_pipeline(
