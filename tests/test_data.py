@@ -163,6 +163,145 @@ def test_reduce_merges_blocks(vals):
     assert float(pooled.wsum) == nblock * blk
 
 
+class TestMomentBlockResample:
+    """Moment-backed block bootstrap (reference DataCentralMoments.resample
+    via cmomy resample_and_reduce, reference data.py:1000-1055) — validated
+    by the reference's own shared-sampler consistency technique (reference
+    tests/test_data.py:94): blocks partition one sample set, the value-level
+    freq repeats each block count over its samples, paths must agree."""
+
+    nrep, nblock = 6, 8
+
+    def _blocks(self, vals, weight=None):
+        u, x = vals
+        blk = len(u) // self.nblock
+        u_b = u[: self.nblock * blk].reshape(self.nblock, blk)
+        x_b = x[: self.nblock * blk].reshape(self.nblock, blk, -1)
+        w_b = None if weight is None else weight[: self.nblock * blk].reshape(
+            self.nblock, blk
+        )
+        return u_b, x_b, w_b, blk
+
+    def _freq(self, seed=7):
+        from thermoextrap_tpu.ops.resample import freq_from_indices, random_indices
+
+        idx = random_indices(jax.random.key(seed), self.nrep, self.nblock)
+        return np.asarray(freq_from_indices(idx, self.nblock))
+
+    def _assert_equal(self, r_mom, r_val):
+        np.testing.assert_allclose(
+            np.asarray(r_mom.xave), np.asarray(r_val.xave), rtol=1e-10, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mom.uave), np.asarray(r_val.uave), rtol=1e-10, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mom.du), np.asarray(r_val._du_norm), rtol=1e-9, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mom.dxdu), np.asarray(r_val.dxdu), rtol=1e-9, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mom.wsum), np.asarray(r_val.wsum), rtol=1e-12
+        )
+
+    def test_matches_values_bootstrap(self, vals):
+        u_b, x_b, _, blk = self._blocks(vals)
+        freq = self._freq()
+        d_blocks = xtpu.DataCentralMoments.from_vals(x_b, u_b, ORDER)
+        r_mom = d_blocks.resample({"freq": freq})
+        assert r_mom.wsum.shape == (self.nrep,)
+
+        freq_vals = np.repeat(freq, blk, axis=1)
+        r_val = xtpu.DataCentralMoments.from_resample_vals(
+            x_b.reshape(-1, x_b.shape[-1]), u_b.reshape(-1), ORDER,
+            {"freq": freq_vals},
+        )
+        self._assert_equal(r_mom, r_val)
+
+    def test_weighted_blocks(self, vals):
+        rng = np.random.default_rng(11)
+        w = rng.uniform(0.5, 2.0, size=len(vals[0]))
+        u_b, x_b, w_b, blk = self._blocks(vals, weight=w)
+        freq = self._freq(seed=9)
+        d_blocks = xtpu.DataCentralMoments.from_vals(x_b, u_b, ORDER, weight=w_b)
+        r_mom = d_blocks.resample({"freq": freq})
+
+        freq_vals = np.repeat(freq, blk, axis=1)
+        r_val = xtpu.DataCentralMoments.from_resample_vals(
+            x_b.reshape(-1, x_b.shape[-1]), u_b.reshape(-1), ORDER,
+            {"freq": freq_vals}, weight=w_b.reshape(-1),
+        )
+        self._assert_equal(r_mom, r_val)
+
+    def test_x_is_u(self, vals):
+        u, _ = vals
+        blk = len(u) // self.nblock
+        u_b = u[: self.nblock * blk].reshape(self.nblock, blk)
+        freq = self._freq(seed=3)
+        d_blocks = xtpu.DataCentralMoments.from_vals(None, u_b, ORDER, x_is_u=True)
+        r_mom = d_blocks.resample({"freq": freq})
+
+        freq_vals = np.repeat(freq, blk, axis=1)
+        r_val = xtpu.DataCentralMoments.from_resample_vals(
+            None, u_b.reshape(-1), ORDER, {"freq": freq_vals}, x_is_u=True
+        )
+        self._assert_equal(r_mom, r_val)
+
+    def test_axis_and_kept_batch(self, vals):
+        """Blocks on axis=1; the kept leading batch axis must survive and
+        every kept row must equal its own flat resample."""
+        u, x = vals
+        blk = len(u) // self.nblock
+        # two independent "grids" from halves of the sample set
+        u2 = np.stack([u[: 32], u[32:]], axis=0)[:, : self.nblock // 2 * 8]
+        nb2 = 4
+        u_b = u2.reshape(2, nb2, -1)
+        x_b = u_b[..., None] * 0.5 + 1.0
+        freq = self._freq(seed=13)[:, :nb2]
+        d = xtpu.DataCentralMoments.from_vals(x_b, u_b, ORDER)
+        assert d.wsum.shape == (2, nb2)
+        r = d.resample({"freq": freq}, axis=1)
+        assert r.wsum.shape == (self.nrep, 2)
+        for g in range(2):
+            d_g = xtpu.DataCentralMoments.from_vals(x_b[g], u_b[g], ORDER)
+            r_g = d_g.resample({"freq": freq})
+            np.testing.assert_allclose(
+                np.asarray(r.dxdu[:, :, g]), np.asarray(r_g.dxdu),
+                rtol=1e-12,
+            )
+            np.testing.assert_allclose(
+                np.asarray(r.wsum[:, g]), np.asarray(r_g.wsum), rtol=1e-12
+            )
+
+    def test_guards(self, vals):
+        u, x = vals
+        d0 = xtpu.DataCentralMoments.from_vals(x, u, ORDER)  # scalar batch
+        with pytest.raises(ValueError, match="block batch axis"):
+            d0.resample({"nrep": 4})
+        d_xa = xtpu.DataCentralMoments.from_vals(
+            np.broadcast_to(x[:, None, :], (len(u), ORDER + 1, x.shape[1])),
+            u, ORDER, xalpha=True,
+        )
+        with pytest.raises(NotImplementedError, match="deriv axis"):
+            d_xa.resample({"nrep": 4})
+
+    def test_jit_composes(self, vals):
+        """resample is traceable: same result under jit with a static sampler."""
+        u_b, x_b, _, _ = self._blocks(vals)
+        freq = self._freq(seed=21)
+        d_blocks = xtpu.DataCentralMoments.from_vals(x_b, u_b, ORDER)
+
+        def f(d, fq):
+            r = d.resample({"freq": fq})
+            return r.dxdu, r.wsum
+
+        a0, w0 = f(d_blocks, freq)
+        a1, w1 = jax.jit(f)(d_blocks, freq)
+        np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), rtol=1e-12)
+
+
 def test_from_data_matches_from_vals(vals):
     """Reference-layout (trailing (xmom, umom)) constructor parity
     (reference data.py:1216-1283)."""

@@ -308,6 +308,43 @@ class TestHeteroscedasticGPR:
                 )
                 assert abs(v - w) < 1e-8 * max(1.0, abs(v))
 
+    def test_logwhitened_zero_cov_rows_extreme_scale(self, sine_fit):
+        """Exactly-zero noise-cov diagonal entries must contribute NOTHING
+        to the whitened factors at ANY likelihood scale (ADVICE r4): on a
+        zero-cov row ``exp(lsc - ld/2) ~ exp(lsc)`` overflows f32 once
+        ``lsc`` is large enough (s=250 → exp(145) = inf) and ``0*inf``
+        poisons the whitened matrix with NaN; the mask keeps the f64
+        plain-LML identity and the f32 evaluation finite+accurate."""
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.gpr_active import gp_models as gm
+
+        model0, _ = sine_fit
+        X = model0.X
+        Y = np.asarray(model0._y_np)
+        cov = np.asarray(model0.likelihood.cov_np)[0].copy()
+        n = cov.shape[0]
+        # zero out the derivative rows' noise entirely (exact zeros)
+        cov[n // 2 :, :] = 0.0
+        cov[:, n // 2 :] = 0.0
+        for s in (0.0, 100.0, 250.0, 300.0):
+            model = HeteroscedasticGPR(
+                (X, Y, cov),
+                kernel=RBFDerivKernel(),
+                likelihood_kwargs={"p": 10.0, "s": s},
+            )
+            fns = model._lml_fns()
+            bound = model._bound_args()
+            vec = np.asarray(model.get_unconstrained(), np.float64)
+            with gm._compute_ctx():
+                v = float(fns["lml"](jnp.asarray(vec), *bound))
+                w = float(fns["lml_logw"](jnp.asarray(vec), *bound))
+            assert abs(v - w) < 1e-8 * max(1.0, abs(v)), (s, v, w)
+            b32 = [jnp.asarray(np.asarray(b), jnp.float32) for b in bound]
+            w32 = float(fns["lml_logw"](jnp.asarray(vec, jnp.float32), *b32))
+            assert np.isfinite(w32), (s, w32)
+            assert abs(w32 - v) < 1e-4 * max(1.0, abs(v)), (s, v, w32)
+
     def test_on_device_f32_train_reaches_f64_optimum(self, sine_fit):
         """train(on_device=True): f32 log-whitened L-BFGS lands at the
         host-f64 optimum's NLL (within f32 slop) with no NaN rollback."""

@@ -151,6 +151,20 @@ class TestResample:
         assert freq.shape == (8, 100)
         assert int(np.asarray(freq).min()) >= 0
 
+    def test_poisson_exact_freq(self):
+        """Legacy exact (untruncated jax.random.poisson) sampler kept for
+        external equal-seed reproducibility (ADVICE r4)."""
+        import jax
+
+        freq = R.random_freq(jax.random.key(0), 8, 100, method="poisson_exact")
+        assert freq.shape == (8, 100)
+        f = np.asarray(freq)
+        assert f.min() >= 0
+        assert abs(f.mean() - 1.0) < 0.1
+        np.testing.assert_array_equal(
+            f, np.asarray(jax.random.poisson(jax.random.key(0), 1.0, (8, 100)))
+        )
+
     def test_poisson1_freq_distribution(self):
         """poisson1_freq's marginal is Poisson(1) truncated at 9: chi-square
         against the exact pmf (the CDF-threshold transform contract shared

@@ -713,6 +713,61 @@ def test_poisson_umoments_batched_interpret(rng_np):
     assert np.all(np.abs(w[:, 0] - R) < 6 * np.sqrt(R)), w[:, 0]
 
 
+def test_batch_group_arithmetic():
+    """Pure-XLA oracle for the grouped grid-Poisson kernel's gb/nbp
+    selection and batch-pad packing (ADVICE r4: the interpret-mode kernel
+    test skips on hosts without Pallas interpret PRNG, so the divisor/pad
+    arithmetic needs chip-free coverage)."""
+    import jax.numpy as jnp
+
+    from thermoextrap_tpu.ops.moments_pallas import (
+        _batch_group_size,
+        _pad_pack_batch,
+    )
+
+    # invariants over a broad sweep: gb | nbp, nbp >= nbatch, the group's
+    # contribution rows fit the 128 MXU rows, and pads only engage when
+    # nbatch has no usable divisor under the cap
+    for nbatch in (1, 2, 3, 7, 12, 25, 64, 127, 128, 512, 1000):
+        for order in (1, 2, 4, 6):
+            gb, nbp = _batch_group_size(nbatch, order)
+            cap = max(1, min(nbatch, 128 // (order + 1)))
+            assert 1 <= gb <= cap
+            assert nbp % gb == 0 and nbp >= nbatch
+            assert gb * (order + 1) <= 128 or nbatch * (order + 1) <= 128
+            if nbatch % gb == 0:
+                assert nbp == nbatch  # divisor grouping never pads
+
+    # divisor preference: largest divisor under the cap wins
+    assert _batch_group_size(12, 6) == (12, 12)  # cap 18, 12 | 12
+    assert _batch_group_size(64, 6) == (16, 64)  # cap 18, best divisor 16
+    # prime nbatch > cap: falls to the cap and pads to the next multiple
+    gb, nbp = _batch_group_size(127, 6)
+    assert gb == 18 and nbp == 144
+    # tiny prime <= cap groups whole (divisor = nbatch itself)
+    assert _batch_group_size(7, 6) == (7, 7)
+    # explicit override is honored verbatim
+    assert _batch_group_size(3, 4, group_rows=2) == (2, 4)
+
+    # packing: rec pad zeros, batch pad rows replicate row 0, block layout
+    # (nbp, rp//lanes, lanes), and slicing the pads off recovers the input
+    lanes = 128
+    a = jnp.arange(3 * 200, dtype=jnp.float32).reshape(3, 200)
+    rp = ((200 + 1023) // 1024) * 1024
+    packed = _pad_pack_batch(a, rp, 4, lanes)
+    assert packed.shape == (4, rp // lanes, lanes)
+    flat = np.asarray(packed).reshape(4, rp)
+    np.testing.assert_array_equal(flat[:3, :200], np.asarray(a))
+    np.testing.assert_array_equal(flat[:3, 200:], 0.0)
+    np.testing.assert_array_equal(flat[3], flat[0])  # pad row = row 0
+    # no-pad path is a pure reshape (shape/content identity)
+    b = jnp.arange(2 * 1024, dtype=jnp.float32).reshape(2, 1024)
+    packed2 = _pad_pack_batch(b, 1024, 2, lanes)
+    np.testing.assert_array_equal(
+        np.asarray(packed2).reshape(2, 1024), np.asarray(b)
+    )
+
+
 def test_bf16_bootstrap_interpret(rng_np):
     """bf16 sample streams through the freq-matmul bootstrap kernel
     (interpret mode): replicate moments match the f32 kernel run on the

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import thermoextrap_tpu as xtpu
 from thermoextrap_tpu import beta
@@ -352,6 +353,12 @@ class TestBucketedRunner:
         u2, (x2, d2), _ = bucket_pad(uv, (xv, dx), None, (100,))
         np.testing.assert_array_equal(x2, xv)
         np.testing.assert_array_equal(d2, dx)
+        # sharp edges rejected loudly (ADVICE r4: an empty tuple used to
+        # come back as xv=None and TypeError at the caller's unpack)
+        with pytest.raises(ValueError, match="may not be empty"):
+            bucket_pad(uv, (), None, buckets)
+        with pytest.raises(ValueError, match="may not contain None"):
+            bucket_pad(uv, (xv, None), None, buckets)
 
     def test_f64_weights_not_downcast(self, rng_np):
         from thermoextrap_tpu.pipeline import (

@@ -795,12 +795,60 @@ class DataCentralMoments:
             meta=self.meta.reduce(self),
         )
 
-    def resample(self, sampler, *, rng=None, **kws):
-        msg = (
-            "moment-backed data cannot be value-resampled; build with "
-            "DataCentralMoments.from_resample_vals or resample a DataValues."
+    def resample(self, sampler, *, axis: int = 0, rng=None, **kws):
+        """Block bootstrap over PRE-REDUCED moment blocks along one batch
+        axis (reference ``DataCentralMoments.resample`` via cmomy's
+        ``resample_and_reduce``, reference data.py:1000-1055).
+
+        Replicate ``r`` reweights block ``b`` by ``freq[r, b]`` and pools
+        all blocks with the exact shifted-moment merge
+        (:func:`merge_central_comoments` with ``wsum -> freq[r] * wsum``) —
+        identical to re-reducing the concatenated resampled samples, but
+        needing only the retained per-block moments (the samples can be
+        gone).  When blocks partition one sample set and the value-level
+        freq table repeats each block's count over its samples, this equals
+        the values-path bootstrap exactly (the reference's shared-sampler
+        consistency technique, reference tests/test_data.py:94; gated in
+        tests/test_data.py).
+
+        Parameters mirror the values paths: ``sampler`` is ``{"nrep": R}``
+        / ``{"freq": ...}`` / ``{"indices": ...}`` / a bare index array over
+        the **block** axis.  ``axis`` selects which batch axis holds the
+        blocks.  Returns a new :class:`DataCentralMoments` whose leading
+        batch axis is the replicate axis (remaining batch axes kept).
+        """
+        if self.xalpha:
+            msg = "resample with a deriv axis is not supported yet"
+            raise NotImplementedError(msg)
+        nb = self.wsum.ndim
+        if nb == 0:
+            msg = (
+                "moment-backed resample needs a block batch axis; this state "
+                "is a single pooled moment set (build per-block states, e.g. "
+                "from_vals on (nblock, rec) values, then resample)"
+            )
+            raise ValueError(msg)
+        axis = int(axis) % nb
+        nblock = self.wsum.shape[axis]
+        indices, freq = _normalize_sampler(sampler, nblock, rng=rng)
+        freq = jnp.asarray(freq, dtype=self.wsum.dtype)
+        bshape = [1] * nb
+        bshape[axis] = nblock
+
+        def _one(freq_r):
+            return merge_central_comoments(
+                self.xave, self.uave, self.du, self.dxdu,
+                self.wsum * freq_r.reshape(bshape), axis=axis,
+            )
+
+        # rep axis leads the batch axes; moment axis stays leading on du/dxdu
+        xave, uave, du, dxdu, wsum = jax.vmap(
+            _one, out_axes=(0, 0, 1, 1, 0)
+        )(freq)
+        meta = self.meta.resample(self, indices=indices, freq=freq, **kws)
+        return replace(
+            self, xave=xave, uave=uave, du=du, dxdu=dxdu, wsum=wsum, meta=meta
         )
-        raise NotImplementedError(msg)
 
     # -- streaming accumulation (beyond reference scope) ----------------------
     #

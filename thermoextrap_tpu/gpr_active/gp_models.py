@@ -583,15 +583,32 @@ def _build_lml_fns(kernel, groups, spec_struct, stable_var_min):
         k = _pair_masked_matrix(locs, gid, groups, locs, gid, groups, pvals, fns)
         lsc = lik_p["p"] * dplus + 0.5 * lik_p["s"]  # (N,) log noise scale
         covd = jnp.einsum("dii->di", cov)  # (D, N)
+        # exactly-zero noise-cov diagonals contribute NOTHING.  Two guards
+        # (ADVICE r4): (a) mask them out of ld instead of clamping covd to
+        # 1e-30 — the clamp's phantom 1e-30*exp(2 lsc) term cancels from
+        # the OBJECTIVE (ld is a self-canceling diagonal preconditioner:
+        # any e>0 gives the same LML) but de-whitens those rows, wasting
+        # the near-identity conditioning this path exists for; (b) mask f
+        # itself on zero rows — there exp(lsc - ld/2) ~ exp(lsc) overflows
+        # f32 at extreme scales and 0*inf would poison W with NaN (the
+        # safe-where keeps gradients finite; logaddexp(-inf, x) = x).
+        zero_cov = covd <= 0
+        log_covd = jnp.where(
+            zero_cov, -jnp.inf, jnp.log(jnp.where(zero_cov, 1.0, covd))
+        )
         ld = jnp.logaddexp(
             jnp.log(jnp.maximum(jnp.diag(k), 1e-30))[None, :],
             jnp.logaddexp(
-                2.0 * lsc[None, :] + jnp.log(jnp.maximum(covd, 1e-30)),
+                2.0 * lsc[None, :] + log_covd,
                 jnp.log(stable_var_min) * jnp.ones_like(covd),
             ),
         )  # (D, N) log diag(K + S)
         e = jnp.exp(-0.5 * ld)
-        f = jnp.exp(lsc[None, :] - 0.5 * ld)
+        f = jnp.where(
+            zero_cov,
+            0.0,
+            jnp.exp(jnp.where(zero_cov, 0.0, lsc[None, :] - 0.5 * ld)),
+        )
         w = (
             k[None] * e[:, :, None] * e[:, None, :]
             + cov * f[:, :, None] * f[:, None, :]

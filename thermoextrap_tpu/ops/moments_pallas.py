@@ -1160,6 +1160,41 @@ def _poisson_resample_u_batched_kernel(
         out_ref[k] += acc[k * n1 : (k + 1) * n1].T
 
 
+def _batch_group_size(nbatch: int, order: int, group_rows: int | None = None):
+    """Group-size arithmetic for the batch-grouped grid Poisson kernel:
+    returns ``(gb, nbp)`` — rows per MXU group and the padded batch count.
+
+    ``gb`` stacks ``gb*(order+1)`` contribution rows into one transposed
+    dot, capped so they fit the 128 MXU rows.  Prefer the largest DIVISOR
+    of ``nbatch`` under the cap (the group reshape is then zero-copy); a
+    batch with no usable divisor (e.g. prime ``nbatch > cap``) takes the
+    cap and pads to ``nbp``, the next multiple of ``gb``.  Pure arithmetic
+    — unit-tested without a chip (ADVICE r4).
+    """
+    cap = max(1, min(nbatch, 128 // (order + 1)))
+    if group_rows is not None:
+        gb = max(1, int(group_rows))
+    else:
+        gb = max(d for d in range(1, cap + 1) if nbatch % d == 0)
+        if gb < max(2, cap // 2) and nbatch > cap:
+            gb = cap  # poor divisor (e.g. prime nbatch): pad instead
+    nbp = ((nbatch + gb - 1) // gb) * gb
+    return gb, nbp
+
+
+def _pad_pack_batch(a, rp: int, nbp: int, lanes: int):
+    """Pad ``(nbatch, r)`` to ``(nbp, rp)`` — rec pad zeros, batch pad rows
+    replicate row 0 (cheap, numerically tame; the caller slices them off) —
+    then reshape to the kernel's ``(nbp, rp//lanes, lanes)`` block layout
+    (a zero-copy bitcast when no padding engages)."""
+    nbatch, r = a.shape
+    if r != rp:
+        a = jnp.pad(a, ((0, 0), (0, rp - r)))
+    if nbp != nbatch:
+        a = jnp.concatenate([a, jnp.broadcast_to(a[:1], (nbp - nbatch, rp))])
+    return a.reshape(nbp, rp // lanes, lanes)
+
+
 @_interpret_eager_jit(
     "nrep", "order", "rep_block", "return_wsum", "interpret", "group_rows"
 )
@@ -1215,31 +1250,16 @@ def resample_central_umoments_batched_poisson(
 
     # batch-group size: stack gb rows' (order+1) contrib rows into one
     # MXU dot (see kernel docstring) — as many as fill the 128 MXU rows.
-    # Prefer the largest DIVISOR of nbatch under the cap: then the group
-    # reshape is zero-copy.  A non-divisor gb needs batch padding, and
-    # the pad concatenate materializes a copy of the WHOLE operand
-    # (measured OOM at B=512 x 1e6 f32 when the pad path engaged), so
-    # padding is reserved for batch counts with no usable divisor.
-    # group_rows= overrides (tests exercise the multi-group + pad paths
-    # at small nbatch; results are gb-invariant up to f32 association).
-    cap = max(1, min(nbatch, 128 // (order + 1)))
-    if group_rows is not None:
-        gb = max(1, int(group_rows))
-    else:
-        gb = max(d for d in range(1, cap + 1) if nbatch % d == 0)
-        if gb < max(2, cap // 2) and nbatch > cap:
-            gb = cap  # poor divisor (e.g. prime nbatch): pad instead
-    nbp = ((nbatch + gb - 1) // gb) * gb
+    # A non-divisor gb needs batch padding, and the pad concatenate
+    # materializes a copy of the WHOLE operand (measured OOM at B=512 x
+    # 1e6 f32 when the pad path engaged), so _batch_group_size reserves
+    # padding for batch counts with no usable divisor.  group_rows=
+    # overrides (tests exercise the multi-group + pad paths at small
+    # nbatch; results are gb-invariant up to f32 association).
+    gb, nbp = _batch_group_size(nbatch, order, group_rows)
 
     def packb(a):
-        if r != rp:
-            a = jnp.pad(a, ((0, 0), (0, rp - r)))
-        if nbp != nbatch:
-            # pad rows replicate row 0 (cheap, numerically tame; sliced off)
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (nbp - nbatch, rp))]
-            )
-        return a.reshape(nbp, nb, lanes)
+        return _pad_pack_batch(a, rp, nbp, lanes)
 
     s_up = (
         s_u

@@ -109,12 +109,22 @@ def random_freq(rng, nrep: int, nrec: int, method: str = "multinomial", dtype=jn
     ``multinomial``: exact bootstrap distribution (each row sums to nrec).
     ``poisson``: Poisson(1) bootstrap — iid entries, embarrassingly parallel,
     asymptotically equivalent; row sums vary (weights normalize per replicate).
+    Drawn via :func:`poisson1_freq` (round 4 on): the marginal is Poisson(1)
+    TRUNCATED at 9 (P(X>9) ~ 1.1e-7 per entry) and the concrete draws at
+    equal key differ from the pre-round-4 ``jax.random.poisson`` stream —
+    persisted equal-seed comparisons across versions will see different
+    replicates.  Pass ``method="poisson_exact"`` for the legacy exact
+    (untruncated) ``jax.random.poisson`` marginal and stream — ~25x slower
+    for large tables (it lowers to an iterative rejection loop) and NOT the
+    stream the Pallas in-kernel bootstraps draw.
     ``dtype``: table storage dtype (see :func:`freq_from_indices`).
     """
     if method == "multinomial":
         return freq_from_indices(random_indices(rng, nrep, nrec), nrec, dtype=dtype)
     if method == "poisson":
         return poisson1_freq(rng, (nrep, nrec), dtype=dtype)
+    if method == "poisson_exact":
+        return jax.random.poisson(rng, 1.0, (nrep, nrec)).astype(dtype)
     msg = f"unknown method {method!r}"
     raise ValueError(msg)
 

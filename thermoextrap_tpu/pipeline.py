@@ -1858,6 +1858,11 @@ def bucket_pad(uv, xv, weight, buckets):
     multi = isinstance(xv, tuple)
     uv = np.asarray(uv)
     if multi:
+        if not xv:
+            # an empty tuple would silently come back as xv=None and
+            # TypeError at the caller's unpack — reject it loudly instead
+            msg = "bucket_pad: a tuple of value streams may not be empty"
+            raise ValueError(msg)
         if any(x is None for x in xv):
             msg = "bucket_pad: a tuple of value streams may not contain None"
             raise ValueError(msg)
