@@ -242,18 +242,20 @@ def main() -> None:
     }
     # contextualize against the measured host->device transfer roof
     # (bench_ingest_roof.py): this row's chunks are device-resident
-    # (dispatch-bound), so the % says how much of the TRANSFER roof a
-    # host-fed stream at this rate would consume (u+x f32 = 8 B/sample);
-    # the genuinely host-fed measurement is INGEST_ROOF.json's
-    # streaming_fan8 row
+    # (dispatch-bound).  The ratio below is the device consume rate over
+    # the transfer roof — i.e. how many times FASTER the device consumes
+    # than the tunnel can feed (ingest headroom), NOT a %-of-roof
+    # utilization (VERDICT r4 weak 4: the old `vs_ingest_roof_pct` label
+    # read as "455x its own roof").  The genuinely host-fed measurement
+    # is INGEST_ROOF.json's streaming_fan8 row.
     try:
         ing = json.loads(
             (Path(__file__).parent.parent / "INGEST_ROOF.json").read_text()
         )
         put_gbps = ing.get("roof_put_gbps")
         if put_gbps:
-            results["streaming_update_fan8"]["vs_ingest_roof_pct"] = round(
-                100 * (8 * chunk / best / 1e9) * 8 / put_gbps, 1
+            results["streaming_update_fan8"]["consume_over_ingest_roof_x"] = (
+                round((8 * chunk / best / 1e9) * 8 / put_gbps, 1)
             )
     except Exception:
         pass
