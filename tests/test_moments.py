@@ -151,6 +151,22 @@ class TestResample:
         assert freq.shape == (8, 100)
         assert int(np.asarray(freq).min()) >= 0
 
+    def test_poisson1_freq_dtype_invariant(self):
+        """The storage dtype does not change the drawn counts: the accel
+        perturb kernel's int8 table == the export/CPU paths' f32 table at
+        equal key (the equal-seed parity contract, VERDICT r4 item 7)."""
+        import jax
+        import jax.numpy as jnp
+
+        from thermoextrap_tpu.ops.resample import poisson1_freq
+
+        k = jax.random.key(42)
+        f8 = poisson1_freq(k, (8, 1000), dtype=jnp.int8)
+        f32 = poisson1_freq(k, (8, 1000), dtype=jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(f8, np.float32), np.asarray(f32)
+        )
+
     def test_poisson_exact_freq(self):
         """Legacy exact (untruncated jax.random.poisson) sampler kept for
         external equal-seed reproducibility (ADVICE r4)."""

@@ -435,16 +435,27 @@ def create_base_GP_model(  # noqa: N802 - reference name
     )
 
 
-def train_GPR(gpr, record_loss: bool = False, start_params=None):  # noqa: N802
+def train_GPR(  # noqa: N802
+    gpr, record_loss: bool = False, start_params=None, on_device: bool = False
+):
     """Train with optional second start from previous parameters, keeping the
-    better optimum (reference active_utils.py:802-869)."""
-    res = gpr.train()
+    better optimum (reference active_utils.py:802-869).
+
+    ``on_device=True`` routes both optimizations through the f32
+    log-space-whitened on-accelerator objective
+    (:meth:`TrainableGPModel.train` ``on_device`` — measured to reach the
+    f64 optimum, F32_TRAIN_EXPERIMENT.json).  Worth it only when the
+    host fit is the bottleneck (large N or many outputs): at the
+    active-loop sizes the host-f64 fit is ~0.15 s warm
+    (ACTIVE_LOOP.json measures both legs).
+    """
+    res = gpr.train(on_device=on_device)
 
     if start_params is not None:
         default_params = gpr.parameters()
         try:
             gpr.set_parameters(start_params)
-            res_new = gpr.train()
+            res_new = gpr.train(on_device=on_device)
         except Exception:  # pragma: no cover - defensive, mirrors reference
             gpr.set_parameters(default_params)
             res_new = None
@@ -463,9 +474,16 @@ def train_GPR(gpr, record_loss: bool = False, start_params=None):  # noqa: N802
     return res if record_loss else None
 
 
-def create_GPR(state_list, log_scale: bool = False, start_params=None, base_kwargs=None):
+def create_GPR(
+    state_list,
+    log_scale: bool = False,
+    start_params=None,
+    base_kwargs=None,
+    on_device: bool = False,
+):
     """Stack states into block-diagonal-noise GP data, build, and train
-    (reference active_utils.py:872-959)."""
+    (reference active_utils.py:872-959).  ``on_device=True`` trains on the
+    accelerator at f32 via the log-whitened LML (see :func:`train_GPR`)."""
     from scipy import linalg
 
     x_data, y_data, cov_data = [], [], []
@@ -488,7 +506,7 @@ def create_GPR(state_list, log_scale: bool = False, start_params=None, base_kwar
     )
 
     gpr = create_base_GP_model((x_data, y_data, noise_cov), **(base_kwargs or {}))
-    train_GPR(gpr, start_params=start_params)
+    train_GPR(gpr, start_params=start_params, on_device=on_device)
     return gpr
 
 
@@ -1061,9 +1079,13 @@ def active_learning(  # noqa: C901
     num_state_repeats: int = 1,
     save_history: bool = False,
     use_predictions: bool = False,
+    gp_on_device: bool = False,
 ):
     """Outer active-learning loop: simulate -> fit GP -> check stop ->
-    acquire next point.  Returns ``(data_list, train_history)``."""
+    acquire next point.  Returns ``(data_list, train_history)``.
+
+    ``gp_on_device=True`` runs every GP fit on the accelerator at f32 via
+    the log-whitened LML (see :func:`train_GPR`)."""
     gp_base_kwargs = gp_base_kwargs or {}
 
     data_list = []
@@ -1099,6 +1121,7 @@ def active_learning(  # noqa: C901
             log_scale=log_scale,
             base_kwargs=gp_base_kwargs,
             start_params=start_params,
+            on_device=gp_on_device,
         )
         if logger.isEnabledFor(logging.INFO):
             from .gp_models import print_summary

@@ -71,6 +71,8 @@ __all__ = [
     "resample_central_comoments_fused_ad",
     "resample_central_comoments_poisson",
     "resample_central_umoments_batched_poisson",
+    "resample_perturb_freq",
+    "resample_perturb_poisson",
 ]
 
 _LANES = 128  # lane width of the packed sample rows (layout-preserving)
@@ -1326,6 +1328,357 @@ def resample_central_umoments_batched_poisson(
 # batched u-moment reduction (lnPi-style workloads: energy moments per
 # macrostate; x_is_u so only u-moments are needed)
 # ---------------------------------------------------------------------------
+
+
+def _perturb_contrib(da_ref, sh_ref, useg, xsegs, mask, wseg, na):
+    """Perturbation contribution rows for one sample segment: for each
+    target ``a`` the reweight factors ``e_a = exp(-dalpha_a u - shift_a)``
+    times ``[x_1 .. x_V, 1]`` — ``na*(V+1)`` rows stacked so ONE transposed
+    MXU dot against the shared frequency tile serves every target (the
+    batch-grouped grid-kernel trick, VERDICT r4: targets share the tile
+    exactly as grid rows do).
+
+    Numerical contract (matches pipeline._perturb_weights): ``shift_a``
+    upper-bounds ``log w + (-dalpha_a u)`` over the real samples, so the
+    true exponent is <= 0; the ``minimum(t, 0)`` clamp is exact for real
+    samples and stops exp-overflow on tail-garbage lanes (undefined OOB
+    memory; ``inf * 0-mask`` would poison the dot with NaN).  Weighted
+    streams go through log space — ``exp(-da u + log w - sh)`` — NOT
+    ``w * exp(-da u - sh)``, whose exponent is unbounded when weights are
+    tiny (sh then sits far below ``max(-da u)``)."""
+    if wseg is not None:
+        lw = jnp.where(wseg > 0, jnp.log(jnp.where(wseg > 0, wseg, 1.0)), -jnp.inf)
+    rows = []
+    for a in range(na):
+        t = -da_ref[a, 0] * useg - sh_ref[a, 0]
+        if wseg is not None:
+            t = t + lw
+        e = jnp.exp(jnp.minimum(t, 0.0)) * mask
+        rows.extend(e * xt for xt in xsegs)
+        rows.append(e)
+    return jnp.concatenate(rows, axis=0)  # (na*(V+1), S)
+
+
+def _perturb_poisson_kernel(
+    da_ref, sh_ref, seed_ref, u_ref, x_ref, *rest, na, v, n_real, use_w
+):
+    """Perturbation bootstrap with the frequency tile generated on-chip
+    (zero HBM table traffic).  Seed contract, span gather, and transposed
+    dot orientation are IDENTICAL to :func:`_poisson_resample_kernel`
+    (``prng_seed(seed, i*nj + j)`` + :func:`_poisson_draw` per span), so at
+    equal ``(seed, R, nrep, rep_block)`` this kernel consumes the exact
+    frequency stream of the flat moment kernel — the dalpha=0 equality
+    gate in benches/bench_poisson_chip.py rides on that."""
+    if use_w:
+        w_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
+
+    rep_block = out_ref.shape[0]
+    subrows, lanes = u_ref.shape
+    span, stride = _dot_span(subrows)
+    s_len = span * lanes
+    m = na * (1 + v)
+    acc = jnp.zeros((m, rep_block), jnp.float32)
+
+    for s0 in range(stride):
+        useg = _span_cat(u_ref, s0, span, stride).astype(jnp.float32)
+        mask = _span_mask(j, subrows, s0, span, stride, lanes, n_real)
+        wseg = (
+            _span_cat(w_ref, s0, span, stride).astype(jnp.float32)
+            if use_w
+            else None
+        )
+        xsegs = [
+            _span_cat(x_ref[k], s0, span, stride).astype(jnp.float32)
+            for k in range(v)
+        ]
+        contrib = _perturb_contrib(da_ref, sh_ref, useg, xsegs, mask, wseg, na)
+        f = _poisson_draw(rep_block, s_len)
+        acc += jax.lax.dot_general(
+            contrib, f, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[:] += acc.T  # (rep_block, m)
+
+
+def _perturb_freq_kernel(
+    da_ref, sh_ref, f_ref, u_ref, x_ref, *rest, na, v, n_real, lanes, subrows
+):
+    """Perturbation bootstrap against a MATERIALIZED frequency table in its
+    native 2-D layout/dtype (int8 tables stream at 1/4 the f32 traffic and
+    convert per block in VMEM — same layout findings as
+    :func:`_resample_kernel`).  Draw-count parity: the table is the very
+    ``poisson1_freq`` array the XLA path and the AOT artifacts consume, so
+    replicate counts are IDENTICAL across kernel/XLA/export at equal seed
+    (values differ only by f32 dot association)."""
+    if use_w := len(rest) == 2:
+        w_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    nseg = subrows // _FREQ_SPAN
+    s_len = _FREQ_SPAN * lanes
+    chunk = subrows * lanes
+    rep_block = out_ref.shape[0]
+    m = na * (1 + v)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
+
+    def seg_cat(ref2d, seg):
+        return jnp.concatenate(
+            [
+                ref2d[seg + nseg * t : seg + nseg * t + 1, :]
+                for t in range(_FREQ_SPAN)
+            ],
+            axis=1,
+        )
+
+    def body(masked: bool):
+        acc = jnp.zeros((m, rep_block), jnp.float32)
+        for seg in range(nseg):
+            useg = seg_cat(u_ref, seg).astype(jnp.float32)
+            f = f_ref[:, seg * s_len : (seg + 1) * s_len].astype(jnp.float32)
+            if masked:
+                mask = (j * chunk + seg * s_len + pos < n_real).astype(
+                    jnp.float32
+                )
+                f = f * mask
+            else:
+                mask = jnp.ones((1, s_len), jnp.float32)
+            wseg = (
+                seg_cat(w_ref, seg).astype(jnp.float32) if use_w else None
+            )
+            xsegs = [seg_cat(x_ref[k], seg) for k in range(v)]
+            contrib = _perturb_contrib(
+                da_ref, sh_ref, useg, xsegs, mask, wseg, na
+            )
+            acc += jax.lax.dot_general(
+                contrib, f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        out_ref[:] += acc.T
+
+    last = pl.num_programs(1) - 1
+    if n_real % (subrows * lanes) != 0:
+
+        @pl.when(j < last)
+        def _():
+            body(False)
+
+        @pl.when(j == last)
+        def _():
+            body(True)
+
+    else:
+        body(False)
+
+
+def _perturb_prep(uv, xv, dalpha, shift, weight):
+    uv = jnp.asarray(uv, jnp.float32)
+    xv = jnp.asarray(xv, jnp.float32)
+    r = uv.shape[0]
+    xv = xv.reshape(r, -1)
+    v = xv.shape[1]
+    da = jnp.asarray(dalpha, jnp.float32).reshape(-1, 1)
+    sh = jnp.asarray(shift, jnp.float32).reshape(-1, 1)
+    na = da.shape[0]
+    w_flat = (
+        None
+        if weight is None
+        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
+    )
+    if na * (1 + v) > 512:
+        msg = (
+            f"perturb kernel: targets*(V+1) = {na * (1 + v)} contribution "
+            "rows exceed the 512-row block budget; chunk the targets or "
+            "use the XLA path"
+        )
+        raise ValueError(msg)
+    return uv, xv, da, sh, na, v, r, w_flat
+
+
+def _perturb_epilogue(out, nrep, na, v):
+    """(pp, na*(v+1)) accumulator -> (na, nrep, v+1) sums matching the XLA
+    einsum layout (pipeline._perturb_boot): per target the first ``v``
+    columns are the weighted-x numerators, the last the weight sum."""
+    return out[:nrep].reshape(nrep, na, 1 + v).swapaxes(0, 1)
+
+
+@_interpret_eager_jit("nrep", "rep_block", "interpret")
+def resample_perturb_poisson(
+    uv,
+    xv,
+    dalpha,
+    shift,
+    nrep: int,
+    weight=None,
+    *,
+    seed: int = 0,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    r"""On-chip Poisson bootstrap of perturbation-reweighted sums: the
+    ``(nrep, R)`` table never exists, the frequency tile is drawn in-kernel
+    and SHARED by every target (reference PerturbModel CI role,
+    models.py:1019-1039; VERDICT r4 item 1).
+
+    ``uv (R,)``, ``xv (R, V)``, ``dalpha (A,)``, ``shift (A,)`` (the
+    stabilization maxima from ``pipeline._perturb_weights``'s contract) →
+    sums ``(A, nrep, V+1)``: per target the Poisson-weighted
+    ``sum_r f_r e_a(u_r) [x_r | 1]``; divide numerators by the last column
+    for replicate predictions (0/0 NaN convention preserved).  ``seed`` may
+    be a traced int32 scalar.  Draw schedule == the flat moment kernel's
+    (:func:`_poisson_draw` per (rep, rec) block), so frequencies match
+    :func:`resample_central_comoments_poisson` at equal seed — NOT the
+    ``poisson1_freq`` table stream (use :func:`resample_perturb_freq`
+    when count-parity with the XLA/AOT paths matters).
+    """
+    uv, xv, da, sh, na, v, r, w_flat = _perturb_prep(
+        uv, xv, dalpha, shift, weight
+    )
+
+    lanes = _LANES
+    subrows = _REC_CHUNK // lanes
+    chunk = subrows * lanes
+    rp = ((r + chunk - 1) // chunk) * chunk
+    nb = rp // lanes
+    pp = ((nrep + rep_block - 1) // rep_block) * rep_block
+    m = na * (1 + v)
+
+    u_p = _pack(uv, nb)
+    if v == 1:
+        x_p = _pack(xv[:, 0], nb)[None]
+    else:
+        x_p = jnp.pad(xv, ((0, nb * lanes - r), (0, 0))).T.reshape(v, nb, lanes)
+
+    operands = [da, sh, jnp.full((1, 1), seed, dtype=jnp.int32), u_p, x_p]
+    in_specs = [
+        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
+    ]
+    use_w = w_flat is not None
+    if use_w:
+        operands.append(_pack(w_flat, nb))
+        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
+
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _perturb_poisson_kernel, na=na, v=v, n_real=r, use_w=use_w
+        ),
+        grid=(pp // rep_block, nb // subrows),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((rep_block, m), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((pp, m), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    return _perturb_epilogue(out, nrep, na, v)
+
+
+@_interpret_eager_jit("rep_block", "interpret")
+def resample_perturb_freq(
+    uv,
+    xv,
+    dalpha,
+    shift,
+    freq,
+    weight=None,
+    *,
+    rep_block: int = 128,
+    interpret: bool = False,
+):
+    r"""Perturbation bootstrap against a materialized frequency table —
+    the table-shared MXU dot with EXACT count parity across kernel / XLA /
+    AOT paths (they all consume the same ``poisson1_freq`` array; VERDICT
+    r4 items 1+7).  Same contract as :func:`resample_perturb_poisson` with
+    ``freq (nrep, R)`` replacing ``(nrep, seed)``; pass an int8 table
+    (Poisson(1) counts cannot overflow it) to stream the dominant HBM
+    operand at 1/4 the f32 traffic.  Returns sums ``(A, nrep, V+1)``.
+    """
+    uv, xv, da, sh, na, v, r, w_flat = _perturb_prep(
+        uv, xv, dalpha, shift, weight
+    )
+    nrep = freq.shape[0]
+
+    lanes = _LANES
+    subrows = _REC_CHUNK // lanes
+    if interpret:
+        subrows = min(subrows, 16)
+    chunk = subrows * lanes
+    grid_i = (nrep + rep_block - 1) // rep_block
+    grid_j = (r + chunk - 1) // chunk
+    pp = grid_i * rep_block
+    m = na * (1 + v)
+
+    u_p = _freq_permute_pack(uv, grid_j, subrows, lanes)
+    if v == 1:
+        x_p = _freq_permute_pack(xv[:, 0], grid_j, subrows, lanes)[None]
+    else:
+        xpad = jnp.pad(xv, ((0, grid_j * chunk - r), (0, 0))).T
+        x_p = (
+            xpad.reshape(v, grid_j, subrows // _FREQ_SPAN, _FREQ_SPAN, lanes)
+            .swapaxes(2, 3)
+            .reshape(v, grid_j * subrows, lanes)
+        )
+    freq = jnp.asarray(freq)
+    if jnp.issubdtype(freq.dtype, jnp.floating):
+        if freq.dtype not in (jnp.float32, jnp.bfloat16):
+            freq = freq.astype(jnp.float32)
+    elif freq.dtype not in (jnp.int8, jnp.int16, jnp.int32):
+        freq = freq.astype(jnp.int32)
+    if interpret:
+        # full-block zero pad: see resample_central_comoments_fused
+        freq = jnp.pad(freq, ((0, pp - nrep), (0, grid_j * chunk - r)))
+
+    operands = [da, sh, freq, u_p, x_p]
+    in_specs = [
+        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((rep_block, chunk), lambda i, j: (i, j)),
+        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
+    ]
+    use_w = w_flat is not None
+    if use_w:
+        operands.append(_freq_permute_pack(w_flat, grid_j, subrows, lanes))
+        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
+
+    (out,) = pl.pallas_call(
+        functools.partial(
+            _perturb_freq_kernel,
+            na=na,
+            v=v,
+            n_real=r,
+            lanes=lanes,
+            subrows=subrows,
+        ),
+        grid=(grid_i, grid_j),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((rep_block, m), lambda i, j: (i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((pp, m), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    return _perturb_epilogue(out, nrep, na, v)
 
 
 def _reduce_u_batched_kernel(

@@ -1464,11 +1464,14 @@ def make_lnpi_pipeline(
     return run
 
 
-def _perturb_weights(uv, dalpha, weight):
+def _perturb_weights(uv, dalpha, weight, return_shift: bool = False):
     """Max-shift-stabilized unnormalized perturbation weights ``(A, R)``:
     ``exp(-dalpha_a * u_n + log w_n - max_n)``.  Zero sample weights drop
     exactly (``-inf`` log-mask — the bucket-padding seam).  Shared by the
-    live pipeline and the AOT export tracer so the math cannot drift."""
+    live pipeline and the AOT export tracer so the math cannot drift.
+    ``return_shift=True`` also returns the per-target maxima ``(A,)`` —
+    the stabilization contract the fused Pallas bootstrap kernels rebuild
+    ``e`` from in VMEM."""
     logw = -dalpha[:, None] * uv[None, :]  # (A, R)
     if weight is not None:
         w = jnp.asarray(weight, uv.dtype)
@@ -1480,7 +1483,8 @@ def _perturb_weights(uv, dalpha, weight):
     # to exact zeros instead (prediction then yields the 0/0 NaN convention
     # in one place, the normalization, rather than poisoning the matmul).
     shift = jnp.where(jnp.isfinite(shift), shift, 0.0)
-    return jnp.exp(logw - shift)
+    e = jnp.exp(logw - shift)
+    return (e, shift[:, 0]) if return_shift else e
 
 
 def _perturb_predict(e, xflat):
@@ -1515,6 +1519,7 @@ def make_perturb_pipeline(
     nrep: int = 0,
     mesh=None,
     weighted: bool = False,
+    poisson: str = "table",
 ):
     r"""Build a jitted ``run(uv, xv, betas[, weight], seed=0)`` for
     exponential-reweighting perturbation (reference models.py:1009-1046
@@ -1528,11 +1533,12 @@ def make_perturb_pipeline(
     logsumexp-stabilized, evaluated for every target β in ONE dispatch
     (an ``(A, R) @ (R, V)`` matmul — MXU work).  With ``nrep`` the CI
     replicates push Poisson(1) resample counts through the same stabilized
-    weights: per target one ``(nrep, R) @ (R, V+1)`` matmul.  Unlike the
-    extrapolation pipelines the bootstrap frequency table IS materialized
-    in HBM (``(nrep, R)``) — perturbation is a moderate-R workload
-    (exponential reweighting only has overlap between nearby states); for
-    1e8-sample streams use the β-extrapolation pipelines.
+    weights.  On an accelerator the bootstrap runs as a fused Pallas
+    kernel: all targets' contribution rows ``e_a [x | 1]`` stack into ONE
+    transposed MXU dot against a frequency tile SHARED across targets
+    (the batch-grouped grid-kernel structure; VERDICT r4 item 1 — the old
+    einsum re-read a materialized f32 table once per target).  On CPU (and
+    under ``mesh=``) the same counts flow through the XLA einsum.
 
     Parameters
     ----------
@@ -1545,6 +1551,14 @@ def make_perturb_pipeline(
         needed).
     weighted : adds a per-sample weight operand (zero weights drop
         samples exactly).
+    poisson : ``"table"`` (default) draws the Poisson(1) counts as ONE
+        ``poisson1_freq`` table from the call's seed — int8 in HBM on the
+        accelerator path, so every backend and the AOT artifacts see
+        IDENTICAL counts at equal seed.  ``"device"`` draws frequencies
+        inside the kernel from the Pallas PRNG instead (zero table
+        traffic; scales past the moderate-R regime the table implies) —
+        its own draw stream, matching the flat moment kernel's schedule,
+        not the table's.
 
     Returns
     -------
@@ -1560,6 +1574,9 @@ def make_perturb_pipeline(
     >>> pred = run(uv, 3.0 * uv, np.array([1.0]))  # at beta0: plain mean
     >>> np.testing.assert_allclose(np.asarray(pred)[0], np.mean(3.0 * uv))
     """
+    if poisson not in ("table", "device"):
+        msg = f"poisson must be 'table' or 'device', got {poisson!r}"
+        raise ValueError(msg)
 
     @jax.jit
     def _run(uv, xv, betas, weight, seed):
@@ -1569,13 +1586,36 @@ def make_perturb_pipeline(
         val_shape = xv.shape[1:]
         r = uv.shape[0]
         xflat = xv.reshape(r, -1)
+        v = xflat.shape[1]
         dalpha = (betas_a - beta0).astype(uv.dtype)
-        e = _perturb_weights(uv, dalpha, weight)
+        e, shift = _perturb_weights(uv, dalpha, weight, return_shift=True)
         pred = _perturb_predict(e, xflat).reshape(betas_a.shape + val_shape)
         if not nrep:
             return pred
-        freq = poisson1_freq(jax.random.key(seed), (nrep, r), dtype=uv.dtype)
-        bpred = _perturb_boot(e, xflat, freq)  # (A, nrep, V)
+        on_accel = jax.default_backend() != "cpu" and mesh is None
+        if on_accel:
+            from .ops.moments_pallas import (
+                resample_perturb_freq,
+                resample_perturb_poisson,
+            )
+
+            if poisson == "device":
+                s = resample_perturb_poisson(
+                    uv, xflat, dalpha, shift, nrep, weight=weight, seed=seed
+                )
+            else:
+                freq = poisson1_freq(
+                    jax.random.key(seed), (nrep, r), dtype=jnp.int8
+                )
+                s = resample_perturb_freq(
+                    uv, xflat, dalpha, shift, freq, weight=weight
+                )
+            bpred = s[..., :v] / s[..., v:]  # (A, nrep, V)
+        else:
+            freq = poisson1_freq(
+                jax.random.key(seed), (nrep, r), dtype=uv.dtype
+            )
+            bpred = _perturb_boot(e, xflat, freq)  # (A, nrep, V)
         std = bpred.std(axis=1).reshape(betas_a.shape + val_shape)
         return pred, std
 

@@ -620,6 +620,14 @@ def export_perturb_pipeline(
     → ``pred (A, *val)`` or ``(pred, std)`` with ``nrep`` bootstrap
     replicates (Poisson(1) frequency table — moderate-R serving; the
     extrapolation artifacts are the 1e8-sample path).
+
+    Equal-seed parity with the live pipeline: the artifact draws its
+    table through the same ``poisson1_freq`` helper, so counts match the
+    live ``poisson="table"`` pipeline on EVERY backend (float-level vs
+    the CPU/XLA einsum; association-level ~1e-6 vs the accelerator's
+    fused kernel, which dots the identical table in a different order).
+    The live ``poisson="device"`` mode draws in-kernel instead — its own
+    stream, not reproducible by an artifact.
     """
     dt = jnp.dtype(dtype)
     dims = "R, A" + ("" if nval else ", V")
