@@ -139,9 +139,10 @@ def main() -> None:
     print(json.dumps({"volume_predict_ci": results["volume_predict_ci"]}))
 
     # perturbation reweighting: logsumexp-stabilized (A, R) reweight +
-    # per-target (nrep, R) freq matmuls.  Moderate-R family: the Poisson
-    # frequency table IS materialized ((nrep, R) f32), so size it to HBM
-    # (1e7 x 128 ~ 5 GB) rather than the 1e8 north star.
+    # fused table-shared bootstrap (round 5: resample_perturb_freq on the
+    # accelerator — one int8 poisson1_freq table consumed by ONE
+    # transposed MXU dot for all targets; count parity with the XLA/AOT
+    # paths).  Still the moderate-R family while a table exists.
     from thermoextrap_tpu.pipeline import make_perturb_pipeline
 
     r_p = 10_000_000 if on_accel and not args.quick else 500_000
@@ -158,6 +159,25 @@ def main() -> None:
         "grep_samples_per_s": round(nrep_p * r_p / t / 1e9, 2),
     }
     print(json.dumps({"perturb_predict_ci": results["perturb_predict_ci"]}))
+
+    # poisson="device" variant: frequencies drawn in-kernel (no table, no
+    # threefry) — the fast path when table-count parity is not required
+    runp_d = make_perturb_pipeline(beta0, nrep=nrep_p, poisson="device")
+    t = timed(
+        lambda: runp_d(uv[:r_p], xv[:r_p, 0], betas, seed=4),
+        lambda o: float(jnp.asarray(o[1])[0]),
+    )
+    results["perturb_predict_ci_device"] = {
+        "R": r_p,
+        "nrep": nrep_p,
+        "wallclock_s": round(t, 4),
+        "grep_samples_per_s": round(nrep_p * r_p / t / 1e9, 2),
+    }
+    print(
+        json.dumps(
+            {"perturb_predict_ci_device": results["perturb_predict_ci_device"]}
+        )
+    )
 
     # streaming interpolation: two reference states, per-state chunk fold
     # into mean + nrep Poisson replicate accumulators, then the JOINT

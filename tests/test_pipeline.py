@@ -777,6 +777,25 @@ class TestPerturbPipeline:
         padded = np.asarray(run_w(up, xp, betas, wp))
         np.testing.assert_allclose(padded, base, rtol=1e-12)
 
+    def test_poisson_mode_validation_and_cpu_fallback(self, rng_np):
+        """poisson= accepts table/device only; on CPU (no Pallas PRNG)
+        the device mode falls back to the table path — identical results
+        at equal seed."""
+        import pytest
+
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        with pytest.raises(ValueError, match="table.*device"):
+            make_perturb_pipeline(1.0, poisson="hardware")
+        u, x = self._data(rng_np, R=500)
+        betas = np.array([0.9, 1.1])
+        p_t, s_t = make_perturb_pipeline(1.0, nrep=16)(u, x, betas, seed=3)
+        p_d, s_d = make_perturb_pipeline(1.0, nrep=16, poisson="device")(
+            u, x, betas, seed=3
+        )
+        np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_d))
+        np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_d))
+
     def test_bootstrap_std_calibrated(self, rng_np):
         """CI from the Poisson freq-matmul path tracks the eager
         resample-the-model bootstrap statistically."""

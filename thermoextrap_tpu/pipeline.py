@@ -1558,7 +1558,8 @@ def make_perturb_pipeline(
         inside the kernel from the Pallas PRNG instead (zero table
         traffic; scales past the moderate-R regime the table implies) —
         its own draw stream, matching the flat moment kernel's schedule,
-        not the table's.
+        not the table's.  On CPU (no Pallas PRNG) and under ``mesh=``
+        the mode falls back to the table path.
 
     Returns
     -------
