@@ -279,12 +279,66 @@ class TestMomentBlockResample:
         d0 = xtpu.DataCentralMoments.from_vals(x, u, ORDER)  # scalar batch
         with pytest.raises(ValueError, match="block batch axis"):
             d0.resample({"nrep": 4})
-        d_xa = xtpu.DataCentralMoments.from_vals(
-            np.broadcast_to(x[:, None, :], (len(u), ORDER + 1, x.shape[1])),
-            u, ORDER, xalpha=True,
+
+    def test_xalpha_blocks(self, vals):
+        """Deriv-axis (xalpha) states reduce AND block-bootstrap exactly:
+        the derivative columns ride the merge as value columns."""
+        u, x = vals
+        rng = np.random.default_rng(5)
+        blk = len(u) // self.nblock
+        n = self.nblock * blk
+        # xv (rec, deriv+1, val): derivative columns are just more data
+        xa = rng.normal(1.0, 0.5, (n, ORDER + 1, x.shape[1]))
+        u_b = u[:n].reshape(self.nblock, blk)
+        x_b = xa.reshape(self.nblock, blk, ORDER + 1, x.shape[1])
+
+        d_blocks = xtpu.DataCentralMoments.from_vals(
+            x_b, u_b, ORDER, xalpha=True
         )
-        with pytest.raises(NotImplementedError, match="deriv axis"):
-            d_xa.resample({"nrep": 4})
+        pooled = d_blocks.reduce(axis=0)
+        d_all = xtpu.DataCentralMoments.from_vals(
+            xa, u[:n], ORDER, xalpha=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled.xave), np.asarray(d_all.xave), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled.dxdu), np.asarray(d_all.dxdu),
+            rtol=1e-9, atol=1e-13,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pooled._du_norm), np.asarray(d_all._du_norm),
+            rtol=1e-9, atol=1e-13,
+        )
+
+        freq = self._freq(seed=17)
+        r_mom = d_blocks.resample({"freq": freq})
+        assert r_mom.wsum.shape == (self.nrep,)
+        assert r_mom.xave.shape == (ORDER + 1, self.nrep, x.shape[1])
+        assert r_mom.dxdu.shape == (
+            ORDER + 1, ORDER + 1, self.nrep, x.shape[1],
+        )
+        # oracle: per-replicate weighted one-shot reduction with the freq
+        # expanded to sample weights (from_resample_vals rejects xalpha,
+        # so loop the replicates explicitly)
+        for rep in range(self.nrep):
+            w_vals = np.repeat(freq[rep].astype(np.float64), blk)
+            if w_vals.sum() == 0:
+                continue
+            d_r = xtpu.DataCentralMoments.from_vals(
+                xa, u[:n], ORDER, xalpha=True, weight=w_vals
+            )
+            np.testing.assert_allclose(
+                np.asarray(r_mom.xave[:, rep]), np.asarray(d_r.xave),
+                rtol=1e-9, atol=1e-13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(r_mom.dxdu[:, :, rep]), np.asarray(d_r.dxdu),
+                rtol=1e-8, atol=1e-12,
+            )
+            np.testing.assert_allclose(
+                float(r_mom.wsum[rep]), float(d_r.wsum), rtol=1e-12
+            )
 
     def test_jit_composes(self, vals):
         """resample is traceable: same result under jit with a static sampler."""

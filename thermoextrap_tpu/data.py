@@ -778,18 +778,38 @@ class DataCentralMoments:
             out = (self.u, self.xu)
         return self.meta.derivs_args(self, out)
 
+    def _merge_along(self, wsum, axis: int):
+        """The exact shifted-moment merge with the deriv axis (xalpha)
+        riding as a trailing value axis: ``x^{(d)}`` is just another
+        observable column to the merge algebra (the u-moment shift is
+        shared), so a deriv-axis state pools/reweights identically to a
+        vector observable — matching the reference's dim-generic cmomy
+        reduction (reference data.py:973-998)."""
+        if not self.xalpha:
+            return merge_central_comoments(
+                self.xave, self.uave, self.du, self.dxdu, wsum, axis=axis
+            )
+        x2 = jnp.moveaxis(self.xave, 0, -1)
+        dxdu2 = jnp.moveaxis(self.dxdu, 1, -1)
+        x_p, u_p, du_m, dxdu_m, w = merge_central_comoments(
+            x2, self.uave, self.du, dxdu2, wsum, axis=axis
+        )
+        return (
+            jnp.moveaxis(x_p, -1, 0),
+            u_p,
+            du_m[..., 0],  # strip the deriv-as-val singleton pad
+            jnp.moveaxis(dxdu_m, -1, 1),
+            w,
+        )
+
     def reduce(self, axis: int = 0):
         """Merge the moment sets along ONE batch axis into a pooled set,
         keeping any remaining batch axes (reference
         ``DataCentralMoments.reduce``, data.py:973-998) — e.g. combine
         per-block or per-replicate moments from independent simulations.
-        Exact (same merge rule as the sharded reduction)."""
-        if self.xalpha:
-            msg = "reduce with a deriv axis is not supported yet"
-            raise NotImplementedError(msg)
-        xave, uave, du, dxdu, wsum = merge_central_comoments(
-            self.xave, self.uave, self.du, self.dxdu, self.wsum, axis=axis
-        )
+        Exact (same merge rule as the sharded reduction); deriv-axis
+        (xalpha) states merge the derivative columns as value columns."""
+        xave, uave, du, dxdu, wsum = self._merge_along(self.wsum, axis)
         return replace(
             self, xave=xave, uave=uave, du=du, dxdu=dxdu, wsum=wsum,
             meta=self.meta.reduce(self),
@@ -817,9 +837,6 @@ class DataCentralMoments:
         blocks.  Returns a new :class:`DataCentralMoments` whose leading
         batch axis is the replicate axis (remaining batch axes kept).
         """
-        if self.xalpha:
-            msg = "resample with a deriv axis is not supported yet"
-            raise NotImplementedError(msg)
         nb = self.wsum.ndim
         if nb == 0:
             msg = (
@@ -836,14 +853,13 @@ class DataCentralMoments:
         bshape[axis] = nblock
 
         def _one(freq_r):
-            return merge_central_comoments(
-                self.xave, self.uave, self.du, self.dxdu,
-                self.wsum * freq_r.reshape(bshape), axis=axis,
-            )
+            return self._merge_along(self.wsum * freq_r.reshape(bshape), axis)
 
-        # rep axis leads the batch axes; moment axis stays leading on du/dxdu
+        # rep axis leads the batch axes (after the deriv axis on xalpha
+        # x-arrays); moment axis stays leading on du/dxdu
+        xa = self.xalpha
         xave, uave, du, dxdu, wsum = jax.vmap(
-            _one, out_axes=(0, 0, 1, 1, 0)
+            _one, out_axes=(1 if xa else 0, 0, 1, 2 if xa else 1, 0)
         )(freq)
         meta = self.meta.resample(self, indices=indices, freq=freq, **kws)
         return replace(
