@@ -619,21 +619,15 @@ class DataCentralMoments:
         """Bootstrap directly into a replicated moment container
         (reference data.py:1285-1392).
 
-        ``xalpha`` (deriv-axis) input is not supported here — the
-        replicate axis would land between the moment and deriv axes;
-        resample a :class:`DataValues` built with ``xalpha=True`` instead
-        (its index-resampling path keeps the layout).
+        ``xalpha`` (deriv-axis) input — ``xv (rec, deriv+1, *val)`` — is
+        supported: the derivative columns ride the freq-matmul reduction
+        as extra value columns (one kernel pass), and the deriv axis is
+        restored ahead of the replicate axis afterwards.
         """
-        if xalpha:
-            msg = (
-                "from_resample_vals does not support a deriv axis; "
-                "resample a DataValues(xalpha=True) instead"
-            )
-            raise NotImplementedError(msg)
         uv = jnp.asarray(uv)
         xv = uv if (x_is_u or xv is None) else jnp.asarray(xv)
         _indices, freq = _normalize_sampler(sampler, uv.shape[-1], rng=rng)
-        val_shape = xv.shape[1:]
+        val_shape = xv.shape[1:]  # includes the deriv axis when xalpha
         xflat = xv.reshape(uv.shape[-1], -1)
         xave, uave, du, dxdu = dispatch.resample_central(
             uv, xflat, freq, order, weight=weight
@@ -641,6 +635,11 @@ class DataCentralMoments:
         nrep = freq.shape[0]
         xave = xave.reshape((nrep, *val_shape))
         dxdu = dxdu.reshape((order + 1, nrep, *val_shape))
+        if xalpha:
+            # deriv axis ahead of the replicate batch axis (object layout)
+            xave = jnp.moveaxis(xave, 1, 0)
+            dxdu = jnp.moveaxis(dxdu, 2, 1)
+            val_shape = val_shape[1:]
         w = jnp.ones_like(uv) if weight is None else jnp.broadcast_to(weight, uv.shape)
         wsum = freq.astype(uv.dtype) @ w
         obj = cls(
@@ -653,7 +652,7 @@ class DataCentralMoments:
             order=int(order),
             central=bool(central),
             x_is_u=bool(x_is_u),
-            xalpha=False,
+            xalpha=bool(xalpha),
             val_ndim=len(val_shape),
         )
         if meta is not None:
@@ -1086,7 +1085,7 @@ class DataCentralMomentsVals(DataValues):
         return super().from_vals(xv, uv, order, **kws)
 
     def resample(self, sampler, *, rng=None, **kws):
-        if self.nbatch or self.xalpha:
+        if self.nbatch:
             return super().resample(sampler, rng=rng, **kws)
         indices, freq = _normalize_sampler(sampler, len(self), rng=rng)
         return DataCentralMoments.from_resample_vals(
@@ -1097,6 +1096,7 @@ class DataCentralMomentsVals(DataValues):
             weight=self.weight,
             central=self.central,
             x_is_u=self.x_is_u,
+            xalpha=self.xalpha,
             meta=self.meta,
         )
 

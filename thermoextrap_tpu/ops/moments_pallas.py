@@ -1377,13 +1377,9 @@ def _perturb_poisson_kernel(
     j = pl.program_id(1)
     nj = pl.num_programs(1)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
 
-    rep_block = out_ref.shape[0]
+    rep_block = out_ref.shape[1]
     subrows, lanes = u_ref.shape
     span, stride = _dot_span(subrows)
     s_len = span * lanes
@@ -1409,7 +1405,12 @@ def _perturb_poisson_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    out_ref[:] += acc.T  # (rep_block, m)
+    # per-rec-block PARTIAL (tree-reduced in the XLA epilogue): serial
+    # `out_ref +=` across ~1e4 rec blocks accumulates n*eps f32 error —
+    # measured 3e-4 on replicate predictions at R=1e7, comparable to the
+    # bootstrap noise itself; the partial-sums layout cuts it to the
+    # per-chunk level
+    out_ref[0] = acc.T  # (1, rep_block, m)
 
 
 def _perturb_freq_kernel(
@@ -1428,14 +1429,10 @@ def _perturb_freq_kernel(
         (out_ref,) = rest
     j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
     nseg = subrows // _FREQ_SPAN
     s_len = _FREQ_SPAN * lanes
     chunk = subrows * lanes
-    rep_block = out_ref.shape[0]
+    rep_block = out_ref.shape[1]
     m = na * (1 + v)
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
 
@@ -1472,7 +1469,8 @@ def _perturb_freq_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        out_ref[:] += acc.T
+        # per-rec-block partial (see _perturb_poisson_kernel)
+        out_ref[0] = acc.T
 
     last = pl.num_programs(1) - 1
     if n_real % (subrows * lanes) != 0:
@@ -1514,10 +1512,13 @@ def _perturb_prep(uv, xv, dalpha, shift, weight):
 
 
 def _perturb_epilogue(out, nrep, na, v):
-    """(pp, na*(v+1)) accumulator -> (na, nrep, v+1) sums matching the XLA
-    einsum layout (pipeline._perturb_boot): per target the first ``v``
-    columns are the weighted-x numerators, the last the weight sum."""
-    return out[:nrep].reshape(nrep, na, 1 + v).swapaxes(0, 1)
+    """(grid_j, pp, na*(v+1)) per-rec-block partials -> (na, nrep, v+1)
+    sums matching the XLA einsum layout (pipeline._perturb_boot): per
+    target the first ``v`` columns are the weighted-x numerators, the
+    last the weight sum.  The cross-block reduction runs as an XLA tree
+    sum (log-depth roundoff; the in-kernel serial accumulate measured
+    n*eps ~ 3e-4 at R=1e7 — comparable to the bootstrap noise)."""
+    return out.sum(axis=0)[:nrep].reshape(nrep, na, 1 + v).swapaxes(0, 1)
 
 
 @_interpret_eager_jit("nrep", "rep_block", "interpret")
@@ -1586,8 +1587,10 @@ def resample_perturb_poisson(
         ),
         grid=(pp // rep_block, nb // subrows),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((rep_block, m), lambda i, j: (i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((pp, m), jnp.float32)],
+        out_specs=[pl.BlockSpec((1, rep_block, m), lambda i, j: (j, i, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb // subrows, pp, m), jnp.float32)
+        ],
         interpret=interpret,
     )(*operands)
 
@@ -1673,8 +1676,8 @@ def resample_perturb_freq(
         ),
         grid=(grid_i, grid_j),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((rep_block, m), lambda i, j: (i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((pp, m), jnp.float32)],
+        out_specs=[pl.BlockSpec((1, rep_block, m), lambda i, j: (j, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((grid_j, pp, m), jnp.float32)],
         interpret=interpret,
     )(*operands)
 
