@@ -1593,7 +1593,13 @@ def make_perturb_pipeline(
         pred = _perturb_predict(e, xflat).reshape(betas_a.shape + val_shape)
         if not nrep:
             return pred
-        on_accel = jax.default_backend() != "cpu" and mesh is None
+        # kernel path caps the stacked contribution rows at 512 (VMEM
+        # block budget); enormous target batches fall back to the einsum
+        on_accel = (
+            jax.default_backend() != "cpu"
+            and mesh is None
+            and betas_a.shape[0] * (v + 1) <= 512
+        )
         if on_accel:
             from .ops.moments_pallas import (
                 resample_perturb_freq,
