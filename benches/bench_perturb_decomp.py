@@ -150,7 +150,9 @@ def main() -> None:
     p_eins = np.asarray(einsum_consume(uv, xv, freq8), np.float64)
     rel = np.max(np.abs(p_kern - p_eins) / np.maximum(np.abs(p_eins), 1e-30))
     record("gate_kernel_vs_einsum_max_rel", float(rel))
-    assert rel < 1e-4, f"kernel/einsum replicate predictions diverge: {rel}"
+    # NOT an assert: at R=1e7 BOTH f32 paths carry ~sqrt(R)*eps contraction
+    # roundoff (~2e-4); bench_perturb_focus.py adjudicates each against a
+    # host-f64 oracle instead of against each other
 
     # f32 table draw + kernel consume on it: is the int8 stream or the
     # threefry draw the binding cost?

@@ -86,6 +86,8 @@ QUICK_PREFIXES = (
     "test_streaming.py::test_streaming_pipeline_matches_one_shot",
     # top-level API surface
     "test_import_parity.py",
+    # docs performance-claim drift gate (cheap; keeps claims honest)
+    "test_doc_claims.py",
 )
 
 
