@@ -141,7 +141,8 @@ def main() -> None:
     # -- stage: fused table-shared kernel consume ---------------------------
     @jax.jit
     def kernel_consume(u, x, f, sh):
-        return resample_perturb_freq(u, x, dalpha, sh, f)
+        e = _perturb_weights(u, dalpha, None)
+        return resample_perturb_freq(e, x, f)
 
     t = best_of(lambda: kernel_consume(uv, xv, freq8, shift))
     record("kernel_freq_consume_s", round(t, 4))
@@ -175,7 +176,8 @@ def main() -> None:
             def body(_, carry):
                 acc, uu, xx, ff, ss = carry
                 uu, xx, ff, ss = jax.lax.optimization_barrier((uu, xx, ff, ss))
-                o = resample_perturb_freq(uu, xx, dalpha, ss, ff)
+                ee = _perturb_weights(uu, dalpha, None)
+                o = resample_perturb_freq(ee, xx, ff)
                 return acc + o[0, 0, 0], uu, xx, ff, ss
 
             acc, *_ = jax.lax.fori_loop(
@@ -198,7 +200,8 @@ def main() -> None:
     # -- stage: zero-table in-kernel-PRNG variant ---------------------------
     @jax.jit
     def kernel_device(u, x, sh, s):
-        return resample_perturb_poisson(u, x, dalpha, sh, NREP, seed=s)
+        e = _perturb_weights(u, dalpha, None)
+        return resample_perturb_poisson(e, x, NREP, seed=s)
 
     t = best_of(lambda: kernel_device(uv, xv, shift, jnp.int32(1)))
     record("kernel_device_full_s", round(t, 4))
@@ -210,7 +213,7 @@ def main() -> None:
 
     @jax.jit
     def kernel_da0(u, x, s):
-        return resample_perturb_poisson(u, x, da0, sh0, NREP, seed=s)
+        return resample_perturb_poisson(jnp.ones((1, R), jnp.float32), x, NREP, seed=s)
 
     s0 = np.asarray(kernel_da0(uv, xv, jnp.int32(7)), np.float64)
     pred0 = s0[0, :, 0] / s0[0, :, 1]

@@ -74,12 +74,24 @@ def main() -> None:
     dalpha = betas - BETA0
     rep_total = A * NREP * R
 
-    # ONE program: draw i8 table + einsum sums + kernel sums + shift
+    # new predict path (fused reduce, no degenerate matmul)
+    from thermoextrap_tpu.pipeline import _perturb_predict
+
+    @jax.jit
+    def pred_only(u, x):
+        e = _perturb_weights(u, dalpha, None)
+        return _perturb_predict(e, x)
+
+    t = best_of(lambda: pred_only(uv, xv))
+    record("pred_only_reduce_s", round(t, 4))
+
+    # ONE program: draw i8 table + einsum sums + kernel sums (both consume
+    # the SAME streamed e rows)
     @jax.jit
     def both(u, x, s):
-        e, sh = _perturb_weights(u, dalpha, None, return_shift=True)
+        e = _perturb_weights(u, dalpha, None)
         freq = poisson1_freq(jax.random.key(s), (NREP, R), dtype=jnp.int8)
-        s_k = resample_perturb_freq(u, x, dalpha, sh, freq)
+        s_k = resample_perturb_freq(e, x, freq)
         b_e = _perturb_boot(e, x, freq.astype(u.dtype))  # (A, nrep, V)
         return s_k, b_e
 
@@ -115,23 +127,20 @@ def main() -> None:
     record("gate_kernel_vs_hostf64_max_rel", float(rel_k))
     record("gate_einsum_vs_hostf64_max_rel", float(rel_e))
 
-    # device-PRNG kernel: full bootstrap, no table
+    # device-PRNG kernel: full bootstrap, no table (e build included)
     @jax.jit
     def kernel_device(u, x, s):
-        _e, sh = _perturb_weights(u, dalpha, None, return_shift=True)
-        return resample_perturb_poisson(u, x, dalpha, sh, NREP, seed=s)
+        e = _perturb_weights(u, dalpha, None)
+        return resample_perturb_poisson(e, x, NREP, seed=s)
 
     t = best_of(lambda: kernel_device(uv, xv, jnp.int32(1)))
     record("kernel_device_full_s", round(t, 4))
     record("kernel_device_grep_samples_per_s", round(rep_total / t / 1e9, 1))
 
-    # gate: dalpha=0 == the flat moment kernel's replicate means
-    da0 = jnp.zeros((1,), jnp.float32)
-    sh0 = jnp.zeros((1,), jnp.float32)
-
+    # gate: dalpha=0 (e = ones) == the flat moment kernel's replicate means
     @jax.jit
     def pair_da0(u, x):
-        s0 = resample_perturb_poisson(u, x, da0, sh0, NREP, seed=7)
+        s0 = resample_perturb_poisson(jnp.ones((1, R), jnp.float32), x, NREP, seed=7)
         xave_r = resample_central_comoments_poisson(u, x, NREP, 1, seed=7)[0]
         return s0, xave_r
 

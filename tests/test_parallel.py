@@ -715,12 +715,13 @@ def test_poisson_umoments_batched_interpret(rng_np):
 
 class TestPerturbKernels:
     """The fused perturbation-bootstrap kernels (VERDICT r4 item 1) vs the
-    XLA einsum path (pipeline._perturb_boot) on the SAME freq table —
-    sums must agree to f32 dot association."""
+    XLA einsum path (pipeline._perturb_boot) on the SAME freq table and
+    the SAME streamed e rows — sums must agree to f32 dot association."""
 
     R, V, A, nrep = 1000, 2, 5, 16
 
     def _case(self, rng_np, weighted=False, v=None):
+        import jax
         import jax.numpy as jnp
 
         v = self.V if v is None else v
@@ -734,71 +735,54 @@ class TestPerturbKernels:
         dalpha = np.linspace(-0.3, 0.3, self.A).astype(np.float32)
         logw = -dalpha[:, None] * u[None, :]
         if w is not None:
-            logw = logw + np.log(w)[None, :]
-        shift = logw.max(axis=1)
+            logw = logw + np.where(
+                w > 0, np.log(np.where(w > 0, w, 1.0)), -np.inf
+            )[None, :]
+        e = np.exp(logw - logw.max(axis=1, keepdims=True)).astype(np.float32)
         from thermoextrap_tpu.ops.resample import poisson1_freq
 
         freq = poisson1_freq(
-            __import__("jax").random.key(11), (self.nrep, self.R), dtype=jnp.int8
+            jax.random.key(11), (self.nrep, self.R), dtype=jnp.int8
         )
-        # XLA oracle: the einsum the pipeline uses
-        e = np.exp(logw - shift[:, None])
-        if w is not None:
-            e = e  # weights already inside logw
         xe = np.concatenate([x, np.ones((self.R, 1), np.float32)], axis=1)
-        y = e[:, :, None] * xe[None]
-        want = np.einsum(
-            "nr,arv->anv", np.asarray(freq, np.float64), y.astype(np.float64)
-        )
-        return u, x, w, dalpha, shift, freq, want
+        y = e[:, :, None].astype(np.float64) * xe[None].astype(np.float64)
+        want = np.einsum("nr,arv->anv", np.asarray(freq, np.float64), y)
+        return e, x, freq, want
 
-    def test_freq_kernel_matches_xla(self, rng_np):
+    def test_freq_kernel_matches_oracle(self, rng_np):
         from thermoextrap_tpu.ops.moments_pallas import resample_perturb_freq
 
-        u, x, w, dalpha, shift, freq, want = self._case(rng_np)
-        got = np.asarray(
-            resample_perturb_freq(u, x, dalpha, shift, freq, interpret=True)
-        )
+        e, x, freq, want = self._case(rng_np)
+        got = np.asarray(resample_perturb_freq(e, x, freq, interpret=True))
         assert got.shape == (self.A, self.nrep, self.V + 1)
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
-    def test_freq_kernel_weighted(self, rng_np):
+    def test_freq_kernel_weighted_e(self, rng_np):
+        """Weights fold into e on the XLA side; zero weights are exact
+        zero rows of e and contribute nothing."""
         from thermoextrap_tpu.ops.moments_pallas import resample_perturb_freq
 
-        u, x, w, dalpha, shift, freq, want = self._case(rng_np, weighted=True)
-        got = np.asarray(
-            resample_perturb_freq(
-                u, x, dalpha, shift, freq, weight=w, interpret=True
-            )
-        )
-        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
-
-    def test_freq_kernel_v1_and_zero_weight_rows(self, rng_np):
-        """V=1 packing path + zero sample weights drop exactly."""
-        from thermoextrap_tpu.ops.moments_pallas import resample_perturb_freq
-
-        u, x, w, dalpha, shift, freq, want = self._case(
-            rng_np, weighted=True, v=1
-        )
-        w = w.copy()
-        w[::7] = 0.0
-        logw = -dalpha[:, None] * u[None, :] + np.where(
-            w > 0, np.log(np.where(w > 0, w, 1.0)), -np.inf
-        )
-        shift = logw.max(axis=1)
-        e = np.exp(logw - shift[:, None])
+        e, x, freq, want = self._case(rng_np, weighted=True)
+        e[:, ::7] = 0.0
         xe = np.concatenate([x, np.ones((self.R, 1), np.float32)], axis=1)
         want = np.einsum(
             "nr,arv->anv",
             np.asarray(freq, np.float64),
-            (e[:, :, None] * xe[None]).astype(np.float64),
+            e[:, :, None].astype(np.float64) * xe[None].astype(np.float64),
         )
-        got = np.asarray(
-            resample_perturb_freq(
-                u, x, dalpha, shift, freq, weight=w, interpret=True
-            )
-        )
+        got = np.asarray(resample_perturb_freq(e, x, freq, interpret=True))
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+    def test_freq_kernel_v1_and_out_group(self, rng_np):
+        """V=1 packing + a tiny out_group (multi-partial path) both hold."""
+        from thermoextrap_tpu.ops.moments_pallas import resample_perturb_freq
+
+        e, x, freq, want = self._case(rng_np, v=1)
+        for og in (1, 2, 64):
+            got = np.asarray(
+                resample_perturb_freq(e, x, freq, out_group=og, interpret=True)
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
 
     def test_poisson_kernel_interpret(self, rng_np):
         """In-kernel-PRNG variant: statistical sanity only (the draw
@@ -808,19 +792,17 @@ class TestPerturbKernels:
             resample_perturb_poisson,
         )
 
-        u, x, w, dalpha, shift, freq, want = self._case(rng_np)
+        e, x, freq, want = self._case(rng_np)
         try:
             got = np.asarray(
                 resample_perturb_poisson(
-                    u, x, dalpha, shift, self.nrep, seed=3, interpret=True
+                    e, x, self.nrep, seed=3, interpret=True
                 )
             )
         except Exception:
             pytest.skip("Pallas PRNG unsupported in interpret mode here")
         assert got.shape == (self.A, self.nrep, self.V + 1)
-        # replicate means of num/den track the full-sample reweighted mean
         pred = got[..., : self.V] / got[..., self.V :]
-        e = np.exp(-dalpha[:, None] * u[None, :] - shift[:, None])
         full = (e @ x) / e.sum(1)[:, None]
         np.testing.assert_allclose(
             pred.mean(axis=1), full, rtol=0.05, atol=0.05
@@ -829,13 +811,11 @@ class TestPerturbKernels:
     def test_prep_guard(self, rng_np):
         from thermoextrap_tpu.ops.moments_pallas import resample_perturb_freq
 
-        u = rng_np.normal(size=64).astype(np.float32)
+        e = np.ones((200, 64), np.float32)
         x = rng_np.normal(size=(64, 3)).astype(np.float32)
-        da = np.zeros(200, np.float32)
-        sh = np.zeros(200, np.float32)
         freq = np.ones((4, 64), np.int8)
         with pytest.raises(ValueError, match="512-row block budget"):
-            resample_perturb_freq(u, x, da, sh, freq, interpret=True)
+            resample_perturb_freq(e, x, freq, interpret=True)
 
 
 def test_batch_group_arithmetic():

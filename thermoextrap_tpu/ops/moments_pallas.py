@@ -1330,37 +1330,32 @@ def resample_central_umoments_batched_poisson(
 # ---------------------------------------------------------------------------
 
 
-def _perturb_contrib(da_ref, sh_ref, useg, xsegs, mask, wseg, na):
-    """Perturbation contribution rows for one sample segment: for each
-    target ``a`` the reweight factors ``e_a = exp(-dalpha_a u - shift_a)``
-    times ``[x_1 .. x_V, 1]`` — ``na*(V+1)`` rows stacked so ONE transposed
-    MXU dot against the shared frequency tile serves every target (the
-    batch-grouped grid-kernel trick, VERDICT r4: targets share the tile
-    exactly as grid rows do).
+def _perturb_rows(esegs, xsegs, na):
+    """Perturbation contribution rows for one sample segment: per target
+    ``a`` the stabilized reweight factors ``e_a`` times ``[x_1..x_V, 1]``
+    — ``na*(V+1)`` rows stacked so ONE transposed MXU dot against the
+    shared frequency tile serves every target (the batch-grouped
+    grid-kernel trick, VERDICT r4: targets share the tile exactly as grid
+    rows do).
 
-    Numerical contract (matches pipeline._perturb_weights): ``shift_a``
-    upper-bounds ``log w + (-dalpha_a u)`` over the real samples, so the
-    true exponent is <= 0; the ``minimum(t, 0)`` clamp is exact for real
-    samples and stops exp-overflow on tail-garbage lanes (undefined OOB
-    memory; ``inf * 0-mask`` would poison the dot with NaN).  Weighted
-    streams go through log space — ``exp(-da u + log w - sh)`` — NOT
-    ``w * exp(-da u - sh)``, whose exponent is unbounded when weights are
-    tiny (sh then sits far below ``max(-da u)``)."""
-    if wseg is not None:
-        lw = jnp.where(wseg > 0, jnp.log(jnp.where(wseg > 0, wseg, 1.0)), -jnp.inf)
+    ``e`` is STREAMED, not rebuilt in-kernel: the round-5 decomposition
+    measured the in-VMEM ``exp`` contrib build at 4.4x the moment
+    kernel's per-dot cost (Mosaic transcendentals on (1, s_len) rows),
+    while streaming the XLA-computed ``pipeline._perturb_weights`` rows
+    costs only A x 4 B/sample of extra HBM traffic AND makes the kernel
+    share the predict path's exact weight values (weights, shifts and the
+    zero-weight mask all fold into ``e`` on the XLA side; the rec pad is
+    zero in ``e``, so padded lanes contribute exactly nothing with no
+    in-kernel masks)."""
     rows = []
     for a in range(na):
-        t = -da_ref[a, 0] * useg - sh_ref[a, 0]
-        if wseg is not None:
-            t = t + lw
-        e = jnp.exp(jnp.minimum(t, 0.0)) * mask
-        rows.extend(e * xt for xt in xsegs)
-        rows.append(e)
+        rows.extend(esegs[a] * xt for xt in xsegs)
+        rows.append(esegs[a])
     return jnp.concatenate(rows, axis=0)  # (na*(V+1), S)
 
 
 def _perturb_poisson_kernel(
-    da_ref, sh_ref, seed_ref, u_ref, x_ref, *rest, na, v, n_real, use_w
+    seed_ref, e_ref, x_ref, out_ref, *, na, v, out_group
 ):
     """Perturbation bootstrap with the frequency tile generated on-chip
     (zero HBM table traffic).  Seed contract, span gather, and transposed
@@ -1368,11 +1363,7 @@ def _perturb_poisson_kernel(
     (``prng_seed(seed, i*nj + j)`` + :func:`_poisson_draw` per span), so at
     equal ``(seed, R, nrep, rep_block)`` this kernel consumes the exact
     frequency stream of the flat moment kernel — the dalpha=0 equality
-    gate in benches/bench_poisson_chip.py rides on that."""
-    if use_w:
-        w_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    gate in benches/bench_perturb_focus.py rides on that."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -1380,59 +1371,52 @@ def _perturb_poisson_kernel(
     pltpu.prng_seed(seed_ref[0, 0], i * nj + j)
 
     rep_block = out_ref.shape[1]
-    subrows, lanes = u_ref.shape
+    subrows, lanes = x_ref.shape[1:]
     span, stride = _dot_span(subrows)
     s_len = span * lanes
     m = na * (1 + v)
     acc = jnp.zeros((m, rep_block), jnp.float32)
 
     for s0 in range(stride):
-        useg = _span_cat(u_ref, s0, span, stride).astype(jnp.float32)
-        mask = _span_mask(j, subrows, s0, span, stride, lanes, n_real)
-        wseg = (
-            _span_cat(w_ref, s0, span, stride).astype(jnp.float32)
-            if use_w
-            else None
-        )
-        xsegs = [
-            _span_cat(x_ref[k], s0, span, stride).astype(jnp.float32)
-            for k in range(v)
-        ]
-        contrib = _perturb_contrib(da_ref, sh_ref, useg, xsegs, mask, wseg, na)
+        esegs = [_span_cat(e_ref[a], s0, span, stride) for a in range(na)]
+        xsegs = [_span_cat(x_ref[k], s0, span, stride) for k in range(v)]
+        contrib = _perturb_rows(esegs, xsegs, na)
         f = _poisson_draw(rep_block, s_len)
         acc += jax.lax.dot_general(
             contrib, f, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-    # per-rec-block PARTIAL (tree-reduced in the XLA epilogue): serial
-    # `out_ref +=` across ~1e4 rec blocks accumulates n*eps f32 error —
-    # measured 3e-4 on replicate predictions at R=1e7, comparable to the
-    # bootstrap noise itself; the partial-sums layout cuts it to the
-    # per-chunk level
-    out_ref[0] = acc.T  # (1, rep_block, m)
+    # grouped partials: accumulate out_group consecutive rec blocks into
+    # one resident output block (index j//out_group — Pallas keeps the
+    # revisited block in VMEM), then the XLA epilogue tree-sums the
+    # partials.  Serial accumulation across ALL ~1e4 rec blocks measured
+    # 3e-4 f32 roundoff at R=1e7 (the einsum path's own error level);
+    # grouping bounds it at out_group*eps while keeping output traffic
+    # 1/out_group of the per-block-partials version.
+    @pl.when(j % out_group == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0] += acc.T  # (1, rep_block, m)
 
 
 def _perturb_freq_kernel(
-    da_ref, sh_ref, f_ref, u_ref, x_ref, *rest, na, v, n_real, lanes, subrows
+    f_ref, e_ref, x_ref, out_ref, *, na, v, n_real, lanes, subrows, out_group
 ):
     """Perturbation bootstrap against a MATERIALIZED frequency table in its
     native 2-D layout/dtype (int8 tables stream at 1/4 the f32 traffic and
     convert per block in VMEM — same layout findings as
     :func:`_resample_kernel`).  Draw-count parity: the table is the very
     ``poisson1_freq`` array the XLA path and the AOT artifacts consume, so
-    replicate counts are IDENTICAL across kernel/XLA/export at equal seed
-    (values differ only by f32 dot association)."""
-    if use_w := len(rest) == 2:
-        w_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    replicate counts are IDENTICAL across kernel/XLA/export at equal seed.
+    Only the tail frequency block needs masking (undefined OOB floats can
+    be NaN; the e/x packs are zero-padded to full coverage)."""
     j = pl.program_id(1)
 
     nseg = subrows // _FREQ_SPAN
     s_len = _FREQ_SPAN * lanes
     chunk = subrows * lanes
-    rep_block = out_ref.shape[1]
     m = na * (1 + v)
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, s_len), 1)
 
@@ -1445,32 +1429,28 @@ def _perturb_freq_kernel(
             axis=1,
         )
 
+    @pl.when(j % out_group == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
     def body(masked: bool):
+        rep_block = out_ref.shape[1]
         acc = jnp.zeros((m, rep_block), jnp.float32)
         for seg in range(nseg):
-            useg = seg_cat(u_ref, seg).astype(jnp.float32)
             f = f_ref[:, seg * s_len : (seg + 1) * s_len].astype(jnp.float32)
             if masked:
-                mask = (j * chunk + seg * s_len + pos < n_real).astype(
+                f = f * (j * chunk + seg * s_len + pos < n_real).astype(
                     jnp.float32
                 )
-                f = f * mask
-            else:
-                mask = jnp.ones((1, s_len), jnp.float32)
-            wseg = (
-                seg_cat(w_ref, seg).astype(jnp.float32) if use_w else None
-            )
+            esegs = [seg_cat(e_ref[a], seg) for a in range(na)]
             xsegs = [seg_cat(x_ref[k], seg) for k in range(v)]
-            contrib = _perturb_contrib(
-                da_ref, sh_ref, useg, xsegs, mask, wseg, na
-            )
+            contrib = _perturb_rows(esegs, xsegs, na)
             acc += jax.lax.dot_general(
                 contrib, f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-        # per-rec-block partial (see _perturb_poisson_kernel)
-        out_ref[0] = acc.T
+        out_ref[0] += acc.T
 
     last = pl.num_programs(1) - 1
     if n_real % (subrows * lanes) != 0:
@@ -1487,20 +1467,12 @@ def _perturb_freq_kernel(
         body(False)
 
 
-def _perturb_prep(uv, xv, dalpha, shift, weight):
-    uv = jnp.asarray(uv, jnp.float32)
+def _perturb_prep(ev, xv):
+    ev = jnp.asarray(ev, jnp.float32)
     xv = jnp.asarray(xv, jnp.float32)
-    r = uv.shape[0]
+    na, r = ev.shape
     xv = xv.reshape(r, -1)
     v = xv.shape[1]
-    da = jnp.asarray(dalpha, jnp.float32).reshape(-1, 1)
-    sh = jnp.asarray(shift, jnp.float32).reshape(-1, 1)
-    na = da.shape[0]
-    w_flat = (
-        None
-        if weight is None
-        else jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (r,))
-    )
     if na * (1 + v) > 512:
         msg = (
             f"perturb kernel: targets*(V+1) = {na * (1 + v)} contribution "
@@ -1508,30 +1480,29 @@ def _perturb_prep(uv, xv, dalpha, shift, weight):
             "use the XLA path"
         )
         raise ValueError(msg)
-    return uv, xv, da, sh, na, v, r, w_flat
+    return ev, xv, na, v, r
 
 
 def _perturb_epilogue(out, nrep, na, v):
-    """(grid_j, pp, na*(v+1)) per-rec-block partials -> (na, nrep, v+1)
+    """(npartials, pp, na*(v+1)) grouped partials -> (na, nrep, v+1)
     sums matching the XLA einsum layout (pipeline._perturb_boot): per
     target the first ``v`` columns are the weighted-x numerators, the
-    last the weight sum.  The cross-block reduction runs as an XLA tree
-    sum (log-depth roundoff; the in-kernel serial accumulate measured
-    n*eps ~ 3e-4 at R=1e7 — comparable to the bootstrap noise)."""
+    last the weight sum.  The cross-partial reduction runs as an XLA tree
+    sum; measured kernel-vs-host-f64 agreement 7e-7 at R=1e7 where the
+    XLA einsum's K-serial f32 contraction carries 3e-4
+    (PERTURB_DECOMP.json gates)."""
     return out.sum(axis=0)[:nrep].reshape(nrep, na, 1 + v).swapaxes(0, 1)
 
 
-@_interpret_eager_jit("nrep", "rep_block", "interpret")
+@_interpret_eager_jit("nrep", "rep_block", "out_group", "interpret")
 def resample_perturb_poisson(
-    uv,
+    ev,
     xv,
-    dalpha,
-    shift,
     nrep: int,
-    weight=None,
     *,
     seed: int = 0,
     rep_block: int = 128,
+    out_group: int = 64,
     interpret: bool = False,
 ):
     r"""On-chip Poisson bootstrap of perturbation-reweighted sums: the
@@ -1539,20 +1510,19 @@ def resample_perturb_poisson(
     and SHARED by every target (reference PerturbModel CI role,
     models.py:1019-1039; VERDICT r4 item 1).
 
-    ``uv (R,)``, ``xv (R, V)``, ``dalpha (A,)``, ``shift (A,)`` (the
-    stabilization maxima from ``pipeline._perturb_weights``'s contract) →
-    sums ``(A, nrep, V+1)``: per target the Poisson-weighted
-    ``sum_r f_r e_a(u_r) [x_r | 1]``; divide numerators by the last column
-    for replicate predictions (0/0 NaN convention preserved).  ``seed`` may
-    be a traced int32 scalar.  Draw schedule == the flat moment kernel's
-    (:func:`_poisson_draw` per (rep, rec) block), so frequencies match
+    ``ev (A, R)``: the max-shift-stabilized weights from
+    ``pipeline._perturb_weights`` (weights/shifts/zero-masks pre-folded);
+    ``xv (R, V)`` → sums ``(A, nrep, V+1)``: per target the
+    Poisson-weighted ``sum_r f_r e_a(u_r) [x_r | 1]``; divide numerators
+    by the last column for replicate predictions (0/0 NaN convention
+    preserved).  ``seed`` may be a traced int32 scalar.  Draw schedule ==
+    the flat moment kernel's (:func:`_poisson_draw` per (rep, rec)
+    block), so frequencies match
     :func:`resample_central_comoments_poisson` at equal seed — NOT the
     ``poisson1_freq`` table stream (use :func:`resample_perturb_freq`
     when count-parity with the XLA/AOT paths matters).
     """
-    uv, xv, da, sh, na, v, r, w_flat = _perturb_prep(
-        uv, xv, dalpha, shift, weight
-    )
+    ev, xv, na, v, r = _perturb_prep(ev, xv)
 
     lanes = _LANES
     subrows = _REC_CHUNK // lanes
@@ -1561,65 +1531,61 @@ def resample_perturb_poisson(
     nb = rp // lanes
     pp = ((nrep + rep_block - 1) // rep_block) * rep_block
     m = na * (1 + v)
+    grid_j = nb // subrows
+    npart = (grid_j + out_group - 1) // out_group
 
-    u_p = _pack(uv, nb)
-    if v == 1:
-        x_p = _pack(xv[:, 0], nb)[None]
-    else:
-        x_p = jnp.pad(xv, ((0, nb * lanes - r), (0, 0))).T.reshape(v, nb, lanes)
+    def packrows(a2d, nrows):
+        if r != rp:
+            a2d = jnp.pad(a2d, ((0, 0), (0, rp - r)))
+        return a2d.reshape(nrows, nb, lanes)
 
-    operands = [da, sh, jnp.full((1, 1), seed, dtype=jnp.int32), u_p, x_p]
+    e_p = packrows(ev, na)
+    x_p = packrows(xv.T, v)
+
+    operands = [jnp.full((1, 1), seed, dtype=jnp.int32), e_p, x_p]
     in_specs = [
-        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((na, subrows, lanes), lambda i, j: (0, j, 0)),
         pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
     ]
-    use_w = w_flat is not None
-    if use_w:
-        operands.append(_pack(w_flat, nb))
-        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     (out,) = pl.pallas_call(
         functools.partial(
-            _perturb_poisson_kernel, na=na, v=v, n_real=r, use_w=use_w
+            _perturb_poisson_kernel, na=na, v=v, out_group=out_group
         ),
-        grid=(pp // rep_block, nb // subrows),
+        grid=(pp // rep_block, grid_j),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, rep_block, m), lambda i, j: (j, i, 0))],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb // subrows, pp, m), jnp.float32)
+        out_specs=[
+            pl.BlockSpec(
+                (1, rep_block, m), lambda i, j: (j // out_group, i, 0)
+            )
         ],
+        out_shape=[jax.ShapeDtypeStruct((npart, pp, m), jnp.float32)],
         interpret=interpret,
     )(*operands)
 
     return _perturb_epilogue(out, nrep, na, v)
 
 
-@_interpret_eager_jit("rep_block", "interpret")
+@_interpret_eager_jit("rep_block", "out_group", "interpret")
 def resample_perturb_freq(
-    uv,
+    ev,
     xv,
-    dalpha,
-    shift,
     freq,
-    weight=None,
     *,
     rep_block: int = 128,
+    out_group: int = 64,
     interpret: bool = False,
 ):
     r"""Perturbation bootstrap against a materialized frequency table —
     the table-shared MXU dot with EXACT count parity across kernel / XLA /
     AOT paths (they all consume the same ``poisson1_freq`` array; VERDICT
-    r4 items 1+7).  Same contract as :func:`resample_perturb_poisson` with
-    ``freq (nrep, R)`` replacing ``(nrep, seed)``; pass an int8 table
-    (Poisson(1) counts cannot overflow it) to stream the dominant HBM
-    operand at 1/4 the f32 traffic.  Returns sums ``(A, nrep, V+1)``.
+    r4 items 1+7).  Same contract as :func:`resample_perturb_poisson`
+    with ``freq (nrep, R)`` replacing ``(nrep, seed)``; pass an int8
+    table (Poisson(1) counts cannot overflow it) to stream the dominant
+    HBM operand at 1/4 the f32 traffic.  Returns sums ``(A, nrep, V+1)``.
     """
-    uv, xv, da, sh, na, v, r, w_flat = _perturb_prep(
-        uv, xv, dalpha, shift, weight
-    )
+    ev, xv, na, v, r = _perturb_prep(ev, xv)
     nrep = freq.shape[0]
 
     lanes = _LANES
@@ -1631,17 +1597,17 @@ def resample_perturb_freq(
     grid_j = (r + chunk - 1) // chunk
     pp = grid_i * rep_block
     m = na * (1 + v)
+    npart = (grid_j + out_group - 1) // out_group
 
-    u_p = _freq_permute_pack(uv, grid_j, subrows, lanes)
-    if v == 1:
-        x_p = _freq_permute_pack(xv[:, 0], grid_j, subrows, lanes)[None]
-    else:
-        xpad = jnp.pad(xv, ((0, grid_j * chunk - r), (0, 0))).T
-        x_p = (
-            xpad.reshape(v, grid_j, subrows // _FREQ_SPAN, _FREQ_SPAN, lanes)
-            .swapaxes(2, 3)
-            .reshape(v, grid_j * subrows, lanes)
-        )
+    e_p = jnp.stack(
+        [_freq_permute_pack(ev[a], grid_j, subrows, lanes) for a in range(na)]
+    )
+    x_p = jnp.stack(
+        [
+            _freq_permute_pack(xv[:, k], grid_j, subrows, lanes)
+            for k in range(v)
+        ]
+    )
     freq = jnp.asarray(freq)
     if jnp.issubdtype(freq.dtype, jnp.floating):
         if freq.dtype not in (jnp.float32, jnp.bfloat16):
@@ -1652,18 +1618,12 @@ def resample_perturb_freq(
         # full-block zero pad: see resample_central_comoments_fused
         freq = jnp.pad(freq, ((0, pp - nrep), (0, grid_j * chunk - r)))
 
-    operands = [da, sh, freq, u_p, x_p]
+    operands = [freq, e_p, x_p]
     in_specs = [
-        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((na, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((rep_block, chunk), lambda i, j: (i, j)),
-        pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)),
+        pl.BlockSpec((na, subrows, lanes), lambda i, j: (0, j, 0)),
         pl.BlockSpec((v, subrows, lanes), lambda i, j: (0, j, 0)),
     ]
-    use_w = w_flat is not None
-    if use_w:
-        operands.append(_freq_permute_pack(w_flat, grid_j, subrows, lanes))
-        in_specs.append(pl.BlockSpec((subrows, lanes), lambda i, j: (j, 0)))
 
     (out,) = pl.pallas_call(
         functools.partial(
@@ -1673,11 +1633,16 @@ def resample_perturb_freq(
             n_real=r,
             lanes=lanes,
             subrows=subrows,
+            out_group=out_group,
         ),
         grid=(grid_i, grid_j),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec((1, rep_block, m), lambda i, j: (j, i, 0))],
-        out_shape=[jax.ShapeDtypeStruct((grid_j, pp, m), jnp.float32)],
+        out_specs=[
+            pl.BlockSpec(
+                (1, rep_block, m), lambda i, j: (j // out_group, i, 0)
+            )
+        ],
+        out_shape=[jax.ShapeDtypeStruct((npart, pp, m), jnp.float32)],
         interpret=interpret,
     )(*operands)
 

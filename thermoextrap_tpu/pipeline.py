@@ -1488,8 +1488,22 @@ def _perturb_weights(uv, dalpha, weight, return_shift: bool = False):
 
 
 def _perturb_predict(e, xflat):
-    """``<x>`` per target from stabilized weights: one (A, R) @ (R, V)."""
-    num = jnp.matmul(e, xflat, precision=jax.lax.Precision.HIGHEST)
+    """``<x>`` per target from stabilized weights.
+
+    For small CONCRETE ``V`` this is a fused elementwise+reduce per value
+    column, NOT a matmul: ``(A, R) @ (R, V)`` with tiny ``V`` is a
+    degenerate MXU shape — the systolic array feeds K=R serially for a
+    V-wide output, measured 54 ms at R=1e7 where the reduce form is
+    sub-ms (round-5 PERTURB_DECOMP).  Large or symbolic ``V`` (the
+    shape-polymorphic AOT export tracer) keeps the matmul."""
+    v = xflat.shape[1]
+    if isinstance(v, int) and v <= 8:
+        num = jnp.stack(
+            [(e * xflat[:, k][None, :]).sum(axis=1) for k in range(v)],
+            axis=1,
+        )
+    else:
+        num = jnp.matmul(e, xflat, precision=jax.lax.Precision.HIGHEST)
     return num / e.sum(axis=1)[:, None]
 
 
@@ -1589,7 +1603,7 @@ def make_perturb_pipeline(
         xflat = xv.reshape(r, -1)
         v = xflat.shape[1]
         dalpha = (betas_a - beta0).astype(uv.dtype)
-        e, shift = _perturb_weights(uv, dalpha, weight, return_shift=True)
+        e = _perturb_weights(uv, dalpha, weight)
         pred = _perturb_predict(e, xflat).reshape(betas_a.shape + val_shape)
         if not nrep:
             return pred
@@ -1606,17 +1620,15 @@ def make_perturb_pipeline(
                 resample_perturb_poisson,
             )
 
+            # the kernels STREAM the same stabilized e rows the predict
+            # path uses (weights/shifts/zero-masks pre-folded)
             if poisson == "device":
-                s = resample_perturb_poisson(
-                    uv, xflat, dalpha, shift, nrep, weight=weight, seed=seed
-                )
+                s = resample_perturb_poisson(e, xflat, nrep, seed=seed)
             else:
                 freq = poisson1_freq(
                     jax.random.key(seed), (nrep, r), dtype=jnp.int8
                 )
-                s = resample_perturb_freq(
-                    uv, xflat, dalpha, shift, freq, weight=weight
-                )
+                s = resample_perturb_freq(e, xflat, freq)
             bpred = s[..., :v] / s[..., v:]  # (A, nrep, V)
         else:
             freq = poisson1_freq(
