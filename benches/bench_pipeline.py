@@ -138,11 +138,10 @@ def main() -> None:
     }
     print(json.dumps({"volume_predict_ci": results["volume_predict_ci"]}))
 
-    # perturbation reweighting: logsumexp-stabilized (A, R) reweight +
-    # fused table-shared bootstrap (round 5: resample_perturb_freq on the
-    # accelerator — one int8 poisson1_freq table consumed by ONE
-    # transposed MXU dot for all targets; count parity with the XLA/AOT
-    # paths).  Still the moderate-R family while a table exists.
+    # perturbation reweighting: logsumexp-stabilized reweight + fused
+    # streamed-e bootstrap (round 5: all targets' contribution rows in
+    # ONE transposed MXU dot; default poisson="device" draws frequencies
+    # in-kernel — no table, no threefry; PERTURB_DECOMP.json).
     from thermoextrap_tpu.pipeline import make_perturb_pipeline
 
     r_p = 10_000_000 if on_accel and not args.quick else 500_000
@@ -160,14 +159,14 @@ def main() -> None:
     }
     print(json.dumps({"perturb_predict_ci": results["perturb_predict_ci"]}))
 
-    # poisson="device" variant: frequencies drawn in-kernel (no table, no
-    # threefry) — the fast path when table-count parity is not required
-    runp_d = make_perturb_pipeline(beta0, nrep=nrep_p, poisson="device")
+    # poisson="table" variant: poisson1_freq counts shared with the
+    # CPU/AOT paths (equal-seed parity) at the cost of the threefry draw
+    runp_t = make_perturb_pipeline(beta0, nrep=nrep_p, poisson="table")
     t = timed(
-        lambda: runp_d(uv[:r_p], xv[:r_p, 0], betas, seed=4),
+        lambda: runp_t(uv[:r_p], xv[:r_p, 0], betas, seed=4),
         lambda o: float(jnp.asarray(o[1])[0]),
     )
-    results["perturb_predict_ci_device"] = {
+    results["perturb_predict_ci_table"] = {
         "R": r_p,
         "nrep": nrep_p,
         "wallclock_s": round(t, 4),
@@ -175,7 +174,7 @@ def main() -> None:
     }
     print(
         json.dumps(
-            {"perturb_predict_ci_device": results["perturb_predict_ci_device"]}
+            {"perturb_predict_ci_table": results["perturb_predict_ci_table"]}
         )
     )
 

@@ -69,6 +69,39 @@ CLAIMS = [
         0.0446,
         0.3,
     ),
+    # performance.md — perturbation section (round 5)
+    (
+        "docs/performance.md",
+        "3.3e-7 max relative",
+        "PERTURB_DECOMP.json",
+        "gate_kernel_vs_hostf64_max_rel",
+        3.3e-7,
+        3.0,
+    ),
+    (
+        "docs/performance.md",
+        "3.1e-4",
+        "PERTURB_DECOMP.json",
+        "gate_einsum_vs_hostf64_max_rel",
+        3.07e-4,
+        0.5,
+    ),
+    (
+        "docs/performance.md",
+        "no table, incl. e build) | 38 ms",
+        "PERTURB_DECOMP.json",
+        "kernel_device_full_s",
+        0.0382,
+        0.3,
+    ),
+    (
+        "docs/performance.md",
+        "fused-reduce reformulation | 27 ms",
+        "PERTURB_DECOMP.json",
+        "pred_only_reduce_s",
+        0.0271,
+        0.3,
+    ),
     # performance.md — headline rates
     (
         "docs/performance.md",

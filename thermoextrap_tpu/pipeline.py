@@ -1533,7 +1533,7 @@ def make_perturb_pipeline(
     nrep: int = 0,
     mesh=None,
     weighted: bool = False,
-    poisson: str = "table",
+    poisson: str = "device",
 ):
     r"""Build a jitted ``run(uv, xv, betas[, weight], seed=0)`` for
     exponential-reweighting perturbation (reference models.py:1009-1046
@@ -1565,15 +1565,17 @@ def make_perturb_pipeline(
         needed).
     weighted : adds a per-sample weight operand (zero weights drop
         samples exactly).
-    poisson : ``"table"`` (default) draws the Poisson(1) counts as ONE
-        ``poisson1_freq`` table from the call's seed — int8 in HBM on the
-        accelerator path, so every backend and the AOT artifacts see
-        IDENTICAL counts at equal seed.  ``"device"`` draws frequencies
-        inside the kernel from the Pallas PRNG instead (zero table
-        traffic; scales past the moderate-R regime the table implies) —
-        its own draw stream, matching the flat moment kernel's schedule,
-        not the table's.  On CPU (no Pallas PRNG) and under ``mesh=``
-        the mode falls back to the table path.
+    poisson : ``"device"`` (default) draws frequencies inside the fused
+        kernel from the hardware PRNG — zero table traffic, no threefry
+        draw cost (the round-5 decomposition measured the
+        ``poisson1_freq`` table draw alone above the whole consume), and
+        the same draw-schedule convention as the flagship extrapolation
+        pipelines (the flat moment kernel's ``_poisson_draw`` contract).
+        ``"table"`` draws ONE ``poisson1_freq`` table from the call's
+        seed instead (int8 in HBM), so every backend and the AOT
+        artifacts see IDENTICAL counts at equal seed — the count-parity
+        mode, at the cost of the threefry draw.  On CPU (no Pallas PRNG)
+        and under ``mesh=`` both modes run the table/einsum path.
 
     Returns
     -------
