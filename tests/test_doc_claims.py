@@ -88,18 +88,26 @@ CLAIMS = [
     ),
     (
         "docs/performance.md",
-        "no table, incl. e build) | 38 ms",
+        "**12.1 ms**",
         "PERTURB_DECOMP.json",
-        "kernel_device_full_s",
-        0.0382,
+        "device_full_ci_s_per_call",
+        0.01214,
         0.3,
     ),
     (
         "docs/performance.md",
-        "fused-reduce reformulation | 27 ms",
+        "**105.4 G**",
         "PERTURB_DECOMP.json",
-        "pred_only_reduce_s",
-        0.0271,
+        "device_full_ci_greps_bench_units",
+        105.4,
+        0.3,
+    ),
+    (
+        "docs/performance.md",
+        "38.9 ms | 32.9 G",
+        "PERTURB_DECOMP.json",
+        "device_old_body_greps_bench_units",
+        32.9,
         0.3,
     ),
     # performance.md — headline rates
