@@ -21,7 +21,14 @@ its NLL gap vs the host-f64 optimum — wiring measured in the loop it was
 built for.  Phase clocks are wall-clock seconds (the loop is host-
 orchestrated by design; nothing here is tunnel-dispatch-noise-limited).
 
-Run: python benches/bench_active_loop.py [--small]
+Measured loop structure note: `fit` dominates the warm iterations NOT
+because L-BFGS is slow (a same-structure warm refit is ~0.07 s,
+`fit_host_warm_s`) but because each iteration ADDS a state — a new
+(N, groups) structure — so the compiled LML core recompiles every
+iteration; enable `utils.enable_compilation_cache` to amortize those
+compiles across runs/restarts.
+
+Run: python benches/bench_active_loop.py [--small] [--cpu]
 """
 
 import json
@@ -34,6 +41,13 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 SMALL = "--small" in sys.argv
+# --cpu: steer the whole process to the host CPU (x64).  The loop IS a
+# host-orchestrated workflow (sims, staging, scipy L-BFGS); running its
+# eager phases against the remote-TPU tunnel measures tunnel dispatch,
+# not the loop (and wedge-hangs when the claim is bad).  The one real
+# accelerator leg (train(on_device=True)) gets its own chip row when run
+# WITHOUT --cpu.
+CPU = "--cpu" in sys.argv
 OUT = Path(__file__).parent.parent / "ACTIVE_LOOP.json"
 
 NCONFIG, NPART = (1_000, 100) if SMALL else (10_000, 1_000)
@@ -41,13 +55,18 @@ N_GRID = 200 if SMALL else 1_000
 MAX_ORDER = 3
 N_ITER = 2 if SMALL else 5
 
-results: dict = {
-    "nconfig": NCONFIG,
-    "npart": NPART,
-    "n_grid": N_GRID,
-    "max_order": MAX_ORDER,
-    "iterations": N_ITER,
-}
+# merge across runs: the --cpu run writes the host phases, a later
+# chip-healthy run (no flag) adds the real fit_on_device row
+results: dict = json.loads(OUT.read_text()) if OUT.exists() else {}
+results.update(
+    {
+        "nconfig": NCONFIG,
+        "npart": NPART,
+        "n_grid": N_GRID,
+        "max_order": MAX_ORDER,
+        "iterations": N_ITER,
+    }
+)
 
 
 def record(k, v):
@@ -59,11 +78,16 @@ def record(k, v):
 def main() -> None:
     import jax
 
+    if CPU:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
     from thermoextrap_tpu.gpr_active import active_utils as au
     from thermoextrap_tpu.gpr_active import gp_models as gm
     from thermoextrap_tpu.gpr_active import ig_active
 
     record("backend", jax.default_backend())
+    record("host_phases_backend", "cpu" if CPU else jax.default_backend())
 
     sim = ig_active.SimulateIG(nconfig=NCONFIG, npart=NPART)
     update = au.UpdateALMbrute(rng=0, n_grid=N_GRID)
@@ -144,6 +168,7 @@ def main() -> None:
     record("final_states", len(alpha_list))
 
     # -- on-device f32 fit of the SAME final-iteration data -----------------
+    # (meaningful only when NOT --cpu: then this is the real chip leg)
     gpr_dev = au.create_base_GP_model(gp_inputs)
     t0 = time.perf_counter()
     res_dev = gpr_dev.train(on_device=True)
@@ -156,7 +181,7 @@ def main() -> None:
     with gm._compute_ctx():
         nll_dev_at = float(gpr.neg_lml(np.asarray(res_dev.x, np.float64)))
     record(
-        "fit_on_device",
+        "fit_on_device" if not CPU else "fit_on_device_cpu_f32",
         {
             "first_s": round(t_first, 3),
             "warm_s": round(t_warm, 3),
