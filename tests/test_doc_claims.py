@@ -169,11 +169,19 @@ CLAIMS = [
     ),
     (
         "docs/performance.md",
-        "~0.07 GB/s",
+        "0.017–0.02 GB/s",
         "INGEST_ROOF.json",
         "roof_put_gbps",
-        0.069,
+        0.02,
         0.35,
+    ),
+    (
+        "docs/performance.md",
+        "put 99.2% / device update 0.1%",
+        "INGEST_ROOF.json",
+        "streaming_fan8_decomp.put_pct_of_full",
+        99.2,
+        0.05,
     ),
     (
         "docs/performance.md",
