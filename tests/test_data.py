@@ -319,8 +319,11 @@ class TestMomentBlockResample:
             ORDER + 1, ORDER + 1, self.nrep, x.shape[1],
         )
         # oracle: per-replicate weighted one-shot reduction with the freq
-        # expanded to sample weights (from_resample_vals rejects xalpha,
-        # so loop the replicates explicitly)
+        # expanded to sample weights — loop the replicates explicitly so
+        # the oracle is the INDEPENDENT weighted one-shot reduction, not
+        # the same freq-matmul engine under test (from_resample_vals
+        # supports xalpha since round 5 and is gated separately in
+        # test_from_resample_vals_xalpha)
         for rep in range(self.nrep):
             w_vals = np.repeat(freq[rep].astype(np.float64), blk)
             if w_vals.sum() == 0:
@@ -454,6 +457,16 @@ def test_from_ave_central_xalpha_round_trip(vals):
         np.asarray(back.xu), np.asarray(d.xu), rtol=1e-12
     )
     np.testing.assert_allclose(np.asarray(back.u), np.asarray(d.u), rtol=1e-12)
+
+
+def test_from_resample_vals_xalpha_needs_xv(vals):
+    """xalpha + x_is_u / xv=None is rejected loudly (not a cryptic
+    moveaxis axis error)."""
+    u, _ = vals
+    with pytest.raises(ValueError, match="meaningless with x_is_u"):
+        xtpu.DataCentralMoments.from_resample_vals(
+            None, u, 2, {"nrep": 4}, xalpha=True, rng=0
+        )
 
 
 def test_from_resample_vals_xalpha(vals):

@@ -789,12 +789,25 @@ class TestPerturbPipeline:
             make_perturb_pipeline(1.0, poisson="hardware")
         u, x = self._data(rng_np, R=500)
         betas = np.array([0.9, 1.1])
-        p_t, s_t = make_perturb_pipeline(1.0, nrep=16)(u, x, betas, seed=3)
+        p_t, s_t = make_perturb_pipeline(1.0, nrep=16, poisson="table")(
+            u, x, betas, seed=3
+        )
         p_d, s_d = make_perturb_pipeline(1.0, nrep=16, poisson="device")(
             u, x, betas, seed=3
         )
         np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_d))
         np.testing.assert_array_equal(np.asarray(s_t), np.asarray(s_d))
+
+    def test_empty_value_axis(self, rng_np):
+        """Degenerate V=0 keeps the old matmul semantics (empty (A, 0)
+        predictions) instead of crashing the small-V reduce path."""
+        from thermoextrap_tpu.pipeline import make_perturb_pipeline
+
+        u, _ = self._data(rng_np, R=64)
+        out = np.asarray(
+            make_perturb_pipeline(1.0)(u, np.zeros((64, 0)), np.array([0.9, 1.1]))
+        )
+        assert out.shape == (2, 0)
 
     def test_bootstrap_std_calibrated(self, rng_np):
         """CI from the Poisson freq-matmul path tracks the eager

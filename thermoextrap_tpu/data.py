@@ -624,6 +624,12 @@ class DataCentralMoments:
         as extra value columns (one kernel pass), and the deriv axis is
         restored ahead of the replicate axis afterwards.
         """
+        if xalpha and (x_is_u or xv is None):
+            msg = (
+                "from_resample_vals: xalpha needs an explicit "
+                "xv (rec, deriv+1, *val); it is meaningless with x_is_u"
+            )
+            raise ValueError(msg)
         uv = jnp.asarray(uv)
         xv = uv if (x_is_u or xv is None) else jnp.asarray(xv)
         _indices, freq = _normalize_sampler(sampler, uv.shape[-1], rng=rng)

@@ -1439,8 +1439,12 @@ def _perturb_freq_kernel(
         for seg in range(nseg):
             f = f_ref[:, seg * s_len : (seg + 1) * s_len].astype(jnp.float32)
             if masked:
-                f = f * (j * chunk + seg * s_len + pos < n_real).astype(
-                    jnp.float32
+                # where, not multiply: undefined OOB floats can be NaN
+                # and NaN * 0 = NaN (same fix as _resample_kernel)
+                f = jnp.where(
+                    j * chunk + seg * s_len + pos < n_real,
+                    f,
+                    jnp.zeros_like(f),
                 )
             esegs = [seg_cat(e_ref[a], seg) for a in range(na)]
             xsegs = [seg_cat(x_ref[k], seg) for k in range(v)]

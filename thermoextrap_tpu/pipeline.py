@@ -1469,9 +1469,10 @@ def _perturb_weights(uv, dalpha, weight, return_shift: bool = False):
     ``exp(-dalpha_a * u_n + log w_n - max_n)``.  Zero sample weights drop
     exactly (``-inf`` log-mask — the bucket-padding seam).  Shared by the
     live pipeline and the AOT export tracer so the math cannot drift.
-    ``return_shift=True`` also returns the per-target maxima ``(A,)`` —
-    the stabilization contract the fused Pallas bootstrap kernels rebuild
-    ``e`` from in VMEM."""
+    ``return_shift=True`` also returns the per-target maxima ``(A,)``
+    (diagnostic/bench seam; the production kernels consume the STREAMED
+    ``e`` rows themselves — the in-VMEM rebuild was measured slower and
+    dropped, see ``ops.moments_pallas._perturb_rows``)."""
     logw = -dalpha[:, None] * uv[None, :]  # (A, R)
     if weight is not None:
         w = jnp.asarray(weight, uv.dtype)
@@ -1497,7 +1498,7 @@ def _perturb_predict(e, xflat):
     sub-ms (round-5 PERTURB_DECOMP).  Large or symbolic ``V`` (the
     shape-polymorphic AOT export tracer) keeps the matmul."""
     v = xflat.shape[1]
-    if isinstance(v, int) and v <= 8:
+    if isinstance(v, int) and 1 <= v <= 8:
         num = jnp.stack(
             [(e * xflat[:, k][None, :]).sum(axis=1) for k in range(v)],
             axis=1,
